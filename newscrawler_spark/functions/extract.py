@@ -1,0 +1,154 @@
+"""Frozen HTML extraction contract — the byte-identical invariant.
+
+The reference extracts with newspaper4k (``src/scrapers/newspaper_scraper/
+scraper.py:92-147``) and then collapses whitespace:
+``" ".join(content.split())`` (``scraper.py:229-247``; contract fixture at
+``tests/scrapers/newspaper_scraper/test_scraper.py:113-119``).  The rebuild
+freezes a pure function of the raw html **bytes** — no parser-library or
+locale dependence — shared verbatim by:
+
+  * the synthetic corpus generator (ground-truth ``pages.text``),
+  * the pure-Python crawl oracle, and
+  * the Spark pandas UDF (``extract_udf_frame`` via ``mapInPandas``).
+
+so "byte-identical extracted text per url" is testable and meaningful.
+
+Extraction spec (frozen):
+  1. decode UTF-8 (errors="replace")
+  2. drop <script>/<style>/<nav>/<header>/<footer>/<aside> subtrees
+     (boilerplate stripping)
+  3. title   = contents of the first <title> tag, whitespace-collapsed
+  4. text    = all text inside <p> tags after tag-stripping and HTML
+               entity unescape, joined by a single space, then
+               whitespace-collapsed (the reference F1 contract)
+  5. links   = every href attribute of <a> tags, resolved against the
+               page URL, in document order (deduped, order-preserving)
+  6. authors = content of <meta name="author"> tags (document order)
+  7. published = content of <meta property="article:published_time">
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import re
+from typing import Iterator
+
+import pandas as pd
+
+from .canonical import canonicalize_url
+
+# --- pure-Python frozen spec -------------------------------------------
+
+_BOILER_RE = re.compile(
+    r"<(script|style|nav|header|footer|aside)\b.*?</\1\s*>",
+    re.IGNORECASE | re.DOTALL,
+)
+_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title\s*>", re.IGNORECASE | re.DOTALL)
+_P_RE = re.compile(r"<p\b[^>]*>(.*?)</p\s*>", re.IGNORECASE | re.DOTALL)
+_TAG_RE = re.compile(r"<[^>]+>")
+_HREF_RE = re.compile(r"""<a\b[^>]*?\bhref\s*=\s*["']([^"'>]+)["']""", re.IGNORECASE)
+_META_AUTHOR_RE = re.compile(
+    r"""<meta\b[^>]*?\bname\s*=\s*["']author["'][^>]*?\bcontent\s*=\s*["']([^"'>]*)["']""",
+    re.IGNORECASE,
+)
+_META_PUBLISHED_RE = re.compile(
+    r"""<meta\b[^>]*?\bproperty\s*=\s*["']article:published_time["']"""
+    r"""[^>]*?\bcontent\s*=\s*["']([^"'>]*)["']""",
+    re.IGNORECASE,
+)
+
+
+def collapse_ws(s: str) -> str:
+    """The reference whitespace-collapse contract (scraper.py:239-247)."""
+    return " ".join(s.split())
+
+
+def _strip_tags(fragment: str) -> str:
+    return _htmllib.unescape(_TAG_RE.sub(" ", fragment))
+
+
+def resolve_link(base_url: str, href: str) -> str | None:
+    """Minimal deterministic URL resolution (absolute / host-relative /
+    protocol-relative; relative paths resolved against the base dir).
+    Returns the canonical absolute URL or None."""
+    href = href.strip()
+    if not href or href.startswith(("#", "javascript:", "mailto:")):
+        return None
+    if "://" in href[:10]:
+        return canonicalize_url(href)
+    base = canonicalize_url(base_url)
+    if base is None:
+        return None
+    scheme, rest = base.split("://", 1)
+    host = rest.split("/", 1)[0]
+    if href.startswith("//"):
+        return canonicalize_url(scheme + ":" + href)
+    if href.startswith("/"):
+        return canonicalize_url(f"{scheme}://{host}{href}")
+    # relative path: resolve against base directory (no dot-segment logic;
+    # the synthetic web emits only absolute or root-relative links)
+    base_path = "/" + rest.split("/", 1)[1] if "/" in rest else "/"
+    base_dir = base_path.rsplit("/", 1)[0] + "/"
+    return canonicalize_url(f"{scheme}://{host}{base_dir}{href}")
+
+
+def extract_page(html_bytes: bytes, url: str) -> dict:
+    """Frozen extractor: html bytes + url → dict of extracted fields."""
+    raw = html_bytes.decode("utf-8", errors="replace")
+    body = _BOILER_RE.sub(" ", raw)
+    m = _TITLE_RE.search(body)
+    title = collapse_ws(_strip_tags(m.group(1))) if m else ""
+    paras = [_strip_tags(p) for p in _P_RE.findall(body)]
+    text = collapse_ws(" ".join(paras))
+    links: list[str] = []
+    seen: set[str] = set()
+    for href in _HREF_RE.findall(body):
+        resolved = resolve_link(url, href)
+        if resolved is not None and resolved not in seen:
+            seen.add(resolved)
+            links.append(resolved)
+    authors = [collapse_ws(a) for a in _META_AUTHOR_RE.findall(raw)]
+    m = _META_PUBLISHED_RE.search(raw)
+    published = m.group(1) if m else None
+    return {
+        "title": title,
+        "text": text,
+        "out_links": links,
+        "authors": authors,
+        "published": published,
+    }
+
+
+# --- Spark vectorized implementation -----------------------------------
+
+# Output schema fragment appended by the extraction stage.
+EXTRACT_FIELDS = (
+    "title string, text string, out_links array<string>, "
+    "authors array<string>, published string"
+)
+
+
+def extract_batch(urls: pd.Series, htmls: pd.Series) -> pd.DataFrame:
+    """Arrow-batched extraction: one pandas call per batch, zero
+    per-row Python at the Spark boundary (the row loop lives inside
+    the batch, as in any pandas str accessor)."""
+    out = {"title": [], "text": [], "out_links": [], "authors": [], "published": []}
+    for url, blob in zip(urls.tolist(), htmls.tolist()):
+        if blob is None:
+            rec = {"title": "", "text": "", "out_links": [], "authors": [], "published": None}
+        else:
+            rec = extract_page(bytes(blob), url)
+        for k in out:
+            out[k].append(rec[k])
+    return pd.DataFrame(out)
+
+
+def extract_map_in_pandas(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """``mapInPandas`` body: pass through all input columns, append the
+    extracted fields.  Used as
+    ``df.mapInPandas(extract_map_in_pandas, schema=...)``."""
+    for pdf in it:
+        ext = extract_batch(pdf["url"], pdf["html"])
+        for col in ext.columns:
+            pdf[col] = ext[col]
+        yield pdf

@@ -1,0 +1,101 @@
+"""Extraction contract tests: golden fixtures from the reference test
+suite plus a full corpus roundtrip through the Spark mapInPandas path
+(byte-identical ``text`` per url — the per-row invariant)."""
+
+from __future__ import annotations
+
+from newscrawler_spark.functions.extract import (
+    collapse_ws,
+    extract_page,
+    resolve_link,
+)
+
+
+def test_whitespace_collapse_contract():
+    # reference fixture: tests/scrapers/newspaper_scraper/test_scraper.py:113-119
+    assert collapse_ws("This   is \n a \t test   content.") == "This is a test content."
+    assert collapse_ws("") == ""
+    assert collapse_ws("  x  ") == "x"
+
+
+GOLDEN_HTML = b"""<html><head>
+<title>  The   Title </title>
+<meta name="author" content="Jane  Doe">
+<meta property="article:published_time" content="2025-01-02T03:04:05+00:00">
+<style>p { color: red }</style>
+</head><body>
+<nav><a href="/home">home</a></nav>
+<p>First  paragraph with &amp; entity.</p>
+<p>Second
+paragraph.</p>
+<script>var x = "<p>not text</p>";</script>
+<a href="https://other.example.com/a">x</a>
+<a href="/rel/path.html">y</a>
+<a href="#frag">z</a>
+<a href="https://other.example.com/a">dup</a>
+<footer><p>boilerplate para</p></footer>
+</body></html>"""
+
+
+def test_extract_golden():
+    rec = extract_page(GOLDEN_HTML, "https://news.example.com/sec/art.html")
+    assert rec["title"] == "The Title"
+    assert rec["text"] == "First paragraph with & entity. Second paragraph."
+    assert rec["out_links"] == [
+        "https://other.example.com/a",
+        "https://news.example.com/rel/path.html",
+    ]
+    assert rec["authors"] == ["Jane Doe"]
+    assert rec["published"] == "2025-01-02T03:04:05+00:00"
+
+
+def test_resolve_link():
+    base = "https://h.example.com/a/b.html"
+    assert resolve_link(base, "/x/y.html") == "https://h.example.com/x/y.html"
+    assert resolve_link(base, "c.html") == "https://h.example.com/a/c.html"
+    assert resolve_link(base, "//cdn.example.com/z") == "https://cdn.example.com/z"
+    assert resolve_link(base, "HTTPS://UP.example.com/Q") == "https://up.example.com/Q"
+    assert resolve_link(base, "#top") is None
+    assert resolve_link(base, "mailto:a@b.c") is None
+    assert resolve_link(base, "javascript:void(0)") is None
+
+
+def test_corpus_roundtrip_byte_identical(spark, tmp_path_factory):
+    """pages.html → Spark mapInPandas extractor → text equals the stored
+    ground truth byte-for-byte on every row."""
+    from newscrawler_spark.functions.extract import extract_map_in_pandas
+    from newscrawler_spark.sources.corpus import generate_corpus
+
+    out = str(tmp_path_factory.mktemp("corpus"))
+    paths = generate_corpus(out, n_pages=300, n_hosts=6, seed=42)
+    pages = spark.read.parquet(paths["pages"])
+    schema = (
+        "url string, warc_ts timestamp, html binary, text string, lang string, "
+        "title string, text_x string, out_links array<string>, "
+        "authors array<string>, published string"
+    )
+
+    def run(it):
+        import pandas as pd
+
+        from newscrawler_spark.functions.extract import extract_batch
+
+        for pdf in it:
+            ext = extract_batch(pdf["url"], pdf["html"])
+            ext = ext.rename(columns={"text": "text_x"})
+            yield pd.concat([pdf.reset_index(drop=True), ext], axis=1)
+
+    res = pages.mapInPandas(run, schema=schema)
+    from pyspark.sql import functions as F
+
+    mismatches = res.filter(F.col("text") != F.col("text_x")).count()
+    assert mismatches == 0
+    n = res.count()
+    assert n >= 300
+    # links discovered must exist or be dangling, all canonical
+    some = res.select("out_links").limit(50).collect()
+    from newscrawler_spark.functions.canonical import canonicalize_url
+
+    for row in some:
+        for link in row["out_links"]:
+            assert canonicalize_url(link) == link
