@@ -1,0 +1,105 @@
+"""Checkpointed table store — the Iceberg-snapshot protocol on parquet.
+
+The reference checkpoints scheduler state to ``crawler_state.json``
+(``src/scrapers/scheduler.py:568-615``) and writes one CrawlLog row per
+job (``scheduler.py:392-399,443-450``).  The rebuild's durable state is
+a set of *round-partitioned tables*; a round is visible only after its
+manifest commit, which is a single atomic rename — the parquet-path
+equivalent of an Iceberg snapshot commit.
+
+Protocol:
+  * writers write ``{root}/{table}/round={r}`` (Spark parquet dirs);
+  * ``commit_round(r, stats)`` writes ``{root}/_manifests/round-{r}.json``
+    via tmp-file + ``os.rename`` (atomic on POSIX);
+  * readers only read rounds with a manifest — a crash mid-round leaves
+    orphan data dirs that the next run overwrites idempotently
+    (``mode="overwrite"`` per round dir), giving exactly-once resume;
+  * ``last_committed_round()`` drives resume: re-run starts at r+1 with
+    the frontier snapshot committed at r.
+
+On a real cluster the same class is backed by Iceberg
+(``writeTo(...).overwritePartitions()`` + snapshot ids); the seam is
+this module only — the crawler never touches paths directly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class RoundStore:
+    TABLES = ("articles", "seen", "frontier", "crawl_logs", "order")
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
+
+    # --- write side ----------------------------------------------------
+
+    def write_round(self, table: str, round_id: int, df: DataFrame) -> None:
+        path = self._round_path(table, round_id)
+        df.write.mode("overwrite").parquet(path)
+
+    def commit_round(self, round_id: int, stats: dict) -> None:
+        man_dir = os.path.join(self.root, "_manifests")
+        tmp = os.path.join(man_dir, f".round-{round_id}.json.tmp")
+        final = os.path.join(man_dir, f"round-{round_id}.json")
+        with open(tmp, "w") as f:
+            json.dump({"round_id": round_id, **stats}, f)
+        os.rename(tmp, final)
+
+    def rollback_uncommitted(self, last_good: int) -> None:
+        """Drop any round dirs newer than the last committed manifest."""
+        for table in self.TABLES:
+            tdir = os.path.join(self.root, table)
+            if not os.path.isdir(tdir):
+                continue
+            for entry in os.listdir(tdir):
+                if entry.startswith("round="):
+                    r = int(entry.split("=", 1)[1])
+                    if r > last_good:
+                        shutil.rmtree(os.path.join(tdir, entry))
+
+    # --- read side -----------------------------------------------------
+
+    def last_committed_round(self) -> int:
+        man_dir = os.path.join(self.root, "_manifests")
+        rounds = [
+            int(n[len("round-") : -len(".json")])
+            for n in os.listdir(man_dir)
+            if n.startswith("round-") and n.endswith(".json")
+        ]
+        # -2 = empty store (manifest -1 is reserved for frontier init)
+        return max(rounds, default=-2)
+
+    def manifest(self, round_id: int) -> dict:
+        with open(os.path.join(self.root, "_manifests", f"round-{round_id}.json")) as f:
+            return json.load(f)
+
+    def read_rounds(
+        self, spark: SparkSession, table: str, upto: int | None = None
+    ) -> DataFrame | None:
+        """Union of all committed round partitions of ``table``."""
+        if upto is None:
+            upto = self.last_committed_round()
+        paths = [
+            self._round_path(table, r)
+            for r in range(upto + 1)
+            if os.path.isdir(self._round_path(table, r))
+        ]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def read_round(self, spark: SparkSession, table: str, round_id: int) -> DataFrame | None:
+        path = self._round_path(table, round_id)
+        if not os.path.isdir(path):
+            return None
+        return spark.read.parquet(path)
+
+    def _round_path(self, table: str, round_id: int) -> str:
+        return os.path.join(self.root, table, f"round={round_id}")
