@@ -1,0 +1,78 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Language-ID (stopword-hit heuristic), quality scoring (length/alpha/
+stopword ratios — the scalar analog of the reference's weighted quality
+score, ``src/scrapers/base_scraper.py:69-117``), token counting
+(whitespace + a BPE-ish regex), and document fingerprinting.
+
+Everything here is pure Spark column expressions — JVM-side, inside
+whole-stage codegen, zero Python in the hot path — with semantics
+chosen to be expressible identically in ANSI SQL so every operator is
+DuckDB-oracle-checkable (see ``__spark_entry__.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Stopword banks for the language-ID heuristic. Small on purpose: at
+# 100 TB the cost is a handful of regex scans per row, all codegen'd.
+EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+ES_STOPWORDS = ("el", "la", "de", "que", "y", "los", "un")
+DE_STOPWORDS = ("der", "die", "das", "und", "ist", "ein", "zu")
+
+# BPE-ish token pattern: letter runs, digit runs, single punctuation.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _stopword_hits(text: Column, words: tuple[str, ...]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), F.lit(0)))
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank text)."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish subword-proxy token count (letter/digit/punct runs)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax of stopword-hit counts, 'und' if
+    no bank scores (deterministic tiebreak en > es > de)."""
+    en = _stopword_hits(text, EN_STOPWORDS)
+    es = _stopword_hits(text, ES_STOPWORDS)
+    de = _stopword_hits(text, DE_STOPWORDS)
+    return (
+        F.when((en >= es) & (en >= de) & (en > 0), "en")
+        .when((es >= de) & (es > 0), "es")
+        .when(de > 0, "de")
+        .otherwise("und")
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality in [0,1]: 40% length band, 30% alpha ratio,
+    30% stopword density band. Rounded to 4dp so the score is stable
+    across engines."""
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    toks = ws_token_count(text)
+    stop = _stopword_hits(text, EN_STOPWORDS)
+    len_band = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    stop_density = F.when(toks > 0, F.least(stop * F.lit(8.0) / toks, F.lit(1.0))).otherwise(
+        F.lit(0.0)
+    )
+    return F.round(0.4 * len_band + 0.3 * alpha_ratio + 0.3 * stop_density, 4)
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the lowercased,
+    whitespace-collapsed text (the normalize-then-hash contract)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))

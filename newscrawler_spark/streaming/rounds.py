@@ -1,0 +1,99 @@
+"""Structured Streaming analogs of the reference's micro-batch loop.
+
+The reference's scheduler poll loop (``src/scrapers/scheduler.py:
+324-338``, 5 s poll) is a micro-batch engine in disguise; its per-domain
+token bucket (``src/scrapers/rate_limiter.py:87-134``) is a stateful
+per-key operator.  The batch crawler models these as rounds (T1-T5);
+this module provides the true Structured Streaming forms for
+continuously-arriving frontiers:
+
+  * ``windowed_event_counts`` — event-time tumbling window aggregation
+    with a watermark for late data (T2/T4);
+  * ``host_token_bucket_stream`` — ``applyInPandasWithState`` per-host
+    token bucket: admits up to ``budget`` URLs per host per trigger,
+    carrying the token count in state (T3).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    events_dir: str,
+    schema: str,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """readStream(parquet) → watermark → tumbling-window agg.
+
+    Returns the streaming DataFrame; callers attach a sink.  With a
+    memory sink + ``processAllAvailable`` a parquet directory drives the
+    query to completion synchronously (hermetic tests/oracle)."""
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def run_to_completion(streaming_df: DataFrame, name: str) -> DataFrame:
+    """Drive a bounded streaming query to completion via a memory sink;
+    returns the result as a batch DataFrame."""
+    q = (
+        streaming_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return streaming_df.sparkSession.table(name)
+
+
+def _token_bucket_fn(budget: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (host,) = key
+        tokens = state.get[0] if state.exists else budget
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["priority", "url_hash"]).reset_index(drop=True)
+            admit = pdf.iloc[: max(tokens, 0)]
+            tokens -= len(admit)
+            if len(admit):
+                out.append(admit)
+        state.update((tokens,))
+        if out:
+            yield pd.concat(out).assign(host=host)[["host", "canon_url", "url_hash", "priority"]]
+
+    return fn
+
+
+def host_token_bucket_stream(frontier_stream: DataFrame, budget: int = 10) -> DataFrame:
+    """Per-host stateful admission over a streaming frontier: at most
+    ``budget`` URLs per host across the stream's lifetime until state
+    reset — the Structured Streaming twin of operators/politeness."""
+    return frontier_stream.groupBy("host").applyInPandasWithState(
+        _token_bucket_fn(budget),
+        outputStructType="host string, canon_url string, url_hash long, priority int",
+        stateStructType="tokens int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
