@@ -116,40 +116,81 @@ def lsh_bucket_udf(dim: int, n_planes: int = 12, seed: int = 42):
     return body
 
 
+def multi_table_bucket_udf(dim: int, n_planes: int, n_tables: int, seed: int = 42):
+    """mapInPandas body emitting (row ⊗ table) with the row's bucket in
+    each of the L independent hash tables — the standard multi-table
+    LSH layout (tables OR-ed at query time to trade space for recall)."""
+    all_planes = [
+        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+
+    def body(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            frames = []
+            for t, planes in enumerate(all_planes):
+                out = pdf.copy()
+                out["table_id"] = t
+                if len(mat):
+                    signs = (mat @ planes.T) > 0
+                    bucket = np.zeros(len(mat), dtype=np.int64)
+                    for p in range(n_planes):
+                        bucket |= signs[:, p].astype(np.int64) << p
+                    out["bucket"] = bucket
+                else:
+                    out["bucket"] = pd.Series([], dtype="int64")
+                frames.append(out)
+            yield pd.concat(frames)
+
+    return body
+
+
 def ann_topk(
     embeddings: DataFrame,
     query: list[float],
     k: int = 10,
-    n_planes: int = 12,
+    n_planes: int = 6,
+    n_tables: int = 8,
     seed: int = 42,
-    multiprobe_bits: int = 1,
 ) -> DataFrame:
-    """ANN top-k: probe the query's LSH bucket (plus Hamming-1 neighbor
-    buckets when multiprobe_bits=1) and rank exactly within it.
+    """ANN top-k via multi-table random-hyperplane LSH: a row is a
+    candidate if it shares the query's bucket in ANY of the L tables;
+    candidates are ranked exactly.
 
-    At scale the embedding table is written pre-bucketed (partitioned by
-    ``bucket``), so a query reads ~n/2^planes rows.  Recall vs
-    brute-force is asserted in tests, not assumed.
+    At scale the table is written pre-bucketed (L× storage, partitioned
+    by (table_id, bucket)); a query reads ~L·n/2^planes rows instead of
+    n.  Recall follows 1-(1-p^planes)^L with p = 1-θ/π, so L buys
+    recall without touching latency-critical bucket size — the recall
+    floor is asserted against brute force in tests, not assumed.
     """
     from pyspark.sql import types as T
 
     dim = len(query)
-    planes = _hyperplanes(dim, n_planes, seed)
     q = np.array(query, dtype=np.float64)
-    qbucket = 0
-    for p in range(n_planes):
-        if float(q @ planes[p]) > 0:
-            qbucket |= 1 << p
-    probes = {qbucket}
-    if multiprobe_bits >= 1:
+    probes = []  # (table_id, bucket) the query lands in
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        b = 0
         for p in range(n_planes):
-            probes.add(qbucket ^ (1 << p))
+            if float(q @ planes[p]) > 0:
+                b |= 1 << p
+        probes.append((t, b))
 
     schema = T.StructType(
-        list(embeddings.schema.fields) + [T.StructField("bucket", T.LongType())]
+        list(embeddings.schema.fields)
+        + [T.StructField("table_id", T.IntegerType()), T.StructField("bucket", T.LongType())]
     )
-    bucketed = embeddings.mapInPandas(lsh_bucket_udf(dim, n_planes, seed), schema=schema)
-    candidates = bucketed.filter(F.col("bucket").isin(list(probes)))
+    bucketed = embeddings.mapInPandas(
+        multi_table_bucket_udf(dim, n_planes, n_tables, seed), schema=schema
+    )
+    probe_df = embeddings.sparkSession.createDataFrame(
+        probes, "table_id int, bucket long"
+    )
+    candidates = (
+        bucketed.join(F.broadcast(probe_df), ["table_id", "bucket"])
+        .select("vec_id", "embedding")
+        .dropDuplicates(["vec_id"])
+    )
     return cosine_topk(candidates, query, k)
 
 

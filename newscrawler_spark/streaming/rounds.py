@@ -92,7 +92,7 @@ def host_token_bucket_stream(frontier_stream: DataFrame, budget: int = 10) -> Da
     reset — the Structured Streaming twin of operators/politeness."""
     return frontier_stream.groupBy("host").applyInPandasWithState(
         _token_bucket_fn(budget),
-        outputStructType="host string, canon_url string, url_hash long, priority int",
+        outputStructType="host string, canon_url string, url_hash long, priority long",
         stateStructType="tokens int",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -1,0 +1,160 @@
+"""Dedup family + similarity search semantics beyond the SQL oracle:
+LSH candidate recall, ANN recall vs brute force, simhash blocking
+exactness, multimodal plumbing shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+
+
+def test_lsh_candidates_cover_high_jaccard(spark, docs):
+    """Banding theory: pairs with very high true Jaccard must appear in
+    the LSH candidate set (16 hashes, 4 bands → ~(1-(1-s^4)^4), >0.99
+    at s≥0.9)."""
+    from newscrawler_spark.operators.dedup import jaccard_candidates, lsh_candidate_pairs
+
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_candidates(docs, threshold=0.9).collect()
+    }
+    assert truth, "corpus should contain near-dup pairs"
+    cands = {
+        (r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(docs).collect()
+    }
+    missed = truth - cands
+    assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+
+
+def test_minhash_within_band_consistency(spark, docs):
+    """Identical texts (doc vs itself, simulated by unioning a copy)
+    produce identical signatures → always candidates."""
+    from newscrawler_spark.operators.dedup import minhash_signatures
+
+    two = docs.limit(5).union(
+        docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    sig = minhash_signatures(two).toPandas()
+    base = sig[sig.doc_id < 100000].set_index(["doc_id", "seed"])["minhash"]
+    copy = sig[sig.doc_id >= 100000].copy()
+    copy["doc_id"] -= 100000
+    copy = copy.set_index(["doc_id", "seed"])["minhash"]
+    assert (base.sort_index() == copy.sort_index()).all()
+
+
+def test_simhash_blocking_exact_for_radius_1(spark, docs):
+    """Half-blocking recovers EXACTLY the pairs with Hamming ≤ 1
+    (pigeonhole) — verified against a driver-side brute force."""
+    from newscrawler_spark.operators.dedup import simhash16, simhash_near_dups
+
+    sub = docs.limit(120)
+    sims = {r["doc_id"]: r["simhash"] for r in simhash16(sub).collect()}
+    brute = set()
+    ids = sorted(sims)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin(sims[a] ^ sims[b]).count("1") <= 1:
+                brute.add((a, b))
+    got = {(r["doc_a"], r["doc_b"]) for r in simhash_near_dups(sub, max_hamming=1).collect()}
+    assert got == brute
+
+
+def test_ann_recall_vs_bruteforce(spark, emb):
+    from newscrawler_spark.operators.similarity import ann_topk, cosine_topk
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    truth = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in ann_topk(emb, q, k=10, n_planes=6, n_tables=8).collect()]
+    recall = len(set(truth) & set(approx)) / 10
+    assert recall >= 0.5, f"ANN recall {recall} too low (6 planes × 8 tables)"
+    assert approx[0] == truth[0] == 1  # the query vector itself ranks first
+
+
+def test_embedding_neardup_lsh_vs_exact(spark, emb):
+    """LSH-blocked near-dup is a subset of exact; at a high threshold
+    with multiprobe-free blocking we accept partial recall but demand
+    precision 1.0 (no false pairs)."""
+    from newscrawler_spark.operators.similarity import embedding_near_dup_pairs
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(emb, threshold=0.4, exact=True).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(emb, threshold=0.4, n_planes=4).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert exact[k] == v
+
+
+def test_multimodal_plumbing(spark, docs):
+    from newscrawler_spark.operators.multimodal import (
+        decode_image_stub,
+        documents_as_media,
+        frame_sample_stub,
+        media_features,
+    )
+
+    media = documents_as_media(docs)
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    assert media.schema["meta"].dataType.typeName() == "struct"
+    feats = media_features(media)
+    rows = feats.limit(10).collect()
+    for r in rows:
+        assert len(r["histogram"]) == 16
+        assert sum(r["histogram"]) == r["n_bytes"]
+        assert 0 <= r["byte_entropy"] <= 4.0  # 16 bins → ≤ log2(16)
+    frames = frame_sample_stub(media).limit(100).collect()
+    assert all(r["frame_no"] % 10 == 0 for r in frames)
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"xx")
+
+
+def test_streaming_token_bucket(spark, tmp_path):
+    """applyInPandasWithState per-host budget over a streaming frontier."""
+    import pandas as pd
+
+    from newscrawler_spark.streaming.rounds import host_token_bucket_stream
+
+    pdf = pd.DataFrame(
+        {
+            "host": ["a.com"] * 20 + ["b.com"] * 3,
+            "canon_url": [f"https://x/{i}" for i in range(23)],
+            "url_hash": list(range(23)),
+            "priority": [i % 3 + 1 for i in range(23)],
+        }
+    )
+    src = str(tmp_path / "frontier")
+    spark.createDataFrame(pdf).write.parquet(src)
+    stream = spark.readStream.schema(
+        "host string, canon_url string, url_hash long, priority long"
+    ).parquet(src)
+    out = host_token_bucket_stream(stream, budget=5)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bucket_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    res = spark.table("bucket_out").toPandas()
+    counts = res.groupby("host").size().to_dict()
+    assert counts["a.com"] == 5  # budget-capped
+    assert counts["b.com"] == 3  # under budget
