@@ -804,8 +804,10 @@ def q_crawl_articles(spark, sf_dir):
 
 def q_crawl_order(spark, sf_dir):
     """Deterministic global crawl order (oracle-verified in pytest)."""
+    from newscrawler_spark.crawler import read_crawl_order
+
     store, _ = _crawl_store(spark, sf_dir)
-    return store.read_rounds(spark, "order").select("url", "fetch_seq")
+    return read_crawl_order(spark, store).select("url", "fetch_seq")
 
 
 def q_crawl_logs(spark, sf_dir):

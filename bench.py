@@ -1,0 +1,155 @@
+"""Benchmark harness.
+
+Runs the headline operator queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) plus the frontier-crawl benchmark on the synthetic
+web corpus, on ``local[$SPARK_GRAFT_CPUS]`` (default 32), and prints ONE
+JSON line::
+
+    {"metric": "...", "value": <total secs>, "unit": "sec",
+     "queries": {...}, "sf": 0.1, "crawl_urls_per_sec": ...}
+
+Queries are materialized with the ``noop`` sink so column pruning cannot
+skip the measured work.  ``--crawl-only`` runs just the crawl benchmark
+(used by tools/scaling_bench.py to evidence N → 4N scaling efficiency:
+same input, local[8] vs local[32]).
+
+A small warmup crawl runs first so JVM codegen + Python-worker pool
+startup is not billed to the measured rounds (both parallelism levels
+get the identical warmup).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "j2_broadcast_dim",
+    "j4_reporting_join",
+    "w1_priority_order",
+    "w2_budget_window",
+    "a1_per_domain_stats",
+    "a5_ewma",
+    "a7_quality_score",
+    "t2_due_filter",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_lang_id",
+    "text_token_stats",
+    "sim_bruteforce_topk",
+    "sim_neardup_pairs",
+    "sim_ann_lsh",
+    "mm_media_features",
+    "streaming_windowed",
+]
+
+CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))
+CRAWL_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "80"))
+BENCH_CACHE = os.environ.get(
+    "SPARK_GRAFT_BENCH_CACHE", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
+)
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_crawl_bench(spark, cpus: int) -> dict:
+    from newscrawler_spark.crawler import CrawlConfig, FrontierCrawler
+    from newscrawler_spark.plans.storage import RoundStore
+    from newscrawler_spark.sources.corpus import generate_corpus
+
+    # warmup: identical tiny crawl at both parallelism levels
+    wpaths = generate_corpus(os.path.join(BENCH_CACHE, "warmup"), n_pages=300, n_hosts=6)
+    wstore_dir = os.path.join(BENCH_CACHE, f"warmup_store_{cpus}")
+    shutil.rmtree(wstore_dir, ignore_errors=True)
+    FrontierCrawler(
+        spark, wpaths["pages"], wpaths["seeds"], RoundStore(wstore_dir),
+        CrawlConfig(max_rounds=2, round_budget=20, n_salts=4),
+    ).run(resume=False)
+
+    # realistic article-sized pages (≈8-12 KB) so extraction cost per URL
+    # resembles real boilerplate-stripping, not toy snippets
+    paths = generate_corpus(
+        os.path.join(BENCH_CACHE, f"corpus_{CRAWL_PAGES}"),
+        n_pages=CRAWL_PAGES,
+        n_hosts=CRAWL_HOSTS,
+        seed=42,
+        paras_range=(12, 22),
+    )
+    store_dir = os.path.join(BENCH_CACHE, f"crawl_store_{cpus}")
+    shutil.rmtree(store_dir, ignore_errors=True)
+    store = RoundStore(store_dir)
+    cfg = CrawlConfig(
+        max_rounds=4,
+        round_budget=10000,
+        n_salts=8,
+        bloom_expected=max(CRAWL_PAGES * 2, 1_000_000),
+    )
+    crawler = FrontierCrawler(spark, paths["pages"], paths["seeds"], store, cfg)
+    t0 = time.time()
+    totals = crawler.run(resume=False)
+    wall = time.time() - t0
+    per_round = [
+        store.manifest(r)["wall_secs"] for r in range(store.last_committed_round() + 1)
+    ]
+    return {
+        "crawl_secs": round(wall, 2),
+        "crawl_urls": totals["seq"],
+        "crawl_urls_per_sec": round(totals["seq"] / wall, 1),
+        "crawl_rounds": totals["rounds"],
+        "crawl_round_secs": per_round,
+    }
+
+
+def main() -> None:
+    crawl_only = "--crawl-only" in sys.argv
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    from newscrawler_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    out: dict = {"sf": sf, "cpus": cpus}
+    queries: dict[str, float] = {}
+    total = 0.0
+
+    crawl = run_crawl_bench(spark, cpus)
+    out.update(crawl)
+    total += crawl["crawl_secs"]
+    queries["crawl_frontier_4rounds"] = crawl["crawl_secs"]
+
+    if not crawl_only:
+        import __spark_entry__ as entrymod
+
+        qmap = entrymod.queries()
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            _materialize(qmap[name](spark, sf_dir))
+            dt = round(time.time() - t0, 3)
+            queries[name] = dt
+            total += dt
+
+    out.update(
+        {
+            "metric": "headline operator suite + frontier crawl (urls fetched+extracted)",
+            "value": round(total, 2),
+            "unit": "sec",
+            "queries": queries,
+        }
+    )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,7 @@ Scale shape (10^10 frontier, 1000 executors):
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 
@@ -68,8 +69,14 @@ class CrawlConfig:
     n_salts: int = 8
     use_bloom: bool = True
     bloom_fpp: float = 1e-3
+    bloom_expected: int = 1_000_000  # sizes the cumulative bloom (fixed m)
     respect_robots: bool = True
-    broadcast_admitted_max: int = 2_000_000  # rows; beyond → shuffle join
+    broadcast_admitted_max: int = 2_000_000  # rows; 0 → let AQE pick the join
+    write_partitions: int = 8  # per-round delta files; ~2-3× executors on a cluster
+    cache_pages: bool = True  # persist the pages scan across rounds (MEMORY_AND_DISK).
+    # At 100 TB you set False and rely on the bucketed pages layout +
+    # broadcast-probe join instead; in local/bench mode caching removes
+    # the repeated parquet decode of the same immutable table.
 
 
 class FrontierCrawler:
@@ -84,6 +91,9 @@ class FrontierCrawler:
         self.spark = spark
         self.config = config
         self.store = store
+        # NB: pages.text (the ground-truth extraction) is deliberately NOT
+        # selected — the engine must recover text from html; pruning it
+        # also halves the scan/cache bytes.
         self.pages = with_canonical(
             spark.read.parquet(pages_path), "url"
         ).select(
@@ -91,11 +101,58 @@ class FrontierCrawler:
             F.col("url_hash").alias("page_hash"),
             "warc_ts",
             "html",
-            F.col("text").alias("ground_text"),
             "lang",
         )
+        if config.cache_pages:
+            from pyspark import StorageLevel
+
+            self.pages = self.pages.persist(StorageLevel.MEMORY_AND_DISK)
         self.seeds_path = seeds_path
         self.robots_dim = self._build_robots_dim()
+        self._bloom = None  # cumulative seen bloom, maintained incrementally
+
+    # ------------------------------------------------------------------
+    def _seen_bloom(self, round_id: int):
+        """Cumulative bloom over all seen hashes through round_id - 1.
+
+        Maintained incrementally: bloom_r = bloom_{r-1} ∪ bloom(delta_r)
+        (bitset OR is associative), so each round scans only its own
+        delta, never the full seen set.  The bitset is checkpointed as a
+        round blob for exact resume; at 10^10 scale the same protocol
+        applies per hash-bucket (partitioned blooms, SURVEY §7.3).
+        """
+        from .operators.seen import NumpyBloom
+
+        if self._bloom is not None:
+            return self._bloom
+        blob = self.store.load_blob("bloom", round_id - 1)
+        proto = NumpyBloom(self.config.bloom_expected, self.config.bloom_fpp)
+        if blob is not None and len(blob) == proto.m // 8:
+            import numpy as np
+
+            self._bloom = NumpyBloom.from_state(
+                np.frombuffer(blob, dtype=np.uint64).copy(), proto.m, proto.k
+            )
+            return self._bloom
+        # cold start (legacy store or first resume): rebuild from deltas
+        seen = self.store.read_rounds(self.spark, "seen", upto=round_id - 1)
+        if seen is None:
+            self._bloom = proto
+        else:
+            self._bloom = build_bloom(
+                seen, "url_hash", self.config.bloom_expected, self.config.bloom_fpp
+            )
+        return self._bloom
+
+    def _advance_bloom(self, round_id: int) -> None:
+        if self._bloom is None:
+            self._seen_bloom(round_id)
+        delta = self.store.read_round(self.spark, "seen", round_id)
+        delta_bloom = build_bloom(
+            delta, "url_hash", self.config.bloom_expected, self.config.bloom_fpp
+        )
+        self._bloom.union(delta_bloom)
+        self.store.save_blob("bloom", round_id, self._bloom.words.tobytes())
 
     # ------------------------------------------------------------------
     def _build_robots_dim(self) -> DataFrame:
@@ -173,27 +230,28 @@ class FrontierCrawler:
 
     # ------------------------------------------------------------------
     def run_round(self, round_id: int, frontier: DataFrame, seq_offset: int) -> dict:
+        """One frontier-expansion round as a handful of write jobs.
+
+        All metrics are collected with ``Observation``s DURING the write
+        actions — a round costs exactly: bloom build (1 small job) +
+        4 table writes.  No count()-only jobs; the reference's CrawlLog
+        bookkeeping (scheduler.py:392-399) rides along for free.
+        """
+        from pyspark.sql import Observation
+
         cfg = self.config
         t0 = time.time()
 
-        # 1. URL-seen anti-join (bloom prefilter + exact fallback)
+        # 1. URL-seen anti-join (incremental bloom prefilter + exact fallback)
         seen = self.store.read_rounds(self.spark, "seen", upto=round_id - 1)
         if seen is not None:
-            bloom = None
-            if cfg.use_bloom:
-                expected = sum(
-                    self.store.manifest(r).get("seen_delta", 0)
-                    for r in range(round_id)
-                )
-                bloom = build_bloom(seen, "url_hash", expected, cfg.bloom_fpp)
+            bloom = self._seen_bloom(round_id) if cfg.use_bloom else None
             candidates = anti_join_seen(frontier, seen, "canon_url", "url_hash", bloom)
         else:
             candidates = frontier
 
         # 2. robots gate (broadcast dim join + vectorized rule eval)
-        with_rules = candidates.join(
-            F.broadcast(self.robots_dim), on="host", how="left"
-        )
+        with_rules = candidates.join(F.broadcast(self.robots_dim), on="host", how="left")
         if cfg.respect_robots:
             rules_schema = T.StructType(
                 list(with_rules.schema.fields)
@@ -214,29 +272,42 @@ class FrontierCrawler:
             "host_budget",
             F.greatest(
                 F.lit(1),
-                (F.lit(cfg.round_budget) / F.greatest(F.coalesce("robots_delay", F.lit(1.0)), F.lit(1.0)))
-                .cast("int"),
+                (
+                    F.lit(cfg.round_budget)
+                    / F.greatest(F.coalesce("robots_delay", F.lit(1.0)), F.lit(1.0))
+                ).cast("int"),
             ),
         )
         admitted, deferred = admit_per_host(allowed, "host_budget", cfg.n_salts)
         admitted = global_fetch_order(admitted, seq_offset).persist()
-        n_admitted = admitted.count()
 
-        # 4. the "fetch" join — frontier side is budget-bounded, so
-        # broadcast it against the big pages table when small enough.
+        # 4. the "fetch" join.  The admitted side is politeness-bounded
+        # (≤ hosts × budget rows), so by default it broadcasts against
+        # the big pages table — the 100 TB side never shuffles.  Set
+        # broadcast_admitted_max=0 when host-count × budget can exceed
+        # driver memory; AQE then picks the strategy.
         adm = admitted.select(
             "canon_url", "url_hash", "host", "priority", "discovered_round", "fetch_seq"
         )
-        probe = F.broadcast(adm) if n_admitted <= cfg.broadcast_admitted_max else adm
+        probe = F.broadcast(adm) if cfg.broadcast_admitted_max > 0 else adm
         fetched = probe.join(
             self.pages,
             on=[adm.url_hash == self.pages.page_hash, adm.canon_url == self.pages.page_url],
             how="left",
         ).drop("page_url", "page_hash")
+        # A broadcast join inherits the PAGES scan partitioning, which can
+        # be one fat partition (or skewed row groups).  Re-spread the
+        # fetched rows — the moved bytes are the fetch result itself
+        # (admitted × page size), which has to move exactly once anyway —
+        # so extraction parallelism tracks cores, not file layout.
+        n_extract = int(
+            self.spark.conf.get("spark.sql.shuffle.partitions", str(os.cpu_count() or 8))
+        )
+        fetched = fetched.repartition(n_extract, "url_hash")
 
         # 5. extraction (vectorized, byte-identical contract)
         ext_schema = T.StructType(
-            [f for f in fetched.schema.fields if f.name not in ("html", "ground_text")]
+            [f for f in fetched.schema.fields if f.name != "html"]
             + [
                 T.StructField("title", T.StringType()),
                 T.StructField("text", T.StringType()),
@@ -254,7 +325,7 @@ class FrontierCrawler:
             pid = TaskContext.get().partitionId() if TaskContext.get() else -1
             for pdf in it:
                 ext = extract_batch(pdf["canon_url"], pdf["html"])
-                keep = pdf.drop(columns=["html", "ground_text"]).reset_index(drop=True)
+                keep = pdf.drop(columns=["html"]).reset_index(drop=True)
                 out = pd.concat([keep, ext], axis=1)
                 out.loc[pdf["html"].isna().to_numpy(), ["title", "text"]] = None
                 out["partition_id"] = pid
@@ -262,10 +333,8 @@ class FrontierCrawler:
 
         extracted = fetched.mapInPandas(extract_part, schema=ext_schema).persist()
 
-        missing = extracted.filter(F.col("warc_ts").isNull())
         present = extracted.filter(F.col("warc_ts").isNotNull())
         articles = present.filter(F.length("text") >= cfg.min_content_len)
-        short = present.filter(F.length("text") < cfg.min_content_len)
 
         # 6. article rows (A7 quality score as pure column arithmetic,
         #    ref base_scraper.py:69-117 weights 30/30/20/20)
@@ -298,15 +367,12 @@ class FrontierCrawler:
         links = present.select(
             F.explode(F.slice("out_links", 1, cfg.max_links_per_page)).alias("canon_url")
         )
-        links = (
-            with_canonical(links, "canon_url")
-            .select(
-                "canon_url",
-                "url_hash",
-                "host",
-                F.lit(cfg.default_priority).cast("int").alias("priority"),
-                F.lit(round_id + 1).cast("int").alias("discovered_round"),
-            )
+        links = with_canonical(links, "canon_url").select(
+            "canon_url",
+            "url_hash",
+            "host",
+            F.lit(cfg.default_priority).cast("int").alias("priority"),
+            F.lit(round_id + 1).cast("int").alias("discovered_round"),
         )
         deferred_rows = deferred.select(
             "canon_url", "url_hash", "host", "priority", "discovered_round"
@@ -324,7 +390,8 @@ class FrontierCrawler:
             )
         )
 
-        # 8. seen delta: every terminal URL this round
+        # 8. seen delta: every terminal URL this round, with its fetch
+        #    position (the crawl-order record) — one table, one write.
         status = (
             F.when(F.col("warc_ts").isNull(), "missing")
             .when(F.length("text") >= cfg.min_content_len, "fetched")
@@ -336,6 +403,9 @@ class FrontierCrawler:
             "host",
             F.lit(round_id).alias("round_id"),
             status.alias("status"),
+            "fetch_seq",
+            "priority",
+            "discovered_round",
         ).unionByName(
             denied.select(
                 "url_hash",
@@ -343,6 +413,9 @@ class FrontierCrawler:
                 "host",
                 F.lit(round_id).alias("round_id"),
                 F.lit("robots_denied").alias("status"),
+                F.lit(None).cast("long").alias("fetch_seq"),
+                "priority",
+                "discovered_round",
             )
         )
 
@@ -351,36 +424,61 @@ class FrontierCrawler:
             extracted.groupBy("partition_id", status.alias("status"))
             .agg(
                 F.count("*").alias("n_urls"),
-                F.count("out_links").alias("n_pages_with_links"),
                 F.sum(F.size(F.coalesce("out_links", F.array()))).alias("links_discovered"),
             )
             .withColumn("round_id", F.lit(round_id))
-            .withColumn("host_bucket", F.lit(None).cast("int"))
         )
 
-        # 10. persist round (atomic commit at the end)
-        self.store.write_round("articles", round_id, article_rows)
-        self.store.write_round("order", round_id, admitted.select(
-            F.col("canon_url").alias("url"), "url_hash", "fetch_seq", "priority",
-            "discovered_round", "host",
-        ))
-        self.store.write_round("seen", round_id, seen_delta)
-        self.store.write_round("crawl_logs", round_id, logs)
-        self.store.write_round("frontier", round_id, next_frontier)
+        # 10. writes, instrumented with Observations (no count-only jobs)
+        wp = cfg.write_partitions
+        self.store.write_round("articles", round_id, article_rows, partitions=wp)
 
-        stats = {
-            "admitted": n_admitted,
-            "extracted": articles.count(),
-            "short": short.count(),
-            "missing": missing.count(),
-            "robots_denied": denied.count(),
-            "deferred": deferred.count(),
-            "seen_delta": seen_delta.count(),
-            "next_frontier": self.store.read_round(self.spark, "frontier", round_id).count(),
-            "wall_secs": round(time.time() - t0, 3),
-        }
+        obs_seen = Observation(f"seen_{round_id}")
+        seen_obs_df = seen_delta.observe(
+            obs_seen,
+            F.count(F.lit(1)).alias("seen_delta"),
+            F.sum(F.when(F.col("status") == "fetched", 1).otherwise(0)).alias("extracted"),
+            F.sum(F.when(F.col("status") == "short", 1).otherwise(0)).alias("short"),
+            F.sum(F.when(F.col("status") == "missing", 1).otherwise(0)).alias("missing"),
+            F.sum(F.when(F.col("status") == "robots_denied", 1).otherwise(0)).alias(
+                "robots_denied"
+            ),
+            F.sum(F.when(F.col("fetch_seq").isNotNull(), 1).otherwise(0)).alias("admitted"),
+        )
+        self.store.write_round("seen", round_id, seen_obs_df, partitions=wp)
+
+        self.store.write_round("crawl_logs", round_id, logs, partitions=1)
+
+        obs_frontier = Observation(f"frontier_{round_id}")
+        frontier_obs_df = next_frontier.observe(
+            obs_frontier,
+            F.count(F.lit(1)).alias("next_frontier"),
+            F.sum(F.when(F.col("discovered_round") <= round_id, 1).otherwise(0)).alias(
+                "deferred"
+            ),
+        )
+        self.store.write_round("frontier", round_id, frontier_obs_df, partitions=wp)
+
+        stats = {k: int(v or 0) for k, v in {**obs_seen.get, **obs_frontier.get}.items()}
+        if cfg.use_bloom:
+            self._advance_bloom(round_id)
+        stats["wall_secs"] = round(time.time() - t0, 3)
         self.store.commit_round(round_id, stats)
         admitted.unpersist()
         extracted.unpersist()
         evaluated.unpersist()
         return stats
+
+
+def read_crawl_order(spark: SparkSession, store: RoundStore) -> DataFrame:
+    """Global crawl order: seen rows that were admitted for fetch."""
+    seen = store.read_rounds(spark, "seen")
+    return seen.filter(F.col("fetch_seq").isNotNull()).select(
+        F.col("canon_url").alias("url"),
+        "url_hash",
+        "fetch_seq",
+        "priority",
+        "discovered_round",
+        "host",
+        "round_id",
+    )

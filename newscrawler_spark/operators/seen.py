@@ -149,8 +149,6 @@ def anti_join_seen(
         list(frontier.schema.fields) + [T.StructField("__maybe_seen", T.BooleanType())]
     )
     tagged = frontier.mapInPandas(prefilter, schema=out_schema)
-    # Evaluate the bloom once; both branches reuse the tagged plan.
-    tagged = tagged.persist()
     definitely_new = tagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     maybe = tagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
     survivors = maybe.join(seen_keys, on=[hash_col, url_col], how="left_anti")

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class RoundStore:
-    TABLES = ("articles", "seen", "frontier", "crawl_logs", "order")
+    TABLES = ("articles", "seen", "frontier", "crawl_logs")
 
     def __init__(self, root: str):
         self.root = root
@@ -40,9 +40,32 @@ class RoundStore:
 
     # --- write side ----------------------------------------------------
 
-    def write_round(self, table: str, round_id: int, df: DataFrame) -> None:
+    def write_round(
+        self, table: str, round_id: int, df: DataFrame, partitions: int | None = None
+    ) -> None:
+        """``partitions`` coalesces the write (no shuffle) — per-round
+        deltas are usually far smaller than the pipeline parallelism, and
+        a 32-file delta makes every later read pay 32 task startups."""
         path = self._round_path(table, round_id)
+        if partitions is not None:
+            df = df.coalesce(partitions)
         df.write.mode("overwrite").parquet(path)
+
+    def save_blob(self, name: str, round_id: int, data: bytes) -> None:
+        """Atomic small-artifact store (bloom bitsets etc.)."""
+        d = os.path.join(self.root, "_blobs")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".{name}-{round_id}.bin.tmp")
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.rename(tmp, os.path.join(d, f"{name}-{round_id}.bin"))
+
+    def load_blob(self, name: str, round_id: int) -> bytes | None:
+        p = os.path.join(self.root, "_blobs", f"{name}-{round_id}.bin")
+        if not os.path.exists(p):
+            return None
+        with open(p, "rb") as f:
+            return f.read()
 
     def commit_round(self, round_id: int, stats: dict) -> None:
         man_dir = os.path.join(self.root, "_manifests")

@@ -16,11 +16,14 @@ Properties (seed-stable, byte-stable):
     absent from pages (the fetch-miss path);
   * boilerplate (<nav>/<script>/<footer>) wrapped around real <p>
     paragraphs, so extraction is non-trivial;
-  * ``text`` is produced by the frozen extractor itself, making the
-    byte-identical contract checkable end-to-end.
+  * ``text`` is constructed independently from the same paragraph
+    inputs as the html — the extractor must recover it byte-identically
+    (asserted corpus-wide in tests/test_extract.py).
 
-Everything is generated with ``random.Random(seed)`` + pyarrow — no
-external data, no wall-clock.
+Determinism is **per-host**: every host's content comes from its own
+``random.Random(f"{seed}:...:{host_idx}")`` stream, so hosts generate
+independently (and in parallel via multiprocessing at bench scale)
+while the byte output stays identical regardless of worker count.
 """
 
 from __future__ import annotations
@@ -33,9 +36,7 @@ from datetime import datetime, timedelta, timezone
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..functions.extract import extract_page
-
-CORPUS_VERSION = 3  # bump to invalidate cached corpora
+CORPUS_VERSION = 6  # bump to invalidate cached corpora
 
 _WORDS = (
     "the quick brown fox jumps over a lazy dog while reporters file stories "
@@ -58,25 +59,115 @@ def _paragraph(rng: random.Random) -> str:
     return " ".join(_sentence(rng, rng.randint(6, 14)) for _ in range(rng.randint(2, 4)))
 
 
-def _zipf_counts(n_pages: int, n_hosts: int, rng: random.Random) -> list[int]:
+def _zipf_counts(n_pages: int, n_hosts: int) -> list[int]:
     """Page count per host: host 0 gets ~33%, rest Zipf-ish tail."""
     weights = [1.0 / (i + 1) ** 0.8 for i in range(n_hosts)]
     weights[0] = sum(weights)  # hot host ≈ half the remaining mass → ~33%+
     total = sum(weights)
     counts = [max(1, int(n_pages * w / total)) for w in weights]
-    # fix rounding drift onto the hot host
-    counts[0] += n_pages - sum(counts)
+    counts[0] += n_pages - sum(counts)  # rounding drift onto the hot host
     return counts
 
 
-def generate_corpus(out_dir: str, n_pages: int = 2000, n_hosts: int = 20, seed: int = 42) -> dict:
+def _host_urls(seed: int, i: int, host: str, count: int) -> list[str]:
+    """URL universe of one host — derivable without generating content,
+    so cross-host links never need another worker's output."""
+    rng = random.Random(f"{seed}:urls:{i}")
+    urls = []
+    for j in range(count):
+        section = "blocked" if j % 10 == 9 else rng.choice(["world", "tech", "sport", "biz"])
+        urls.append(f"https://{host}/{section}/art-{j:06d}.html")
+    return urls
+
+
+def _gen_host(args) -> dict:
+    """Generate one host's rows (robots, homepage, articles). Pure
+    function of (seed, host index, url universe) — process-pool safe."""
+    seed, i, n_hosts, host, all_host_urls, dangling, paras_range = args
+    rng = random.Random(f"{seed}:content:{i}")
+    mine = all_host_urls[i]
+    rows = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
+
+    def add(url, html, text, j):
+        rows["url"].append(url)
+        rows["warc_ts"].append(BASE_TS + timedelta(hours=i, seconds=j))
+        rows["html"].append(html.encode("utf-8"))
+        rows["text"].append(text)
+        rows["lang"].append(rng.choice(_LANGS))
+
+    # robots.txt (1/4 of hosts carry a Crawl-delay)
+    delay = "\nCrawl-delay: 2" if i % 4 == 1 else ""
+    body = f"User-agent: *\nDisallow: /blocked/{delay}\n"
+    add(
+        f"https://{host}/robots.txt",
+        f"<html><head><title>robots</title></head><body><pre>{body}</pre></body></html>",
+        "",
+        0,
+    )
+    # homepage (seed entry point)
+    links = "".join(
+        f'<a href="{u}">{u.rsplit("/", 1)[-1]}</a>\n' for u in mine[: min(len(mine), 50)]
+    )
+    add(
+        f"https://{host}/",
+        f"<html><head><title>{host} home</title></head><body>"
+        f'<nav><a href="/about">about</a></nav>'
+        f"<p>Front page of {host}.</p>{links}"
+        f"<footer>copyright</footer></body></html>",
+        f"Front page of {host}.",
+        1,
+    )
+    # article pages with embedded link graph
+    lo, hi = paras_range
+    for j, url in enumerate(mine):
+        n_links = rng.randint(2, 6)
+        targets = []
+        for _ in range(n_links):
+            r = rng.random()
+            if r < 0.78 and len(mine) > 1:
+                targets.append(mine[rng.randrange(len(mine))])
+            elif r < 0.96:
+                other = rng.randrange(n_hosts)
+                targets.append(all_host_urls[other][rng.randrange(len(all_host_urls[other]))])
+            else:
+                targets.append(dangling[rng.randrange(len(dangling))])
+        anchors = "".join(f'<a href="{t}">link</a> ' for t in targets)
+        para_texts = [_paragraph(rng) for _ in range(rng.randint(lo, hi))]
+        paras = "".join(f"<p>{p}</p>" for p in para_texts)
+        author = rng.choice(["A. Reporter", "B. Writer", "C. Editor"])
+        pub = (BASE_TS + timedelta(hours=j % 240)).strftime("%Y-%m-%dT%H:%M:%S+00:00")
+        html = (
+            "<html><head>"
+            f"<title>Story {j} on {host}</title>"
+            f'<meta name="author" content="{author}">'
+            f'<meta property="article:published_time" content="{pub}">'
+            "<style>p{color:black}</style></head><body>"
+            '<nav><a href="/">home</a> | sections</nav>'
+            f"{paras}<div>{anchors}</div>"
+            "<script>var tracking=1;</script>"
+            "<footer>subscribe | contact</footer></body></html>"
+        )
+        add(url, html, " ".join(" ".join(para_texts).split()), j + 2)
+    return rows
+
+
+def generate_corpus(
+    out_dir: str,
+    n_pages: int = 2000,
+    n_hosts: int = 20,
+    seed: int = 42,
+    paras_range: tuple[int, int] = (2, 5),
+    workers: int | None = None,
+) -> dict:
     """Generate pages/seeds/url_index under ``out_dir``; returns paths.
 
-    Idempotent: if a corpus with the same parameters already exists
-    (marker file), it is reused — generation at bench scale (~100k
-    pages) is cached across runs.
+    Idempotent (marker file) so bench-scale corpora are generated once.
+    ``paras_range`` controls page weight — (2,5) ≈ 1.5 KB pages for unit
+    tests, (12,22) ≈ realistic article-sized pages for benchmarks.
+    ``workers`` parallelizes per-host generation; output bytes do not
+    depend on it.
     """
-    key = f"v{CORPUS_VERSION}_p{n_pages}_h{n_hosts}_s{seed}"
+    key = f"v{CORPUS_VERSION}_p{n_pages}_h{n_hosts}_s{seed}_pp{paras_range[0]}-{paras_range[1]}"
     marker = os.path.join(out_dir, f".corpus_{key}")
     paths = {
         "pages": os.path.join(out_dir, "pages.parquet"),
@@ -87,142 +178,70 @@ def generate_corpus(out_dir: str, n_pages: int = 2000, n_hosts: int = 20, seed: 
         return paths
     os.makedirs(out_dir, exist_ok=True)
 
-    rng = random.Random(seed)
-    counts = _zipf_counts(n_pages, n_hosts, rng)
+    counts = _zipf_counts(n_pages, n_hosts)
     hosts = [f"news{i}.example.com" for i in range(n_hosts)]
-
-    # --- URL universe ---------------------------------------------------
-    all_urls: list[str] = []
-    host_urls: list[list[str]] = []
-    for h, cnt in zip(hosts, counts):
-        urls = []
-        for j in range(cnt):
-            section = "blocked" if j % 10 == 9 else rng.choice(
-                ["world", "tech", "sport", "biz"]
-            )
-            urls.append(f"https://{h}/{section}/art-{j:06d}.html")
-        host_urls.append(urls)
-        all_urls.extend(urls)
-    url_set = set(all_urls)
-    hot = set()  # dangling targets (absent from pages)
-    n_dangle = max(1, n_pages // 50)
-    for i in range(n_dangle):
-        hot.add(f"https://{rng.choice(hosts)}/gone/missing-{i:05d}.html")
-    dangling = sorted(hot)
-
-    # --- per-page rows ----------------------------------------------------
-    urls_col: list[str] = []
-    ts_col: list[datetime] = []
-    html_col: list[bytes] = []
-    text_col: list[str] = []
-    lang_col: list[str] = []
-
-    def add_page(url: str, html: str) -> None:
-        blob = html.encode("utf-8")
-        urls_col.append(url)
-        ts_col.append(BASE_TS + timedelta(seconds=len(urls_col)))
-        html_col.append(blob)
-        text_col.append(extract_page(blob, url)["text"])
-        lang_col.append(rng.choice(_LANGS))
-
-    # robots.txt pages (one per host; ~1/4 of hosts have a crawl-delay)
-    for i, h in enumerate(hosts):
-        delay = "\nCrawl-delay: 2" if i % 4 == 1 else ""
-        body = f"User-agent: *\nDisallow: /blocked/{delay}\n"
-        add_page(
-            f"https://{h}/robots.txt",
-            f"<html><head><title>robots</title></head><body><pre>{body}</pre></body></html>",
-        )
-    # homepages (seed entry points)
-    for i, h in enumerate(hosts):
-        n_home_links = min(len(host_urls[i]), 25)
-        links = "".join(
-            f'<a href="{u}">{u.rsplit("/", 1)[-1]}</a>\n'
-            for u in host_urls[i][:n_home_links]
-        )
-        html = (
-            f"<html><head><title>{h} home</title></head><body>"
-            f"<nav><a href=\"/about\">about</a></nav>"
-            f"<p>Front page of {h}.</p>{links}"
-            f"<footer>copyright</footer></body></html>"
-        )
-        add_page(f"https://{h}/", html)
-
-    # article pages with embedded link graph
-    for i, h in enumerate(hosts):
-        mine = host_urls[i]
-        for j, url in enumerate(mine):
-            n_links = rng.randint(2, 6)
-            targets = []
-            for _ in range(n_links):
-                r = rng.random()
-                if r < 0.78 and len(mine) > 1:
-                    targets.append(mine[rng.randrange(len(mine))])
-                elif r < 0.96:
-                    other = rng.randrange(n_hosts)
-                    targets.append(host_urls[other][rng.randrange(len(host_urls[other]))])
-                else:
-                    targets.append(dangling[rng.randrange(len(dangling))])
-            anchors = "".join(f'<a href="{t}">link</a> ' for t in targets)
-            paras = "".join(f"<p>{_paragraph(rng)}</p>" for _ in range(rng.randint(2, 5)))
-            author = rng.choice(["A. Reporter", "B. Writer", "C. Editor"])
-            pub = (BASE_TS + timedelta(hours=j % 240)).strftime("%Y-%m-%dT%H:%M:%S+00:00")
-            html = (
-                "<html><head>"
-                f"<title>Story {j} on {h}</title>"
-                f'<meta name="author" content="{author}">'
-                f'<meta property="article:published_time" content="{pub}">'
-                "<style>p{color:black}</style></head><body>"
-                '<nav><a href="/">home</a> | sections</nav>'
-                f"{paras}<div>{anchors}</div>"
-                "<script>var tracking=1;</script>"
-                "<footer>subscribe | contact</footer></body></html>"
-            )
-            add_page(url, html)
-
-    pages = pa.table(
+    all_host_urls = [_host_urls(seed, i, h, c) for i, (h, c) in enumerate(zip(hosts, counts))]
+    drng = random.Random(f"{seed}:dangle")
+    dangling = sorted(
         {
-            "url": pa.array(urls_col, pa.string()),
-            "warc_ts": pa.array(ts_col, pa.timestamp("us", tz="UTC")),
-            "html": pa.array(html_col, pa.binary()),
-            "text": pa.array(text_col, pa.string()),
-            "lang": pa.array(lang_col, pa.string()),
+            f"https://{drng.choice(hosts)}/gone/missing-{i:05d}.html"
+            for i in range(max(1, n_pages // 50))
         }
     )
-    pq.write_table(pages, paths["pages"])
+
+    jobs = [
+        (seed, i, n_hosts, hosts[i], all_host_urls, dangling, paras_range)
+        for i in range(n_hosts)
+    ]
+    if workers is None:
+        workers = min(os.cpu_count() or 4, 16) if n_pages >= 20000 else 1
+    if workers > 1:
+        from multiprocessing import Pool
+
+        with Pool(workers) as pool:
+            host_rows = pool.map(_gen_host, jobs)
+    else:
+        host_rows = [_gen_host(j) for j in jobs]
+
+    cols = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
+    for rows in host_rows:  # host order → deterministic row order
+        for k in cols:
+            cols[k].extend(rows[k])
+    pages = pa.table(
+        {
+            "url": pa.array(cols["url"], pa.string()),
+            "warc_ts": pa.array(cols["warc_ts"], pa.timestamp("us", tz="UTC")),
+            "html": pa.array(cols["html"], pa.binary()),
+            "text": pa.array(cols["text"], pa.string()),
+            "lang": pa.array(cols["lang"], pa.string()),
+        }
+    )
+    # small row groups so engines can byte-range-split a single file —
+    # the local analog of Common Crawl's many-WARC layout
+    pq.write_table(pages, paths["pages"], row_group_size=2048)
 
     # --- seeds table (reference Source analog) ---------------------------
     seed_rows = {
-        "source_id": [],
-        "domain": [],
-        "base_url": [],
-        "scraper_type": [],
-        "active": [],
-        "crawl_frequency": [],
-        "priority": [],
-        "max_urls": [],
-        "crawl_delay": [],
+        "source_id": [hashlib.md5(h.encode()).hexdigest()[:12] for h in hosts],
+        "domain": list(hosts),
+        "base_url": [f"https://{h}/" for h in hosts],
+        "scraper_type": [["newspaper", "feed", "puppeteer"][i % 3] for i in range(n_hosts)],
+        "active": [i % 7 != 6 for i in range(n_hosts)],
+        "crawl_frequency": [[6, 12, 24][i % 3] for i in range(n_hosts)],
+        "priority": [1 + (i % 3) for i in range(n_hosts)],
+        "max_urls": [100] * n_hosts,
+        "crawl_delay": [2 if i % 4 == 1 else 1 for i in range(n_hosts)],
     }
-    for i, h in enumerate(hosts):
-        seed_rows["source_id"].append(hashlib.md5(h.encode()).hexdigest()[:12])
-        seed_rows["domain"].append(h)
-        seed_rows["base_url"].append(f"https://{h}/")
-        seed_rows["scraper_type"].append(["newspaper", "feed", "puppeteer"][i % 3])
-        seed_rows["active"].append(i % 7 != 6)  # a few inactive sources
-        seed_rows["crawl_frequency"].append([6, 12, 24][i % 3])
-        seed_rows["priority"].append(1 + (i % 3))
-        seed_rows["max_urls"].append(100)
-        seed_rows["crawl_delay"].append(2 if i % 4 == 1 else 1)
     pq.write_table(pa.table(seed_rows), paths["seeds"])
 
     # --- url_index csv (reference url.csv shape) --------------------------
+    all_urls = [u for urls in all_host_urls for u in urls]
     with open(paths["url_index"], "w", encoding="utf-8") as f:
         f.write("indexed_date,language,media_name,media_url,publish_date,title,url\n")
         for i, u in enumerate(all_urls[:: max(1, len(all_urls) // 500)]):
             h = u.split("/")[2]
             f.write(
-                f"2025-01-{(i % 28) + 1:02d},en,{h},https://{h}/,"
-                f"2025-01-01,Story {i},{u}\n"
+                f"2025-01-{(i % 28) + 1:02d},en,{h},https://{h}/,2025-01-01,Story {i},{u}\n"
             )
 
     with open(marker, "w") as f:

@@ -34,11 +34,10 @@ def spark_result(spark, corpus, tmp_path_factory):
 
 
 def test_crawl_order_exact(spark, oracle_result, spark_result):
+    from newscrawler_spark.crawler import read_crawl_order
+
     store, _ = spark_result
-    got = {
-        r["url"]: r["fetch_seq"]
-        for r in store.read_rounds(spark, "order").collect()
-    }
+    got = {r["url"]: r["fetch_seq"] for r in read_crawl_order(spark, store).collect()}
     want = dict(oracle_result["order"])
     assert len(got) == len(want)
     assert got == want
@@ -81,14 +80,10 @@ def test_politeness_budget_respected(spark, spark_result, corpus):
     """No host exceeds its per-round budget in any round."""
     from pyspark.sql import functions as F
 
+    from newscrawler_spark.crawler import read_crawl_order
+
     store, _ = spark_result
-    order = store.read_rounds(spark, "order")
-    seen = store.read_rounds(spark, "seen")
-    per_round = (
-        order.join(seen.select("url_hash", "round_id"), "url_hash")
-        .groupBy("host", "round_id")
-        .count()
-    )
+    per_round = read_crawl_order(spark, store).groupBy("host", "round_id").count()
     # budgets: delay-2 hosts (i%4==1) → 3/round; others → 6/round
     for r in per_round.collect():
         cap = 3 if r["host"].startswith("news1.") or r["host"].startswith("news5.") else 6
@@ -115,8 +110,10 @@ def test_resume_equals_uninterrupted(spark, corpus, tmp_path_factory, oracle_res
     assert store.last_committed_round() == 1
     # resume with full rounds
     FrontierCrawler(spark, corpus["pages"], corpus["seeds"], store, CFG).run(resume=True)
+    from newscrawler_spark.crawler import read_crawl_order
+
     got_order = {
-        r["url"]: r["fetch_seq"] for r in store.read_rounds(spark, "order").collect()
+        r["url"]: r["fetch_seq"] for r in read_crawl_order(spark, store).collect()
     }
     assert got_order == dict(oracle_result["order"])
     got_seen = {
