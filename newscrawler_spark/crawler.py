@@ -77,6 +77,10 @@ class CrawlConfig:
     # At 100 TB you set False and rely on the bucketed pages layout +
     # broadcast-probe join instead; in local/bench mode caching removes
     # the repeated parquet decode of the same immutable table.
+    repartition_fetched: bool = True  # re-spread fetch-join output before
+    # extraction. True when the admitted side is broadcast against few/fat
+    # scan partitions; False for bulk rounds where the scan partitioning
+    # already matches the cluster width (avoids re-shuffling the html).
 
 
 class FrontierCrawler:
@@ -180,20 +184,39 @@ class FrontierCrawler:
         return self.spark.createDataFrame(out, schema)
 
     # ------------------------------------------------------------------
-    def initialize(self) -> None:
-        """Seed the frontier from active sources (ref scheduler.py:516-524)."""
-        seeds = self.spark.read.parquet(self.seeds_path)
-        frontier0 = (
-            with_canonical(seeds.filter(F.col("active")), "base_url")
-            .select(
-                "canon_url",
-                "url_hash",
-                "host",
-                F.col("priority").cast("int").alias("priority"),
-                F.lit(0).cast("int").alias("discovered_round"),
+    def initialize(self, url_df: DataFrame | None = None, url_col: str = "url") -> None:
+        """Seed the frontier.
+
+        Default: active sources' base URLs (ref scheduler.py:516-524).
+        With ``url_df``: an arbitrary URL list — the reference's CSV
+        batch shape (S1, batch_processor.py:65-93) where the whole list
+        is enqueued at priority MEDIUM.
+        """
+        if url_df is not None:
+            frontier0 = (
+                with_canonical(url_df, url_col)
+                .select(
+                    "canon_url",
+                    "url_hash",
+                    "host",
+                    F.lit(self.config.default_priority).cast("int").alias("priority"),
+                    F.lit(0).cast("int").alias("discovered_round"),
+                )
+                .dropDuplicates(["url_hash", "canon_url"])
             )
-            .dropDuplicates(["url_hash", "canon_url"])
-        )
+        else:
+            seeds = self.spark.read.parquet(self.seeds_path)
+            frontier0 = (
+                with_canonical(seeds.filter(F.col("active")), "base_url")
+                .select(
+                    "canon_url",
+                    "url_hash",
+                    "host",
+                    F.col("priority").cast("int").alias("priority"),
+                    F.lit(0).cast("int").alias("discovered_round"),
+                )
+                .dropDuplicates(["url_hash", "canon_url"])
+            )
         self.store.write_round("frontier", -1, frontier0)
         self.store.commit_round(-1, {"initialized": True})
 
@@ -300,10 +323,11 @@ class FrontierCrawler:
         # fetched rows — the moved bytes are the fetch result itself
         # (admitted × page size), which has to move exactly once anyway —
         # so extraction parallelism tracks cores, not file layout.
-        n_extract = int(
-            self.spark.conf.get("spark.sql.shuffle.partitions", str(os.cpu_count() or 8))
-        )
-        fetched = fetched.repartition(n_extract, "url_hash")
+        if cfg.repartition_fetched:
+            n_extract = int(
+                self.spark.conf.get("spark.sql.shuffle.partitions", str(os.cpu_count() or 8))
+            )
+            fetched = fetched.repartition(n_extract, "url_hash")
 
         # 5. extraction (vectorized, byte-identical contract)
         ext_schema = T.StructType(
@@ -429,9 +453,12 @@ class FrontierCrawler:
             .withColumn("round_id", F.lit(round_id))
         )
 
-        # 10. writes, instrumented with Observations (no count-only jobs)
+        # 10. writes, instrumented with Observations (no count-only jobs).
+        # articles carry the text payload → written at natural (extract)
+        # partitioning so no text bytes shuffle; the small metadata deltas
+        # get round-robin repartitioned to keep file counts sane.
         wp = cfg.write_partitions
-        self.store.write_round("articles", round_id, article_rows, partitions=wp)
+        self.store.write_round("articles", round_id, article_rows)
 
         obs_seen = Observation(f"seen_{round_id}")
         seen_obs_df = seen_delta.observe(

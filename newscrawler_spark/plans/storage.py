@@ -43,12 +43,15 @@ class RoundStore:
     def write_round(
         self, table: str, round_id: int, df: DataFrame, partitions: int | None = None
     ) -> None:
-        """``partitions`` coalesces the write (no shuffle) — per-round
-        deltas are usually far smaller than the pipeline parallelism, and
-        a 32-file delta makes every later read pay 32 task startups."""
+        """``partitions`` REPARTITIONS (round-robin shuffle) before the
+        write.  Never coalesce here: ``coalesce`` collapses the whole
+        narrow upstream segment to the target parallelism — a
+        ``coalesce(8)`` after extraction silently runs extraction
+        8-wide on a 32-core cluster.  The repartition shuffle only moves
+        the (small) delta rows and keeps compute at full width."""
         path = self._round_path(table, round_id)
         if partitions is not None:
-            df = df.coalesce(partitions)
+            df = df.repartition(partitions)
         df.write.mode("overwrite").parquet(path)
 
     def save_blob(self, name: str, round_id: int, data: bytes) -> None:

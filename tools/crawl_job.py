@@ -1,0 +1,99 @@
+"""spark-submit entry point for the frontier crawl (north-rule shape).
+
+Usage (see tools/scaling_bench.py for the full cluster harness)::
+
+    spark-submit --master spark://127.0.0.1:7077 \
+        --py-files newscrawler_spark.zip \
+        tools/crawl_job.py --pages ... --seeds ... --store ... \
+        [--rounds 4 --budget 10000 --warmup-pages ... --warmup-seeds ...]
+
+Builds its SparkSession from the submit conf (master, executors, memory
+all come from spark-submit), runs an optional warmup crawl, then the
+measured crawl, and prints one JSON line with wall time + urls/sec.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True)
+    ap.add_argument("--seeds", required=True)
+    ap.add_argument("--store", required=True)
+    ap.add_argument("--rounds", type=int, default=4)
+    ap.add_argument("--budget", type=int, default=10000)
+    ap.add_argument("--bloom-expected", type=int, default=1_000_000)
+    ap.add_argument("--warmup-pages")
+    ap.add_argument("--warmup-seeds")
+    ap.add_argument("--warmup-store")
+    ap.add_argument(
+        "--bulk",
+        action="store_true",
+        help="seed the ENTIRE url universe as round-0 frontier (the "
+        "reference's CSV batch shape, batch_processor.py:65-93) — one "
+        "big fetch+extract round; the shape real per-round work takes "
+        "at 10^10-frontier scale",
+    )
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("frontier_crawl_job").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from newscrawler_spark.crawler import CrawlConfig, FrontierCrawler
+    from newscrawler_spark.plans.storage import RoundStore
+
+    if args.warmup_pages:
+        shutil.rmtree(args.warmup_store, ignore_errors=True)
+        FrontierCrawler(
+            spark,
+            args.warmup_pages,
+            args.warmup_seeds,
+            RoundStore(args.warmup_store),
+            CrawlConfig(max_rounds=2, round_budget=20, n_salts=4),
+        ).run(resume=False)
+
+    shutil.rmtree(args.store, ignore_errors=True)
+    store = RoundStore(args.store)
+    cfg = CrawlConfig(
+        max_rounds=1 if args.bulk else args.rounds,
+        round_budget=1_000_000_000 if args.bulk else args.budget,
+        n_salts=8,
+        bloom_expected=args.bloom_expected,
+        cache_pages=not args.bulk,          # bulk scans pages exactly once
+        repartition_fetched=not args.bulk,  # bulk keeps the scan partitioning
+    )
+    crawler = FrontierCrawler(spark, args.pages, args.seeds, store, cfg)
+    t0 = time.time()
+    if args.bulk:
+        crawler.initialize(url_df=spark.read.parquet(args.pages).select("url"))
+        totals = crawler.run(resume=True)
+    else:
+        totals = crawler.run(resume=False)
+    wall = time.time() - t0
+    per_round = [
+        store.manifest(r)["wall_secs"] for r in range(store.last_committed_round() + 1)
+    ]
+    print(
+        "CRAWL_RESULT "
+        + json.dumps(
+            {
+                "urls": totals["seq"],
+                "secs": round(wall, 2),
+                "urls_per_sec": round(totals["seq"] / wall, 1),
+                "round_secs": per_round,
+                "executors": spark.sparkContext.defaultParallelism,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
