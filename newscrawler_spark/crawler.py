@@ -81,6 +81,9 @@ class CrawlConfig:
     # extraction. True when the admitted side is broadcast against few/fat
     # scan partitions; False for bulk rounds where the scan partitioning
     # already matches the cluster width (avoids re-shuffling the html).
+    scalable_fetch_order: bool = False  # two-pass range-partitioned seq
+    # assignment instead of the single-partition window: use when the
+    # admitted set is NOT budget-bounded (bulk rounds). Identical order.
 
 
 class FrontierCrawler:
@@ -301,8 +304,19 @@ class FrontierCrawler:
                 ).cast("int"),
             ),
         )
-        admitted, deferred = admit_per_host(allowed, "host_budget", cfg.n_salts)
-        admitted = global_fetch_order(admitted, seq_offset).persist()
+        if cfg.round_budget >= 100_000_000:
+            # unbounded budget (bulk mode): every allowed row is admitted;
+            # skip the two window sorts — they would rank only to keep all
+            admitted = allowed.withColumn("host_rank", F.lit(None).cast("int"))
+            deferred = allowed.limit(0)
+        else:
+            admitted, deferred = admit_per_host(allowed, "host_budget", cfg.n_salts)
+        if cfg.scalable_fetch_order:
+            from .operators.politeness import global_fetch_order_scalable
+
+            admitted = global_fetch_order_scalable(admitted, seq_offset).persist()
+        else:
+            admitted = global_fetch_order(admitted, seq_offset).persist()
 
         # 4. the "fetch" join.  The admitted side is politeness-bounded
         # (≤ hosts × budget rows), so by default it broadcasts against

@@ -84,10 +84,66 @@ def global_fetch_order(admitted: DataFrame, seq_offset: int = 0) -> DataFrame:
 
     The admitted set is bounded by Σ_host budget(host) — politeness
     caps it at (hosts × budget) rows per round regardless of frontier
-    size — so a single-partition window here is NOT a scale hazard: the
-    input is already the throttled set, not the 10^10-row frontier.
+    size — so a single-partition window here is NOT a scale hazard for
+    budget-bounded rounds.  For bulk rounds (budget ≈ ∞, admitted in the
+    millions) use :func:`global_fetch_order_scalable` instead.
     """
     w = Window.orderBy(*order_key())
     return admitted.withColumn(
         "fetch_seq", (F.row_number().over(w) + F.lit(seq_offset)).cast("long")
     )
+
+
+def global_fetch_order_scalable(
+    admitted: DataFrame, seq_offset: int = 0, partitions: int | None = None
+) -> DataFrame:
+    """Same total order as :func:`global_fetch_order`, computed without a
+    single-partition sort: range-partition on the frozen order key, sort
+    within partitions, count per partition (one small job on the
+    persisted set), then assign ``offset[pid] + local_index`` in a
+    vectorized pass.  The classic two-pass zipWithIndex, kept in the
+    DataFrame/Arrow world.  Equality with the window version is asserted
+    in tests/test_politeness.py.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark import TaskContext
+    from pyspark.sql import types as T
+
+    spark = admitted.sparkSession
+    p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        admitted.repartitionByRange(p, *order_key())
+        .sortWithinPartitions(*order_key())
+        .persist()
+    )
+    counts = {
+        r["pid"]: r["n"]
+        for r in ranged.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    offsets = {}
+    acc = seq_offset
+    for pid in range(p):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+    bc = spark.sparkContext.broadcast(offsets)
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        local = 0
+        offs = bc.value
+        for pdf in it:
+            n = len(pdf)
+            pdf = pdf.copy()
+            pdf["fetch_seq"] = range(offs[pid] + local + 1, offs[pid] + local + n + 1)
+            local += n
+            yield pdf
+
+    schema = T.StructType(
+        list(admitted.schema.fields) + [T.StructField("fetch_seq", T.LongType())]
+    )
+    return ranged.mapInPandas(assign, schema=schema)

@@ -55,6 +55,23 @@ def test_budget_never_exceeded(spark, skewed_frontier):
         assert r["count"] <= 5
 
 
+def test_scalable_order_equals_window_order(spark, skewed_frontier):
+    """The two-pass range-partitioned sequence assignment must produce
+    EXACTLY the single-window order (the crawl-order contract)."""
+    from newscrawler_spark.operators.politeness import global_fetch_order_scalable
+
+    admitted, _ = admit_per_host(skewed_frontier, n_salts=4)
+    a = {
+        r["canon_url"]: r["fetch_seq"]
+        for r in global_fetch_order(admitted, seq_offset=5).collect()
+    }
+    b = {
+        r["canon_url"]: r["fetch_seq"]
+        for r in global_fetch_order_scalable(admitted, seq_offset=5, partitions=7).collect()
+    }
+    assert a == b
+
+
 def test_global_order_is_total_and_deterministic(spark, skewed_frontier):
     admitted, _ = admit_per_host(skewed_frontier, n_salts=8)
     out1 = global_fetch_order(admitted, seq_offset=10).orderBy("fetch_seq").collect()

@@ -68,6 +68,10 @@ def main() -> None:
         bloom_expected=args.bloom_expected,
         cache_pages=not args.bulk,          # bulk scans pages exactly once
         repartition_fetched=not args.bulk,  # bulk keeps the scan partitioning
+        # bulk admitted sets are huge: shuffle join (not a 100 MB driver
+        # broadcast) and two-pass parallel fetch-seq assignment
+        broadcast_admitted_max=0 if args.bulk else 2_000_000,
+        scalable_fetch_order=args.bulk,
     )
     crawler = FrontierCrawler(spark, args.pages, args.seeds, store, cfg)
     t0 = time.time()
