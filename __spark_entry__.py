@@ -657,6 +657,81 @@ SQL_TEXT_FP = (
 )
 
 
+def q_text_topics(spark, sf_dir):
+    """X8: keyword topic classifier (topics/classifier.py analog)."""
+    from newscrawler_spark.functions.text import topics
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", topics(F.col("text")).alias("topics")
+    )
+
+
+def _bank_sql(name, words):
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return (
+        f"CASE WHEN len(regexp_extract_all(lower(text), '{pat}')) >= 3 "
+        f"THEN ['{name}'] ELSE [] END"
+    )
+
+
+SQL_TEXT_TOPICS = f"""
+SELECT doc_id,
+  list_concat(list_concat(
+    {_bank_sql('query_engine', ('query', 'scan', 'filter', 'sort', 'agg'))},
+    {_bank_sql('storage', ('table', 'row', 'column', 'part', 'hash'))}),
+    {_bank_sql('streaming', ('stream', 'window', 'batch'))}) AS topics
+FROM documents
+"""
+
+
+def q_text_entities(spark, sf_dir):
+    """F10/X8: entities map<type, names> via deterministic heuristic
+    (spaCy NER drop-in; functions/entities.py). Rows-only."""
+    from newscrawler_spark.functions.entities import ENTITY_SCHEMA, entities_map_in_pandas
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ent = docs.mapInPandas(entities_map_in_pandas, schema=ENTITY_SCHEMA)
+    return ent.select(
+        "doc_id",
+        F.map_keys("entities").alias("entity_types"),
+        F.size(F.coalesce(F.col("entities")["PERSON"], F.array())).alias("n_person"),
+    )
+
+
+def q_text_embed(spark, sf_dir):
+    """X7: hashing-trick text embedder (predict_batch_udf plumbing;
+    functions/embed.py). Returns doc_id + embedding norm (≈1) + argmax
+    bucket for a stable scalar surface. Rows-only."""
+    from newscrawler_spark.functions.embed import EMBED_SCHEMA, embed_map_in_pandas
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = docs.mapInPandas(embed_map_in_pandas, schema=EMBED_SCHEMA)
+    dot = F.expr(
+        "aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)), "
+        "cast(0.0 as double), (a, v) -> a + v)"
+    )
+    return emb.select(
+        "doc_id",
+        F.round(dot, 4).alias("sq_norm"),
+        F.expr("array_position(embedding, array_max(embedding))").alias("argmax_bucket"),
+    )
+
+
+def q_s7_json_sink(spark, sf_dir):
+    """S7: JSON article sink (batch_processor.py:186-204) — write the
+    crawl's articles as JSON lines, read back. Rows-only."""
+    import tempfile as _tf
+
+    from newscrawler_spark.sources.sinks import write_articles_json
+
+    store, _ = _crawl_store(spark, sf_dir)
+    articles = store.read_rounds(spark, "articles")
+    out = os.path.join(_tf.gettempdir(), f"nc_json_{abs(hash(sf_dir))}")
+    write_articles_json(articles, out, partitions=4)
+    back = spark.read.json(out)
+    return back.select("url", "title", F.col("metadata.source_domain").alias("source_domain"))
+
+
 def _query_vec(spark, sf_dir) -> list[float]:
     row = (
         _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").first()
@@ -900,6 +975,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_token_stats": q_text_token_stats,
         "text_fingerprint": q_text_fingerprint,
+        "text_topics": q_text_topics,
+        "text_entities": q_text_entities,
+        "text_embed": q_text_embed,
+        "s7_json_sink": q_s7_json_sink,
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
         "sim_neardup_pairs": q_sim_neardup_pairs,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -944,6 +1023,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": SQL_TEXT_LANG,
         "text_token_stats": SQL_TEXT_TOKENS,
         "text_fingerprint": SQL_TEXT_FP,
+        "text_topics": SQL_TEXT_TOPICS,
         "sim_bruteforce_topk": SQL_SIM_TOPK,
         "sim_neardup_pairs": SQL_SIM_NEARDUP,
         "mm_frame_sample": SQL_MM_FRAMES,

@@ -1,0 +1,49 @@
+"""Text embedding UDF plumbing (reference X7: langchain ``embed_query``
+with chunking, `src/vector/processor.py:46-72`; pgvector column
+`src/database/models.py:25`).
+
+No embedding model ships in this environment, so the embedder is the
+deterministic **hashing trick**: tokens hash (md5) into ``dim`` buckets
+with a ±1 sign bit, L2-normalized — the classic feature-hashing text
+vectorizer.  It is a real vectorized pandas UDF with the exact
+signature a ``predict_batch_udf``-wrapped model would have, so swapping
+in a model later changes one function body, not the pipeline.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+DIM = 64
+
+
+def embed_text(text: str, dim: int = DIM) -> list[float]:
+    """Frozen hashing-trick embedding of whitespace tokens."""
+    vec = np.zeros(dim, dtype=np.float64)
+    for tok in text.lower().split():
+        h = hashlib.md5(tok.encode("utf-8")).digest()
+        bucket = int.from_bytes(h[:4], "big") % dim
+        sign = 1.0 if h[4] & 1 else -1.0
+        vec[bucket] += sign
+    norm = float(np.linalg.norm(vec))
+    if norm > 0:
+        vec /= norm
+    return [float(round(x, 6)) for x in vec]
+
+
+EMBED_SCHEMA = "doc_id long, embedding array<float>"
+
+
+def embed_map_in_pandas(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: (doc_id, text) → (doc_id, embedding)."""
+    for pdf in it:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "embedding": [embed_text(t) for t in pdf["text"].tolist()],
+            }
+        )

@@ -47,6 +47,10 @@ _TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title\s*>", re.IGNORECASE | re.DOTAL
 _P_RE = re.compile(r"<p\b[^>]*>(.*?)</p\s*>", re.IGNORECASE | re.DOTALL)
 _TAG_RE = re.compile(r"<[^>]+>")
 _HREF_RE = re.compile(r"""<a\b[^>]*?\bhref\s*=\s*["']([^"'>]+)["']""", re.IGNORECASE)
+# RSS/Atom-style feed entries (ref feed_scraper.py:169-188); capped at 20
+# entries per feed like the reference's max_entries_per_feed
+_FEED_ITEM_RE = re.compile(r"<link>\s*(https?://[^<\s]+)\s*</link>", re.IGNORECASE)
+MAX_FEED_ENTRIES = 20
 _META_AUTHOR_RE = re.compile(
     r"""<meta\b[^>]*?\bname\s*=\s*["']author["'][^>]*?\bcontent\s*=\s*["']([^"'>]*)["']""",
     re.IGNORECASE,
@@ -102,7 +106,9 @@ def extract_page(html_bytes: bytes, url: str) -> dict:
     text = collapse_ws(" ".join(paras))
     links: list[str] = []
     seen: set[str] = set()
-    for href in _HREF_RE.findall(body):
+    hrefs = list(_HREF_RE.findall(body))
+    hrefs += _FEED_ITEM_RE.findall(body)[:MAX_FEED_ENTRIES]
+    for href in hrefs:
         resolved = resolve_link(url, href)
         if resolved is not None and resolved not in seen:
             seen.add(resolved)

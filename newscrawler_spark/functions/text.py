@@ -72,6 +72,30 @@ def quality_score(text: Column) -> Column:
     return F.round(0.4 * len_band + 0.3 * alpha_ratio + 0.3 * stop_density, 4)
 
 
+# Topic keyword banks (reference X8: keyword classifier,
+# src/topics/classifier.py:18-216 — keyword → topic with a hit threshold)
+TOPIC_BANKS = {
+    "query_engine": ("query", "scan", "filter", "sort", "agg"),
+    "storage": ("table", "row", "column", "part", "hash"),
+    "streaming": ("stream", "window", "batch"),
+}
+TOPIC_MIN_HITS = 3
+
+
+def topics(text: Column) -> Column:
+    """Array of matched topics: banks with ≥ TOPIC_MIN_HITS keyword hits,
+    in bank-declaration order. Pure column expressions."""
+    pieces = []
+    for name, words in TOPIC_BANKS.items():
+        hits = _stopword_hits(text, words)
+        pieces.append(
+            F.when(hits >= TOPIC_MIN_HITS, F.array(F.lit(name))).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
+    return F.concat(*pieces)
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the lowercased,
     whitespace-collapsed text (the normalize-then-hash contract)."""

@@ -36,7 +36,7 @@ from datetime import datetime, timedelta, timezone
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-CORPUS_VERSION = 6  # bump to invalidate cached corpora
+CORPUS_VERSION = 7  # bump to invalidate cached corpora
 
 _WORDS = (
     "the quick brown fox jumps over a lazy dog while reporters file stories "
@@ -104,6 +104,15 @@ def _gen_host(args) -> dict:
         "",
         0,
     )
+    # RSS-ish feed page (S4): <item><link> entries, newest 25 articles —
+    # exercises the feed-entry extraction path (capped at 20 by contract)
+    items = "".join(f"<item><title>i</title><link>{u}</link></item>\n" for u in mine[-25:])
+    add(
+        f"https://{host}/feed.xml",
+        f'<rss version="2.0"><channel><title>{host} feed</title>\n{items}</channel></rss>',
+        "",
+        2,
+    )
     # homepage (seed entry point)
     links = "".join(
         f'<a href="{u}">{u.rsplit("/", 1)[-1]}</a>\n' for u in mine[: min(len(mine), 50)]
@@ -111,7 +120,7 @@ def _gen_host(args) -> dict:
     add(
         f"https://{host}/",
         f"<html><head><title>{host} home</title></head><body>"
-        f'<nav><a href="/about">about</a></nav>'
+        f'<nav><a href="/about">about</a> <a href="/feed.xml">rss</a></nav>'
         f"<p>Front page of {host}.</p>{links}"
         f"<footer>copyright</footer></body></html>",
         f"Front page of {host}.",

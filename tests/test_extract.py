@@ -49,6 +49,35 @@ def test_extract_golden():
     assert rec["published"] == "2025-01-02T03:04:05+00:00"
 
 
+def test_feed_entries_extracted_and_capped():
+    """S4: RSS-style <item><link> entries become out_links, capped at 20
+    (reference max_entries_per_feed, feed_scraper.py:333)."""
+    items = "".join(
+        f"<item><title>t</title><link>https://h.example.com/a/{i}.html</link></item>"
+        for i in range(30)
+    )
+    feed = f'<rss version="2.0"><channel><title>feed</title>{items}</channel></rss>'.encode()
+    rec = extract_page(feed, "https://h.example.com/feed.xml")
+    assert rec["text"] == ""
+    assert len(rec["out_links"]) == 20
+    assert rec["out_links"][0] == "https://h.example.com/a/0.html"
+    assert rec["out_links"][-1] == "https://h.example.com/a/19.html"
+
+
+def test_entities_and_embed_contracts():
+    from newscrawler_spark.functions.embed import embed_text
+    from newscrawler_spark.functions.entities import extract_entities
+
+    ent = extract_entities("Today Alice Smith met Bob. Acme announced earnings.")
+    assert "Alice Smith" in ent["PERSON"]
+    assert "Acme" in ent["ORG"]
+    assert "Today" not in ent["ORG"]  # sentence-initial single word dropped
+    v1 = embed_text("the quick brown fox")
+    v2 = embed_text("the quick brown fox")
+    assert v1 == v2 and len(v1) == 64
+    assert abs(sum(x * x for x in v1) - 1.0) < 1e-3
+
+
 def test_resolve_link():
     base = "https://h.example.com/a/b.html"
     assert resolve_link(base, "/x/y.html") == "https://h.example.com/x/y.html"

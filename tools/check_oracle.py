@@ -30,8 +30,12 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
                 col = col.dt.tz_convert("UTC").dt.tz_localize(None)
             df[c] = col.astype("datetime64[us]").astype(str)
         elif df[c].dtype == object:
+            import numpy as np
+
             df[c] = df[c].apply(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v
+                lambda v: tuple(v)
+                if isinstance(v, (list, tuple, np.ndarray))
+                else v
             )
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
