@@ -18,21 +18,28 @@ from typing import Iterator
 import pandas as pd
 
 _SPAN_RE = re.compile(r"(?:[A-Z][a-z]+)(?:\s+[A-Z][a-z]+)*")
-_SENT_START_RE = re.compile(r"(?:^|[.!?]\s+)([A-Z][a-z]+)")
+_SENT_START_RE = re.compile(r"(?:^|[.!?])\s*(?=[A-Z])")
 
 
 def extract_entities(text: str) -> dict[str, list[str]]:
-    """Frozen heuristic: text → {"PERSON": [...], "ORG": [...]}."""
+    """Frozen heuristic: text → {"PERSON": [...], "ORG": [...]}.
+
+    A span starting at a sentence boundary sheds its first word (the
+    capitalization there carries no signal); what survives is typed by
+    length (≥2 words → PERSON, 1 → ORG).
+    """
     if not text:
         return {"PERSON": [], "ORG": []}
-    sentence_initial = set(m.group(1) for m in _SENT_START_RE.finditer(text))
+    starts = {m.end() for m in _SENT_START_RE.finditer(text)}
     person, org = [], []
     seen = set()
     for m in _SPAN_RE.finditer(text):
-        span = m.group(0)
-        words = span.split()
-        if len(words) == 1 and words[0] in sentence_initial:
+        words = m.group(0).split()
+        if m.start() in starts:
+            words = words[1:]
+        if not words:
             continue
+        span = " ".join(words)
         if span in seen:
             continue
         seen.add(span)
