@@ -68,10 +68,11 @@ def test_entities_and_embed_contracts():
     from newscrawler_spark.functions.embed import embed_text
     from newscrawler_spark.functions.entities import extract_entities
 
-    ent = extract_entities("Today Alice Smith met Bob. Acme announced earnings.")
+    ent = extract_entities("Today Alice Smith visited Acme and spoke. Nobody else came.")
     assert "Alice Smith" in ent["PERSON"]
     assert "Acme" in ent["ORG"]
-    assert "Today" not in ent["ORG"]  # sentence-initial single word dropped
+    # sentence-initial capitalization carries no signal → shed
+    assert "Today" not in ent["ORG"] and "Nobody" not in ent["ORG"]
     v1 = embed_text("the quick brown fox")
     v2 = embed_text("the quick brown fox")
     assert v1 == v2 and len(v1) == 64
