@@ -100,12 +100,36 @@ def run_crawl_bench(spark, cpus: int) -> dict:
     per_round = [
         store.manifest(r)["wall_secs"] for r in range(store.last_committed_round() + 1)
     ]
+
+    # bulk round: the whole URL universe seeded at once (reference CSV
+    # batch shape) — the per-round work shape of a 10^10-frontier crawl
+    bstore = RoundStore(os.path.join(BENCH_CACHE, f"bulk_store_{cpus}"))
+    shutil.rmtree(bstore.root, ignore_errors=True)
+    bstore = RoundStore(os.path.join(BENCH_CACHE, f"bulk_store_{cpus}"))
+    bcfg = CrawlConfig(
+        max_rounds=1,
+        round_budget=1_000_000_000,
+        bloom_expected=max(CRAWL_PAGES * 2, 1_000_000),
+        cache_pages=False,
+        repartition_fetched=False,
+        broadcast_admitted_max=0,
+        scalable_fetch_order=True,
+    )
+    bulk = FrontierCrawler(spark, paths["pages"], paths["seeds"], bstore, bcfg)
+    t0 = time.time()
+    bulk.initialize(url_df=spark.read.parquet(paths["pages"]).select("url"))
+    btotals = bulk.run(resume=True)
+    bwall = time.time() - t0
+
     return {
         "crawl_secs": round(wall, 2),
         "crawl_urls": totals["seq"],
         "crawl_urls_per_sec": round(totals["seq"] / wall, 1),
         "crawl_rounds": totals["rounds"],
         "crawl_round_secs": per_round,
+        "bulk_secs": round(bwall, 2),
+        "bulk_urls": btotals["seq"],
+        "bulk_urls_per_sec": round(btotals["seq"] / bwall, 1),
     }
 
 
