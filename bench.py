@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "text_lang_id",
     "text_token_stats",
+    "text_topics",
+    "text_embed",
     "sim_bruteforce_topk",
     "sim_neardup_pairs",
     "sim_ann_lsh",
