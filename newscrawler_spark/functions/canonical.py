@@ -53,10 +53,17 @@ _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
 
 def canonicalize_url(url: str) -> str | None:
-    """Frozen canonicalization spec. Returns None for non-crawlable URLs."""
+    """Frozen canonicalization spec. Returns None for non-crawlable URLs.
+
+    Internal whitespace is URL-invalid; the spec truncates at the first
+    whitespace character (so the canonical form never contains any,
+    which keeps canonicalization idempotent — hypothesis-found edge).
+    """
     if url is None:
         return None
-    m = _URL_RE.match(url.strip())
+    url = url.strip()
+    url = url.split()[0] if url.split() else ""
+    m = _URL_RE.match(url)
     if not m:
         return None
     scheme = m.group("scheme").lower()
@@ -102,7 +109,7 @@ _QUERY_RE = r"^\s*[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*[^?#]*\?([^#]*).*$"
 
 def canonicalize_expr(url: Column) -> Column:
     """Canonical URL as a Spark column expression (NULL if non-crawlable)."""
-    url = F.trim(url)
+    url = F.regexp_extract(F.trim(url), r"^(\S*)", 1)  # truncate at whitespace
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
     hostport = F.lower(F.regexp_extract(url, _HOSTPORT_RE, 1))
     host = F.regexp_extract(hostport, r"^([^:]*)(:[0-9]*)?$", 1)
@@ -147,17 +154,19 @@ def with_canonical(df, url_col: str = "url"):
 
 # --- DuckDB/ANSI SQL equivalent (for the correctness oracle) ----------
 # {col} is interpolated by the caller; produces the same canonical string.
-# Matches the frozen spec for ports and query strings, not just the happy path.
-_SQL_SCHEME = "lower(regexp_extract(trim({col}), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
-_SQL_HOSTPORT = "lower(regexp_extract(trim({col}), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"
+# Matches the frozen spec for ports, query strings and the
+# truncate-at-whitespace rule, not just the happy path.
+_SQL_BASE = "regexp_extract(trim({col}), '^(\\S*)', 1)"
+_SQL_SCHEME = f"lower(regexp_extract({_SQL_BASE}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+_SQL_HOSTPORT = f"lower(regexp_extract({_SQL_BASE}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"
 _SQL_HOST = f"regexp_extract({_SQL_HOSTPORT}, '^([^:]*)', 1)"
 _SQL_PORT = f"regexp_extract({_SQL_HOSTPORT}, '^[^:]*:([0-9]*)$', 1)"
 _SQL_PATH = (
-    "coalesce(nullif(regexp_extract(trim({col}),"
+    f"coalesce(nullif(regexp_extract({_SQL_BASE},"
     " '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), ''), '/')"
 )
 _SQL_QUERY = (
-    "regexp_extract(trim({col}),"
+    f"regexp_extract({_SQL_BASE},"
     " '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*[^?#]*\\?([^#]*)', 1)"
 )
 CANON_SQL = (
