@@ -208,34 +208,38 @@ def embedding_near_dup_pairs(
     exact=True (oracle baseline): full pairwise — used by tests to bound
     the LSH path's recall, and by the DuckDB oracle at small SF.
     """
-    e = embeddings.select("vec_id", "embedding")
+    # Pre-normalize once per vector (norms are O(n), not O(n²) — computing
+    # them inside the pair join costs 2 array folds per PAIR).
+    e = embeddings.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        F.expr(_norm_expr("embedding")).alias("nrm"),
+    )
     if exact:
-        a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-        b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+        a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+        b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
         from pyspark.sql import types as T
 
-        dim = len(e.first()["embedding"])
+        emb = embeddings.select("vec_id", "embedding")
+        dim = len(emb.first()["embedding"])
         schema = T.StructType(
-            list(e.schema.fields) + [T.StructField("bucket", T.LongType())]
+            list(emb.schema.fields) + [T.StructField("bucket", T.LongType())]
         )
-        bucketed = e.mapInPandas(lsh_bucket_udf(dim, n_planes, seed), schema=schema)
+        bucketed = emb.mapInPandas(lsh_bucket_udf(dim, n_planes, seed), schema=schema).join(
+            e, "vec_id"
+        )
         a = bucketed.select(
-            F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket"
+            F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "bucket"
         )
         b = bucketed.select(
-            F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket"
+            F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "bucket"
         )
         pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    dot = F.expr(
-        "aggregate(zip_with(va, vb, (x, y) -> cast(x as double) * cast(y as double)), "
-        "cast(0.0 as double), (acc, v) -> acc + v)"
-    )
-    na = F.expr(_norm_expr("va"))
-    nb = F.expr(_norm_expr("vb"))
+    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)")
     return (
-        pairs.withColumn("cosine", F.round(dot / (na * nb), 4))
+        pairs.withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 4))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
         .distinct()
