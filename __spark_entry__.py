@@ -45,6 +45,8 @@ from newscrawler_spark.functions.text import (  # noqa: E402
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # timestamps must render identically to the DuckDB oracle (UTC-naive)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
