@@ -44,6 +44,16 @@ from newscrawler_spark.functions.text import (  # noqa: E402
 # ---------------------------------------------------------------------------
 
 
+def _stable_id(sf_dir: str) -> str:
+    """Stable cache-dir key: Python's str hash is salted per process
+    (PYTHONHASHSEED), so abs(hash(...)) would mint fresh /tmp dirs every
+    run — md5 keeps the corpus/crawl/stream caches reusable across runs
+    and lets the RoundStore resume path actually apply."""
+    import hashlib
+
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timestamps must render identically to the DuckDB oracle (UTC-naive)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -270,9 +280,11 @@ def q_j2_broadcast_dim(spark, sf_dir):
     )
 
 
+# NB: DuckDB sum(BIGINT) returns HUGEINT — cast back to BIGINT so the
+# driver's value-hasher renders it identically to Spark's long.
 SQL_J2 = """
 SELECT p_brand, count(*) AS n_items,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE p_size <= 20 GROUP BY p_brand
 """
@@ -295,7 +307,7 @@ def q_j4_reporting_join(spark, sf_dir):
 
 SQL_J4 = """
 SELECT r_name, n_name, count(*) AS n_orders,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -318,7 +330,7 @@ def q_a1_per_domain_stats(spark, sf_dir):
 
 SQL_A1 = """
 SELECT source, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
-       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
 FROM documents GROUP BY source
 """
 
@@ -660,11 +672,13 @@ SQL_TEXT_FP = (
 
 
 def q_text_topics(spark, sf_dir):
-    """X8: keyword topic classifier (topics/classifier.py analog)."""
+    """X8: keyword topic classifier (topics/classifier.py analog).
+    Topics surface as a comma-joined scalar — the driver's value hasher
+    cannot sort list-typed columns."""
     from newscrawler_spark.functions.text import topics
 
     return _t(spark, sf_dir, "documents").select(
-        "doc_id", topics(F.col("text")).alias("topics")
+        "doc_id", F.array_join(topics(F.col("text")), ",").alias("topics")
     )
 
 
@@ -678,10 +692,10 @@ def _bank_sql(name, words):
 
 SQL_TEXT_TOPICS = f"""
 SELECT doc_id,
-  list_concat(list_concat(
+  COALESCE(array_to_string(list_concat(list_concat(
     {_bank_sql('query_engine', ('query', 'scan', 'filter', 'sort', 'agg'))},
     {_bank_sql('storage', ('table', 'row', 'column', 'part', 'hash'))}),
-    {_bank_sql('streaming', ('stream', 'window', 'batch'))}) AS topics
+    {_bank_sql('streaming', ('stream', 'window', 'batch'))}), ','), '') AS topics
 FROM documents
 """
 
@@ -695,7 +709,7 @@ def q_text_entities(spark, sf_dir):
     ent = docs.mapInPandas(entities_map_in_pandas, schema=ENTITY_SCHEMA)
     return ent.select(
         "doc_id",
-        F.map_keys("entities").alias("entity_types"),
+        F.array_join(F.map_keys("entities"), ",").alias("entity_types"),
         F.size(F.coalesce(F.col("entities")["PERSON"], F.array())).alias("n_person"),
     )
 
@@ -728,7 +742,7 @@ def q_s7_json_sink(spark, sf_dir):
 
     store, _ = _crawl_store(spark, sf_dir)
     articles = store.read_rounds(spark, "articles")
-    out = os.path.join(_tf.gettempdir(), f"nc_json_{abs(hash(sf_dir))}")
+    out = os.path.join(_tf.gettempdir(), f"nc_json_{_stable_id(sf_dir)}")
     write_articles_json(articles, out, partitions=4)
     back = spark.read.json(out)
     return back.select("url", "title", F.col("metadata.source_domain").alias("source_domain"))
@@ -769,8 +783,10 @@ FROM d ORDER BY cosine DESC, vec_id LIMIT 20
 
 
 def q_sim_neardup_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (exact baseline; the LSH-blocked
-    scale path is q_sim_ann_lsh + tests/test_similarity.py)."""
+    """Embedding-cosine near-dup pairs — EXACT, via distributed blocked
+    GEMM (hash blocks → broadcast task map → one numpy matmul per
+    block-pair task; similarity.embedding_near_dup_pairs exact=True).
+    No theta-join/nested-loop anywhere in the plan."""
     from newscrawler_spark.operators.similarity import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45, exact=True)
@@ -791,6 +807,59 @@ FROM p WHERE round(dot / (sqrt(na) * sqrt(nb)), 4) >= 0.45
 """
 
 
+def q_sim_neardup_lsh(spark, sf_dir):
+    """LSH-blocked near-dup pairs, fully oracle-checked: the blocking is
+    integer Rademacher-sign LSH (md5-derived ±1 planes, quantized exact
+    integer dot products), so DuckDB reproduces the candidate set
+    bit-identically and the oracle mirrors the BLOCKED semantics —
+    recall vs the exact path is measured separately in tests."""
+    from newscrawler_spark.operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.45,
+        n_planes=6,
+        n_tables=24,
+        exact=False,
+    )
+
+
+SQL_SIM_NEARDUP_LSH = """
+WITH sv AS (
+  SELECT vec_id,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS sv,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+w AS (
+  SELECT t.range AS table_id, p.range AS p, i.range + 1 AS i,
+         CASE WHEN CAST(('0x' || substring(md5('plane:42:' || t.range || ':' || p.range || ':' || i.range), 1, 1)) AS INT) % 2 = 0
+              THEN 1 ELSE -1 END AS w
+  FROM range(24) t, range(6) p, range(64) i),
+d AS (
+  SELECT sv.vec_id, w.table_id, w.p, sum(sv.sv * w.w) AS dot
+  FROM sv JOIN w USING (i) GROUP BY 1, 2, 3),
+b AS (
+  SELECT vec_id, table_id,
+         sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS bucket
+  FROM d GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM b a JOIN b c USING (table_id, bucket) WHERE a.vec_id < c.vec_id),
+e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+p2 AS (
+  SELECT cand.id_a, cand.id_b, sum(ea.v * eb.v) AS dot,
+         sum(ea.v * ea.v) AS na, sum(eb.v * eb.v) AS nb
+  FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+            JOIN e eb ON eb.vec_id = cand.id_b AND eb.i = ea.i
+  GROUP BY 1, 2)
+SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cosine
+FROM p2 WHERE round(dot / (sqrt(na) * sqrt(nb)), 4) >= 0.45
+"""
+
+
 def q_sim_ann_lsh(spark, sf_dir):
     """ANN top-k via deterministic random-hyperplane LSH buckets (scale
     path; recall vs brute force asserted in tests). Rows-only."""
@@ -802,10 +871,19 @@ def q_sim_ann_lsh(spark, sf_dir):
 
 def q_mm_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payload → Arrow-batched feature
-    extraction (operators/multimodal). Decode is stubbed; plumbing real."""
+    extraction (operators/multimodal). Decode is stubbed; plumbing real.
+    The histogram surfaces comma-joined (driver canon cannot sort
+    list-typed columns)."""
     from newscrawler_spark.operators.multimodal import documents_as_media, media_features
 
-    return media_features(documents_as_media(_t(spark, sf_dir, "documents")))
+    feats = media_features(documents_as_media(_t(spark, sf_dir, "documents")))
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "byte_mean",
+        "byte_entropy",
+        F.concat_ws(",", F.col("histogram").cast("array<string>")).alias("histogram"),
+    )
 
 
 def q_mm_frame_sample(spark, sf_dir):
@@ -829,14 +907,14 @@ def q_streaming_windowed(spark, sf_dir):
 
     from newscrawler_spark.streaming.rounds import run_to_completion, windowed_event_counts
 
-    stage = os.path.join(tempfile.gettempdir(), f"nc_stream_{abs(hash(sf_dir))}")
+    stage = os.path.join(tempfile.gettempdir(), f"nc_stream_{_stable_id(sf_dir)}")
     os.makedirs(stage, exist_ok=True)
     dst = os.path.join(stage, "events.parquet")
     if not os.path.exists(dst):
         shutil.copy(os.path.join(sf_dir, "events.parquet"), dst)
     schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
     agg = windowed_event_counts(spark, stage, schema, window="1 hour")
-    return run_to_completion(agg, f"windowed_{abs(hash(sf_dir)) % 99999}")
+    return run_to_completion(agg, f"windowed_{_stable_id(sf_dir)}")
 
 
 SQL_STREAMING = """
@@ -861,7 +939,7 @@ def _crawl_store(spark, sf_dir):
 
     if sf_dir in _CRAWL_CACHE:
         return _CRAWL_CACHE[sf_dir]
-    base = os.path.join(tempfile.gettempdir(), f"nc_crawl_{abs(hash(sf_dir))}")
+    base = os.path.join(tempfile.gettempdir(), f"nc_crawl_{_stable_id(sf_dir)}")
     paths = generate_corpus(os.path.join(base, "corpus"), n_pages=1500, n_hosts=12, seed=42)
     store = RoundStore(os.path.join(base, "store"))
     cfg = CrawlConfig(max_rounds=3, round_budget=8, n_salts=4)
@@ -983,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_json_sink": q_s7_json_sink,
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
         "sim_neardup_pairs": q_sim_neardup_pairs,
+        "sim_neardup_lsh": q_sim_neardup_lsh,
         "sim_ann_lsh": q_sim_ann_lsh,
         "mm_media_features": q_mm_media_features,
         "mm_frame_sample": q_mm_frame_sample,
@@ -1028,6 +1107,7 @@ def oracle_sql() -> dict[str, str]:
         "text_topics": SQL_TEXT_TOPICS,
         "sim_bruteforce_topk": SQL_SIM_TOPK,
         "sim_neardup_pairs": SQL_SIM_NEARDUP,
+        "sim_neardup_lsh": SQL_SIM_NEARDUP_LSH,
         "mm_frame_sample": SQL_MM_FRAMES,
         "streaming_windowed": SQL_STREAMING,
     }

@@ -40,11 +40,14 @@ from pyspark.sql import types as T
 
 from .functions.canonical import with_canonical
 from .functions.extract import extract_batch
-from .functions.robots import parse_robots, robots_filter_map_in_pandas, rules_to_json
+from .functions.robots import (
+    ROBOTS_DIM_SCHEMA,
+    robots_dim_map_in_pandas,
+    robots_filter_map_in_pandas,
+)
 from .operators.politeness import admit_per_host, global_fetch_order
 from .operators.seen import anti_join_seen, build_bloom
 from .plans.storage import RoundStore
-from .sources.corpus import robots_body_of
 
 FRONTIER_SCHEMA = T.StructType(
     [
@@ -84,6 +87,27 @@ class CrawlConfig:
     scalable_fetch_order: bool = False  # two-pass range-partitioned seq
     # assignment instead of the single-partition window: use when the
     # admitted set is NOT budget-bounded (bulk rounds). Identical order.
+
+
+def fetch_join(pages: DataFrame, adm: DataFrame, broadcast: bool = True) -> DataFrame:
+    """The "fetch" join: stream the (100 TB) pages table, broadcast the
+    politeness-bounded admitted set as the INNER-join build side.
+
+    Spark supports build-right broadcast only for inner/left-outer
+    joins; a left-outer with the BIG side streamed (what a naive
+    ``adm.join(pages, 'left')`` + broadcast hint would need) is not a
+    buildable plan — the hint is silently dropped and the pages table
+    shuffles.  Hence inner here, with "missing" admitted URLs recovered
+    by a separate left-anti join in :meth:`FrontierCrawler.run_round`.
+    The plan shape (BroadcastHashJoin, BuildRight, pages streamed) is
+    asserted in tests/test_plans.py.
+    """
+    probe = F.broadcast(adm) if broadcast else adm
+    return pages.join(
+        probe,
+        on=[adm.url_hash == pages.page_hash, adm.canon_url == pages.page_url],
+        how="inner",
+    ).drop("page_url", "page_hash")
 
 
 class FrontierCrawler:
@@ -165,26 +189,24 @@ class FrontierCrawler:
     def _build_robots_dim(self) -> DataFrame:
         """Per-host robots rules + crawl delay, as a broadcastable dim.
 
-        Robots bodies are ordinary pages at https://{host}/robots.txt
-        (reference fetches+caches them per domain, robots_cache.py:64-91).
-        One row per host — at millions of hosts this stays a dim table;
-        past broadcast size it degrades to an ordinary shuffle join on
+        Robots bodies are ordinary pages at the HOST ROOT
+        ``{scheme}://{host}/robots.txt`` (reference fetches+caches them
+        per domain, robots_cache.py:64-91) — the filter is anchored to
+        the exact root URL so a page like ``https://h/sub/robots.txt``
+        can never add a second dim row for host ``h`` and fan out the
+        frontier join.  Parsing is distributed (mapInPandas on the
+        executors); the driver never collects html bodies.  One row per
+        host — at millions of hosts this stays a dim table; past
+        broadcast size it degrades to an ordinary shuffle join on
         ``host`` with no code change (Catalyst/AQE picks).
         """
-        robots_rows = (
-            self.pages.filter(F.col("page_url").endswith("/robots.txt"))
-            .select("page_url", "html")
-            .collect()
-        )
-        out = []
-        for row in robots_rows:
-            host = row["page_url"].split("://", 1)[1].split("/", 1)[0]
-            parsed = parse_robots(robots_body_of(bytes(row["html"])))
-            out.append((host, rules_to_json(parsed), parsed["delay"]))
-        schema = "host string, robots_rules string, robots_delay double"
-        if not out:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.createDataFrame(out, schema)
+        root = F.regexp_extract(F.col("page_url"), r"^([a-z][a-z0-9+.-]*://[^/?#]*)", 1)
+        robots_pages = self.pages.filter(
+            F.col("page_url") == F.concat(root, F.lit("/robots.txt"))
+        ).select("page_url", "html")
+        return robots_pages.mapInPandas(
+            robots_dim_map_in_pandas, schema=ROBOTS_DIM_SCHEMA
+        ).persist()
 
     # ------------------------------------------------------------------
     def initialize(self, url_df: DataFrame | None = None, url_col: str = "url") -> None:
@@ -320,20 +342,22 @@ class FrontierCrawler:
 
         # 4. the "fetch" join.  The admitted side is politeness-bounded
         # (≤ hosts × budget rows), so by default it broadcasts against
-        # the big pages table — the 100 TB side never shuffles.  Set
-        # broadcast_admitted_max=0 when host-count × budget can exceed
-        # driver memory; AQE then picks the strategy.
+        # the big pages table — the 100 TB side never shuffles.  Spark
+        # only supports build-right broadcast for INNER/LEFT-OUTER, so
+        # the fetch is split: an INNER join with pages streamed and the
+        # admitted side as the broadcast build side (BuildRight), plus a
+        # left-anti join recovering the admitted URLs with no page
+        # ("missing" status) — a hinted left-outer with the big side
+        # streamed is not a plan Spark can build (the hint is silently
+        # dropped), which at 100 TB would shuffle the pages table.
+        # Set broadcast_admitted_max=0 when host-count × budget can
+        # exceed driver memory; AQE then picks the strategy.
         adm = admitted.select(
             "canon_url", "url_hash", "host", "priority", "discovered_round", "fetch_seq"
         )
-        probe = F.broadcast(adm) if cfg.broadcast_admitted_max > 0 else adm
-        fetched = probe.join(
-            self.pages,
-            on=[adm.url_hash == self.pages.page_hash, adm.canon_url == self.pages.page_url],
-            how="left",
-        ).drop("page_url", "page_hash")
-        # A broadcast join inherits the PAGES scan partitioning, which can
-        # be one fat partition (or skewed row groups).  Re-spread the
+        fetched = fetch_join(self.pages, adm, broadcast=cfg.broadcast_admitted_max > 0)
+        # The broadcast join inherits the PAGES scan partitioning, which
+        # can be one fat partition (or skewed row groups).  Re-spread the
         # fetched rows — the moved bytes are the fetch result itself
         # (admitted × page size), which has to move exactly once anyway —
         # so extraction parallelism tracks cores, not file layout.
@@ -371,7 +395,18 @@ class FrontierCrawler:
 
         extracted = fetched.mapInPandas(extract_part, schema=ext_schema).persist()
 
-        present = extracted.filter(F.col("warc_ts").isNotNull())
+        # admitted URLs with no page in the corpus → "missing" (the batch
+        # analog of a fetch error).  The anti-join's right side is bounded
+        # by the admitted set, so it broadcasts under the same policy as
+        # the fetch join; the left side is the already-tiny admitted set.
+        ext_keys = extracted.select("url_hash", "canon_url")
+        missing = adm.join(
+            F.broadcast(ext_keys) if cfg.broadcast_admitted_max > 0 else ext_keys,
+            on=["url_hash", "canon_url"],
+            how="left_anti",
+        )
+
+        present = extracted
         articles = present.filter(F.length("text") >= cfg.min_content_len)
 
         # 6. article rows (A7 quality score as pure column arithmetic,
@@ -430,39 +465,62 @@ class FrontierCrawler:
 
         # 8. seen delta: every terminal URL this round, with its fetch
         #    position (the crawl-order record) — one table, one write.
-        status = (
-            F.when(F.col("warc_ts").isNull(), "missing")
-            .when(F.length("text") >= cfg.min_content_len, "fetched")
-            .otherwise("short")
-        )
-        seen_delta = extracted.select(
-            "url_hash",
-            "canon_url",
-            "host",
-            F.lit(round_id).alias("round_id"),
-            status.alias("status"),
-            "fetch_seq",
-            "priority",
-            "discovered_round",
-        ).unionByName(
-            denied.select(
+        status = F.when(
+            F.length("text") >= cfg.min_content_len, "fetched"
+        ).otherwise("short")
+        seen_delta = (
+            extracted.select(
                 "url_hash",
                 "canon_url",
                 "host",
                 F.lit(round_id).alias("round_id"),
-                F.lit("robots_denied").alias("status"),
-                F.lit(None).cast("long").alias("fetch_seq"),
+                status.alias("status"),
+                "fetch_seq",
                 "priority",
                 "discovered_round",
             )
+            .unionByName(
+                missing.select(
+                    "url_hash",
+                    "canon_url",
+                    "host",
+                    F.lit(round_id).alias("round_id"),
+                    F.lit("missing").alias("status"),
+                    "fetch_seq",
+                    "priority",
+                    "discovered_round",
+                )
+            )
+            .unionByName(
+                denied.select(
+                    "url_hash",
+                    "canon_url",
+                    "host",
+                    F.lit(round_id).alias("round_id"),
+                    F.lit("robots_denied").alias("status"),
+                    F.lit(None).cast("long").alias("fetch_seq"),
+                    "priority",
+                    "discovered_round",
+                )
+            )
         )
 
-        # 9. per-partition lineage + per-status metrics (CrawlLog analog)
+        # 9. per-partition lineage + per-status metrics (CrawlLog analog);
+        # missing URLs never reach an extract partition → partition_id -1.
         logs = (
             extracted.groupBy("partition_id", status.alias("status"))
             .agg(
                 F.count("*").alias("n_urls"),
                 F.sum(F.size(F.coalesce("out_links", F.array()))).alias("links_discovered"),
+            )
+            .unionByName(
+                missing.groupBy(
+                    F.lit(-1).cast("int").alias("partition_id"),
+                    F.lit("missing").alias("status"),
+                ).agg(
+                    F.count("*").alias("n_urls"),
+                    F.lit(0).cast("long").alias("links_discovered"),
+                )
             )
             .withColumn("round_id", F.lit(round_id))
         )

@@ -87,6 +87,35 @@ def rules_to_json(parsed: dict) -> str:
 
 # --- Spark vectorized implementation -----------------------------------
 
+ROBOTS_DIM_SCHEMA = "host string, robots_rules string, robots_delay double"
+
+
+def robots_dim_map_in_pandas(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """``mapInPandas`` body distilling robots.txt pages into the per-host
+    rules dimension (host, robots_rules JSON, robots_delay).
+
+    Parsing runs on the executors: at web scale there are 10^7-10^8
+    hosts, and collecting every robots body to the driver for a Python
+    loop would OOM it — only the finished (tiny) dim ever moves, via the
+    broadcast exchange of the frontier join.  Input: page_url, html.
+    """
+    from ..sources.corpus import robots_body_of
+
+    for pdf in it:
+        hosts, rules, delays = [], [], []
+        for url, blob in zip(pdf["page_url"].tolist(), pdf["html"].tolist()):
+            hosts.append(url.split("://", 1)[1].split("/", 1)[0])
+            parsed = parse_robots(robots_body_of(bytes(blob)))
+            rules.append(rules_to_json(parsed))
+            delays.append(parsed["delay"])
+        yield pd.DataFrame(
+            {
+                "host": hosts,
+                "robots_rules": rules,
+                "robots_delay": pd.Series(delays, dtype="float64"),
+            }
+        )
+
 
 def robots_filter_map_in_pandas(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """``mapInPandas`` body evaluating the allow predicate per batch.

@@ -155,12 +155,37 @@ def minhash_near_dups(
     band_size: int = 4,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """MinHash-LSH candidates verified with true Jaccard (computed only
-    on the candidate pairs via the inverted index)."""
+    """MinHash-LSH candidates verified with true Jaccard, computed ONLY
+    for the candidate pairs.
+
+    The shared-shingle count is driven off the candidate list — the
+    shingle index is joined pair-first (cands ⋈ shingles(a) ⋈
+    shingles(b)) — so the verify cost is Σ_candidates |shingles(a)|,
+    not the all-co-shingled-pairs cost of the plain inverted-index
+    self-join.  That difference is the whole point of LSH: at 100 TB
+    the candidate set is ~duplicates-sized while the co-shingled pair
+    set is corpus-quadratic in the hot shingles.
+    """
     cands = lsh_candidate_pairs(df, text_col, n, n_hashes, band_size)
-    verified = jaccard_candidates(df, text_col, n, threshold=0.0)
+    sh = with_shingles(df, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
-        cands.join(verified, ["doc_a", "doc_b"])
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -10,12 +10,13 @@ batched-round translation: each round a host may fetch at most
 URLs (the token bucket discretized to the round), and the admitted set
 is ordered by the frozen total order
 
-    (priority ASC, discovered_round ASC, url_hash ASC)
+    (priority ASC, discovered_round ASC, url_hash ASC, canon_url ASC)
 
 — ``priority``/``discovered_round`` mirror the heap key (created_at
 becomes the round a URL entered the frontier, which is the batch
-analog of enqueue time), and ``url_hash`` makes the order total so no
-nondeterminism leaks in.  Rows beyond a host's budget are *deferred*:
+analog of enqueue time), and ``url_hash`` + the URL string make the
+order total so no nondeterminism leaks in (the hash is never sole
+identity — hash collisions fall back to the lexicographic URL order).  Rows beyond a host's budget are *deferred*:
 they stay in the frontier for the next round.
 
 Skew: a hot host owning 30%+ of the frontier would serialize a naive
@@ -40,7 +41,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-ORDER_COLS = ("priority", "discovered_round", "url_hash")
+# canon_url is the FINAL tie-break so the total order never rests on the
+# 60-bit hash alone: two distinct URLs colliding at equal priority/round
+# would otherwise make row_number nondeterministic (and diverge from the
+# Python oracle, which breaks ties on the URL string).
+ORDER_COLS = ("priority", "discovered_round", "url_hash", "canon_url")
 
 
 def order_key():

@@ -35,8 +35,11 @@ def crawl_oracle(pages_path: str, seeds_path: str, config: CrawlConfig = CrawlCo
 
     robots: dict[str, dict] = {}
     for url, html in web.items():
-        if url.endswith("/robots.txt"):
-            host = host_of(url)
+        # robots lives at the HOST ROOT only (spec parity with the
+        # engine's anchored filter): /sub/robots.txt is an ordinary page.
+        scheme = url.split("://", 1)[0]
+        host = host_of(url)
+        if url == f"{scheme}://{host}/robots.txt":
             robots[host] = parse_robots(robots_body_of(html))
 
     def allowed(url: str) -> bool:

@@ -1,0 +1,76 @@
+"""Plan-shape assertions — the claims the 100 TB story rests on.
+
+The fetch join must be a BroadcastHashJoin with the ADMITTED side as
+the build side (BuildRight) and the pages table streamed, even when the
+auto-broadcast threshold is disabled: the hint, not the size estimate,
+must drive the strategy, because at 100 TB the optimizer sees two
+"large" inputs and would otherwise sort-merge-shuffle the pages table.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(qe, mode)
+
+
+def _pages_and_adm(spark):
+    pages = spark.createDataFrame(
+        [(f"https://h{i % 7}.com/p/{i}", i, "2024-01-01", bytearray(b"<p>x</p>"), "en") for i in range(200)],
+        "page_url string, page_hash long, warc_ts string, html binary, lang string",
+    )
+    adm = spark.createDataFrame(
+        [(f"https://h{i % 7}.com/p/{i}", i, f"h{i % 7}.com", 2, 0, i + 1) for i in range(0, 200, 5)],
+        "canon_url string, url_hash long, host string, priority int, discovered_round int, fetch_seq long",
+    )
+    return pages, adm
+
+
+@pytest.fixture()
+def no_auto_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_fetch_join_broadcasts_admitted_build_right(spark, no_auto_broadcast):
+    from newscrawler_spark.crawler import fetch_join
+
+    pages, adm = _pages_and_adm(spark)
+    plan = _plan(fetch_join(pages, adm, broadcast=True))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BuildRight" in plan, plan
+    # the hint must not degrade to a shuffle of the pages side
+    assert "SortMergeJoin" not in plan, plan
+    # and it must be the hint doing the work, not the size estimate:
+    unhinted = _plan(fetch_join(pages, adm, broadcast=False))
+    assert "SortMergeJoin" in unhinted or "ShuffledHashJoin" in unhinted, unhinted
+
+
+def test_fetch_join_rows_match_outer_semantics(spark):
+    """inner + anti decomposition == the old left-outer fetch: every
+    admitted URL lands in exactly one of (fetched, missing)."""
+    from newscrawler_spark.crawler import fetch_join
+
+    pages, adm = _pages_and_adm(spark)
+    # knock out some pages so 'missing' is non-trivial
+    pages = pages.filter(F.col("page_hash") % 3 != 0)
+    hits = fetch_join(pages, adm, broadcast=True)
+    missing = adm.join(
+        F.broadcast(hits.select("url_hash", "canon_url")),
+        on=["url_hash", "canon_url"],
+        how="left_anti",
+    )
+    n_adm = adm.count()
+    n_hits = hits.count()
+    n_missing = missing.count()
+    assert n_hits + n_missing == n_adm
+    assert n_missing == adm.filter(F.col("url_hash") % 3 == 0).count()
+    # no admitted row is duplicated by the join
+    assert hits.select("url_hash").distinct().count() == n_hits
