@@ -48,10 +48,13 @@ def _stable_id(sf_dir: str) -> str:
     """Stable cache-dir key: Python's str hash is salted per process
     (PYTHONHASHSEED), so abs(hash(...)) would mint fresh /tmp dirs every
     run — md5 keeps the corpus/crawl/stream caches reusable across runs
-    and lets the RoundStore resume path actually apply."""
+    and lets the RoundStore resume path actually apply.  The corpus
+    version is baked in so schema/corpus changes invalidate old dirs."""
     import hashlib
 
-    return hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    from newscrawler_spark.sources.corpus import CORPUS_VERSION
+
+    return f"c{CORPUS_VERSION}_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -690,12 +693,20 @@ def _bank_sql(name, words):
     )
 
 
+# DuckDB expression for the topics array (mirror of functions/text.topics)
+_TOPICS_LIST_SQL = (
+    "list_concat(list_concat("
+    + _bank_sql("query_engine", ("query", "scan", "filter", "sort", "agg"))
+    + ", "
+    + _bank_sql("storage", ("table", "row", "column", "part", "hash"))
+    + "), "
+    + _bank_sql("streaming", ("stream", "window", "batch"))
+    + ")"
+)
+
 SQL_TEXT_TOPICS = f"""
 SELECT doc_id,
-  COALESCE(array_to_string(list_concat(list_concat(
-    {_bank_sql('query_engine', ('query', 'scan', 'filter', 'sort', 'agg'))},
-    {_bank_sql('storage', ('table', 'row', 'column', 'part', 'hash'))}),
-    {_bank_sql('streaming', ('stream', 'window', 'batch'))}), ','), '') AS topics
+  COALESCE(array_to_string({_TOPICS_LIST_SQL}, ','), '') AS topics
 FROM documents
 """
 
@@ -731,6 +742,229 @@ def q_text_embed(spark, sf_dir):
         F.round(dot, 4).alias("sq_norm"),
         F.expr("array_position(embedding, array_max(embedding))").alias("argmax_bucket"),
     )
+
+
+def q_search_text(spark, sf_dir):
+    """Text substring search + filters + count + page (the reference's
+    /search/text, search.py:76-105; operators/search.text_search)."""
+    from newscrawler_spark.operators.search import text_search
+
+    return text_search(
+        _t(spark, sf_dir, "documents"), term="stream", lang="en", page=2, size=15
+    )
+
+
+SQL_SEARCH_TEXT = """
+WITH hit AS (
+  SELECT doc_id, substring(text, 1, 60) AS title, source, lang
+  FROM documents
+  WHERE lower(substring(text, 1, 60) || ' ' || text) LIKE '%stream%' AND lang = 'en')
+SELECT doc_id, title, source, lang,
+       (SELECT count(*) FROM hit) AS total_count
+FROM hit ORDER BY doc_id DESC LIMIT 15 OFFSET 15
+"""
+
+
+def q_search_hybrid(spark, sf_dir):
+    """Hybrid semantic+keyword search (search.py:247-296): 0.6·cosine +
+    0.4·min(kw_hits/10, 1) over docs that HAVE an embedding and match
+    the query terms; top-20 by blended score."""
+    from newscrawler_spark.operators.search import hybrid_search
+
+    return hybrid_search(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        _query_vec(spark, sf_dir),
+        terms=["stream", "query"],
+        semantic_weight=0.6,
+        k=20,
+    )
+
+
+SQL_SEARCH_HYBRID = r"""
+WITH q AS (
+  SELECT CAST(unnest(embedding) AS DOUBLE) AS qv,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id = 0),
+qn AS (SELECT sqrt(sum(qv * qv)) AS qq FROM q),
+e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+c AS (
+  SELECT vec_id, sum(ev * qv) / (sqrt(sum(ev * ev)) * (SELECT qq FROM qn)) AS cos
+  FROM e JOIN q USING (i) GROUP BY vec_id),
+d AS (
+  SELECT doc_id, substring(text, 1, 60) AS title,
+         len(regexp_extract_all(lower(text), '\bstream\b'))
+       + len(regexp_extract_all(lower(text), '\bquery\b')) AS kw_hits
+  FROM documents)
+SELECT d.doc_id, d.title, d.kw_hits,
+       round(0.6 * c.cos + 0.4 * least(d.kw_hits / 10.0, 1.0), 4) AS score
+FROM d JOIN c ON c.vec_id = d.doc_id
+WHERE d.kw_hits > 0
+ORDER BY score DESC, d.doc_id LIMIT 20
+"""
+
+
+def q_relevance(spark, sf_dir):
+    """Relevance scorer (topics/relevance.py:40-56 weights verbatim):
+    base + topic + entity + content-quality terms, is_relevant at the
+    0.3 threshold (functions/relevance.py)."""
+    from newscrawler_spark.functions.relevance import is_relevant, relevance_score
+    from newscrawler_spark.functions.text import topics
+
+    docs = _t(spark, sf_dir, "documents")
+    n_topics = F.size(topics(F.col("text")))
+    return docs.select(
+        "doc_id",
+        relevance_score(F.col("text"), n_topics).alias("relevance_score"),
+        is_relevant(F.col("text"), n_topics).cast("int").alias("is_relevant"),
+    )
+
+
+def _relevance_sql_expr():
+    from newscrawler_spark.functions.relevance import RELEVANCE_SQL
+
+    return RELEVANCE_SQL.format(col="text", topics=f"len({_TOPICS_LIST_SQL})")
+
+
+SQL_RELEVANCE = f"""
+SELECT doc_id, {_relevance_sql_expr()} AS relevance_score,
+       CASE WHEN {_relevance_sql_expr()} >= 0.3 THEN 1 ELSE 0 END AS is_relevant
+FROM documents
+"""
+
+
+def q_topic_contains(spark, sf_dir):
+    """P6 array-contains variant: the reference's ``topics @>
+    ARRAY[:topic]`` filter (search.py:92-93) as array_contains."""
+    from newscrawler_spark.functions.text import topics
+
+    docs = _t(spark, sf_dir, "documents")
+    t = topics(F.col("text"))
+    return (
+        docs.filter(F.array_contains(t, "storage"))
+        .select("doc_id", F.array_join(t, ",").alias("topics"), "n_chars")
+    )
+
+
+SQL_TOPIC_CONTAINS = f"""
+SELECT doc_id, COALESCE(array_to_string({_TOPICS_LIST_SQL}, ','), '') AS topics, n_chars
+FROM documents WHERE list_contains({_TOPICS_LIST_SQL}, 'storage')
+"""
+
+
+def q_embed_chunks(spark, sf_dir):
+    """Embedding chunking (vector/processor.py:46-55): 1000-char chunks,
+    200 overlap, as a pure posexplode — per-chunk length + hash."""
+    from newscrawler_spark.operators.chunks import chunk_stats
+
+    return chunk_stats(_t(spark, sf_dir, "documents"))
+
+
+SQL_CHUNKS = """
+WITH s AS (
+  SELECT doc_id, text,
+         CAST(unnest(generate_series(0, greatest(length(text) - 201, 0), 800)) AS INT) AS chunk_start,
+         CAST(generate_subscripts(generate_series(0, greatest(length(text) - 201, 0), 800), 1) - 1 AS INT) AS chunk_id
+  FROM documents)
+SELECT doc_id, chunk_id, chunk_start,
+       length(substring(text, chunk_start + 1, 1000)) AS chunk_len,
+       md5(substring(text, chunk_start + 1, 1000)) AS chunk_hash
+FROM s
+"""
+
+
+def q_chunk_ann(spark, sf_dir):
+    """Chunk-level embeddings max-pooled to doc-level top-k (the chunk →
+    document aggregation of the reference's vector search). Rows-only —
+    the hashing-trick embedder has no SQL oracle."""
+    from newscrawler_spark.operators.chunks import chunked_embeddings, doc_topk_from_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    ce = chunked_embeddings(docs)
+    return doc_topk_from_chunks(ce, _query_vec(spark, sf_dir), k=10)
+
+
+def q_j3_strategy_join(spark, sf_dir):
+    """J3/S12: frontier ⋈ domain-strategy dim — broadcast dim join +
+    per-strategy rollup (Source.scraper_type, models.py:38-58)."""
+    docs = _t(spark, sf_dir, "documents")
+    dim = (
+        docs.select("source")
+        .distinct()
+        .withColumn(
+            "strategy",
+            F.when(F.pmod(F.expr("CAST(substring(source, 4, 10) AS INT)"), F.lit(3)) == 0, "newspaper")
+            .when(F.pmod(F.expr("CAST(substring(source, 4, 10) AS INT)"), F.lit(3)) == 1, "feed")
+            .otherwise("puppeteer"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(dim), "source")
+        .groupBy("strategy")
+        .agg(F.count("*").alias("n_docs"), F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+    )
+
+
+SQL_J3 = """
+WITH dim AS (
+  SELECT source,
+         CASE CAST(substring(source, 4) AS INT) % 3
+           WHEN 0 THEN 'newspaper' WHEN 1 THEN 'feed' ELSE 'puppeteer' END AS strategy
+  FROM (SELECT DISTINCT source FROM documents))
+SELECT strategy, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+FROM documents JOIN dim USING (source) GROUP BY strategy
+"""
+
+
+_IMG_HTML_SPARK = None  # built inline in q_x_image_extract
+
+
+def q_x_image_extract(spark, sf_dir):
+    """Image extraction (ArticleImage, models/article.py:10-17; de-dup
+    newspaper_scraper/scraper.py:214-226): shared frozen <img src>
+    regex over synthesized html, distinct-image count + top image."""
+    from newscrawler_spark.functions.extract import IMG_SRC_PATTERN
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.lit('<img src="https://img.example.com/a-'), F.pmod("doc_id", F.lit(5)), F.lit('.jpg">'),
+        F.lit('<img src="https://img.example.com/a-'), F.pmod("doc_id", F.lit(5)), F.lit('.jpg">'),
+        F.when(
+            F.pmod("doc_id", F.lit(3)) == 0, F.lit("")
+        ).otherwise(
+            F.concat(F.lit('<img src="https://cdn.example.com/b-'), F.col("doc_id"), F.lit('.png">'))
+        ),
+    )
+    imgs = F.regexp_extract_all(html, F.lit(IMG_SRC_PATTERN), F.lit(1))
+    return docs.select(
+        "doc_id",
+        F.size(imgs).alias("n_images_raw"),
+        F.size(F.array_distinct(imgs)).alias("n_images"),
+        F.regexp_extract(html, IMG_SRC_PATTERN, 1).alias("top_image"),
+    )
+
+
+_IMG_PAT_SQL = "<img\\b[^>]*?\\bsrc\\s*=\\s*[\"'']([^\"''>]+)[\"'']"
+
+SQL_IMAGES = f"""
+WITH h AS (
+  SELECT doc_id,
+    '<p>' || text || '</p>'
+    || '<img src="https://img.example.com/a-' || (doc_id % 5) || '.jpg">'
+    || '<img src="https://img.example.com/a-' || (doc_id % 5) || '.jpg">'
+    || CASE WHEN doc_id % 3 = 0 THEN ''
+            ELSE '<img src="https://cdn.example.com/b-' || doc_id || '.png">' END AS html
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(html, '{_IMG_PAT_SQL}', 1)) AS n_images_raw,
+       len(list_distinct(regexp_extract_all(html, '{_IMG_PAT_SQL}', 1))) AS n_images,
+       regexp_extract(html, '{_IMG_PAT_SQL}', 1) AS top_image
+FROM h
+"""
 
 
 def q_s7_json_sink(spark, sf_dir):
@@ -1058,6 +1292,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_topics": q_text_topics,
         "text_entities": q_text_entities,
         "text_embed": q_text_embed,
+        "search_text": q_search_text,
+        "search_hybrid": q_search_hybrid,
+        "relevance": q_relevance,
+        "topic_contains": q_topic_contains,
+        "embed_chunks": q_embed_chunks,
+        "chunk_ann": q_chunk_ann,
+        "j3_strategy_join": q_j3_strategy_join,
+        "x_image_extract": q_x_image_extract,
         "s7_json_sink": q_s7_json_sink,
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
         "sim_neardup_pairs": q_sim_neardup_pairs,
@@ -1105,6 +1347,13 @@ def oracle_sql() -> dict[str, str]:
         "text_token_stats": SQL_TEXT_TOKENS,
         "text_fingerprint": SQL_TEXT_FP,
         "text_topics": SQL_TEXT_TOPICS,
+        "search_text": SQL_SEARCH_TEXT,
+        "search_hybrid": SQL_SEARCH_HYBRID,
+        "relevance": SQL_RELEVANCE,
+        "topic_contains": SQL_TOPIC_CONTAINS,
+        "embed_chunks": SQL_CHUNKS,
+        "j3_strategy_join": SQL_J3,
+        "x_image_extract": SQL_IMAGES,
         "sim_bruteforce_topk": SQL_SIM_TOPK,
         "sim_neardup_pairs": SQL_SIM_NEARDUP,
         "sim_neardup_lsh": SQL_SIM_NEARDUP_LSH,

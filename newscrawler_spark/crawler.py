@@ -140,6 +140,17 @@ class FrontierCrawler:
             self.pages = self.pages.persist(StorageLevel.MEMORY_AND_DISK)
         self.seeds_path = seeds_path
         self.robots_dim = self._build_robots_dim()
+        # S12/J3: per-domain scraper-strategy dimension (reference Source.
+        # scraper_type, src/database/models.py:38-58) — broadcast-joined
+        # onto article rows so every article records how it was scraped.
+        self.strategy_dim = (
+            spark.read.parquet(seeds_path)
+            .select(
+                F.col("domain").alias("host"),
+                F.col("scraper_type").alias("scrape_strategy"),
+            )
+            .dropDuplicates(["host"])
+        )
         self._bloom = None  # cumulative seen bloom, maintained incrementally
 
     # ------------------------------------------------------------------
@@ -376,6 +387,7 @@ class FrontierCrawler:
                 T.StructField("out_links", T.ArrayType(T.StringType())),
                 T.StructField("authors", T.ArrayType(T.StringType())),
                 T.StructField("published", T.StringType()),
+                T.StructField("images", T.ArrayType(T.StringType())),
                 T.StructField("partition_id", T.IntegerType()),
             ]
         )
@@ -409,19 +421,34 @@ class FrontierCrawler:
         present = extracted
         articles = present.filter(F.length("text") >= cfg.min_content_len)
 
-        # 6. article rows (A7 quality score as pure column arithmetic,
-        #    ref base_scraper.py:69-117 weights 30/30/20/20)
+        # 6. article rows — A7 quality score as pure column arithmetic,
+        #    mirroring base_scraper.py:69-117 exactly: weighted components
+        #    (content 30% min(len/2000,1), metadata 30% with 25% per
+        #    present field — authors/published here, tags/summary are not
+        #    extracted —, title 20% min(len/50,1) if len>10, images 20%
+        #    min(n/3,1)), normalized by the total weight of the components
+        #    that are present.
+        content_w = F.when(F.length("text") > 0, F.lit(0.3)).otherwise(F.lit(0.0))
+        content_s = F.least(F.length("text") / 2000.0, F.lit(1.0)) * content_w
+        meta_w = F.lit(0.3)  # the metadata object always exists
+        meta_s = meta_w * (
+            0.25 * F.when(F.size("authors") > 0, 1.0).otherwise(0.0)
+            + 0.25 * F.when(F.col("published").isNotNull(), 1.0).otherwise(0.0)
+        )
+        title_w = F.when(
+            F.col("title").isNotNull() & (F.length("title") > 10), F.lit(0.2)
+        ).otherwise(F.lit(0.0))
+        title_s = F.least(F.length("title") / 50.0, F.lit(1.0)) * title_w
+        img_w = F.when(F.size("images") > 0, F.lit(0.2)).otherwise(F.lit(0.0))
+        img_s = F.least(F.size("images") / 3.0, F.lit(1.0)) * img_w
         quality = F.round(
-            0.3 * F.least(F.length("text") / 1000.0, F.lit(1.0))
-            + 0.3
-            * (
-                0.5 * F.when(F.size("authors") > 0, 1.0).otherwise(0.0)
-                + 0.5 * F.when(F.col("published").isNotNull(), 1.0).otherwise(0.0)
-            )
-            + 0.2 * F.least(F.length("title") / 50.0, F.lit(1.0)),
+            (content_s + meta_s + title_s + img_s)
+            / (content_w + meta_w + title_w + img_w),
             6,
         )
-        article_rows = articles.select(
+        article_rows = articles.join(
+            F.broadcast(self.strategy_dim), on="host", how="left"
+        ).select(
             F.col("canon_url").alias("url"),
             "url_hash",
             F.col("host").alias("source_domain"),
@@ -430,6 +457,9 @@ class FrontierCrawler:
             F.col("authors"),
             F.to_timestamp("published").alias("published_date"),
             quality.alias("quality_score"),
+            "images",
+            F.size("images").alias("n_images"),
+            "scrape_strategy",
             "lang",
             F.lit(round_id).alias("round_id"),
             "fetch_seq",

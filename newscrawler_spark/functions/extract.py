@@ -25,6 +25,10 @@ Extraction spec (frozen):
                page URL, in document order (deduped, order-preserving)
   6. authors = content of <meta name="author"> tags (document order)
   7. published = content of <meta property="article:published_time">
+  8. images  = every src attribute of <img> tags, resolved like links,
+               deduped order-preserving (the reference's ArticleImage
+               list: newspaper_scraper/scraper.py:190-226 keeps
+               top_image first and drops duplicates of it)
 """
 
 from __future__ import annotations
@@ -47,6 +51,9 @@ _TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title\s*>", re.IGNORECASE | re.DOTAL
 _P_RE = re.compile(r"<p\b[^>]*>(.*?)</p\s*>", re.IGNORECASE | re.DOTALL)
 _TAG_RE = re.compile(r"<[^>]+>")
 _HREF_RE = re.compile(r"""<a\b[^>]*?\bhref\s*=\s*["']([^"'>]+)["']""", re.IGNORECASE)
+# frozen <img src> pattern — exported so SQL-side queries share it
+IMG_SRC_PATTERN = r"""<img\b[^>]*?\bsrc\s*=\s*["']([^"'>]+)["']"""
+_IMG_RE = re.compile(IMG_SRC_PATTERN, re.IGNORECASE)
 # RSS/Atom-style feed entries (ref feed_scraper.py:169-188); capped at 20
 # entries per feed like the reference's max_entries_per_feed
 _FEED_ITEM_RE = re.compile(r"<link>\s*(https?://[^<\s]+)\s*</link>", re.IGNORECASE)
@@ -116,12 +123,20 @@ def extract_page(html_bytes: bytes, url: str) -> dict:
     authors = [collapse_ws(a) for a in _META_AUTHOR_RE.findall(raw)]
     m = _META_PUBLISHED_RE.search(raw)
     published = m.group(1) if m else None
+    images: list[str] = []
+    img_seen: set[str] = set()
+    for src in _IMG_RE.findall(body):
+        resolved = resolve_link(url, src)
+        if resolved is not None and resolved not in img_seen:
+            img_seen.add(resolved)
+            images.append(resolved)
     return {
         "title": title,
         "text": text,
         "out_links": links,
         "authors": authors,
         "published": published,
+        "images": images,
     }
 
 
@@ -130,7 +145,7 @@ def extract_page(html_bytes: bytes, url: str) -> dict:
 # Output schema fragment appended by the extraction stage.
 EXTRACT_FIELDS = (
     "title string, text string, out_links array<string>, "
-    "authors array<string>, published string"
+    "authors array<string>, published string, images array<string>"
 )
 
 
@@ -138,10 +153,24 @@ def extract_batch(urls: pd.Series, htmls: pd.Series) -> pd.DataFrame:
     """Arrow-batched extraction: one pandas call per batch, zero
     per-row Python at the Spark boundary (the row loop lives inside
     the batch, as in any pandas str accessor)."""
-    out = {"title": [], "text": [], "out_links": [], "authors": [], "published": []}
+    out = {
+        "title": [],
+        "text": [],
+        "out_links": [],
+        "authors": [],
+        "published": [],
+        "images": [],
+    }
     for url, blob in zip(urls.tolist(), htmls.tolist()):
         if blob is None:
-            rec = {"title": "", "text": "", "out_links": [], "authors": [], "published": None}
+            rec = {
+                "title": "",
+                "text": "",
+                "out_links": [],
+                "authors": [],
+                "published": None,
+                "images": [],
+            }
         else:
             rec = extract_page(bytes(blob), url)
         for k in out:

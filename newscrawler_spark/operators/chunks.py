@@ -1,0 +1,108 @@
+"""Embedding chunking — the reference splits article text into
+1000-char chunks with 200-char overlap before embedding
+(``src/vector/processor.py:46-55``, RecursiveCharacterTextSplitter).
+
+Frozen batch analog (SQL-mirrorable, no library dependence): chunk i
+starts at ``i · (size - overlap)`` and spans ``size`` chars; starts run
+while ``start <= len - overlap - 1`` (plus chunk 0 always), i.e.
+
+    starts = sequence(0, greatest(len - overlap - 1, 0), size - overlap)
+
+so consecutive chunks share exactly ``overlap`` chars and no chunk is
+wholly contained in its predecessor.  The explode is Spark's
+``posexplode`` over a ``sequence`` column — pure codegen, the chunk
+table shuffles nothing (narrow op), and at 100 TB the chunk rows land
+in the same partitions as their documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CHUNK_SIZE = 1000
+CHUNK_OVERLAP = 200
+
+
+def chunk_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = CHUNK_SIZE,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """(doc_id, chunk_id, chunk_start, chunk) — one row per chunk."""
+    stride = size - overlap
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.length(text_col) - overlap - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("chunk_id", "chunk_start"),
+        F.col(text_col),
+    ).select(
+        id_col,
+        "chunk_id",
+        "chunk_start",
+        F.expr(f"substring({text_col}, chunk_start + 1, {size})").alias("chunk"),
+    )
+
+
+def chunk_stats(df: DataFrame, **kw) -> DataFrame:
+    """Oracle-checkable chunk surface: per-chunk length + content hash."""
+    ch = chunk_text(df, **kw)
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_start",
+        F.length("chunk").alias("chunk_len"),
+        F.md5("chunk").alias("chunk_hash"),
+    )
+
+
+def chunked_embeddings(df: DataFrame, **kw) -> DataFrame:
+    """(doc_id, chunk_id, embedding) — the chunk table pushed through
+    the hashing-trick embedder (functions/embed.py), Arrow-batched."""
+    from ..functions.embed import embed_map_in_pandas
+
+    ch = chunk_text(df, **kw).select(
+        "doc_id", "chunk_id", F.col("chunk").alias("text")
+    )
+    # embed_map_in_pandas contract: (doc_id, text) → (doc_id, embedding);
+    # ride chunk_id through a composite id and split it back out.
+    composite = ch.select(
+        (F.col("doc_id") * 10000 + F.col("chunk_id")).alias("doc_id"), "text"
+    )
+    from ..functions.embed import EMBED_SCHEMA
+
+    emb = composite.mapInPandas(embed_map_in_pandas, schema=EMBED_SCHEMA)
+    return emb.select(
+        (F.col("doc_id") / 10000).cast("long").alias("doc_id"),
+        F.pmod("doc_id", F.lit(10000)).cast("int").alias("chunk_id"),
+        "embedding",
+    )
+
+
+def doc_topk_from_chunks(
+    chunk_emb: DataFrame, query: list[float], k: int = 10
+) -> DataFrame:
+    """Doc-level ANN over chunked embeddings: score each chunk, max-pool
+    per document (the standard chunk→doc aggregation), top-k docs."""
+    from .similarity import _array_lit, _dot_expr, _norm_expr
+
+    import math
+
+    qlit = _array_lit(query)
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query))
+    cos = F.expr(_dot_expr("embedding", qlit)) / (
+        F.expr(_norm_expr("embedding")) * F.lit(qnorm)
+    )
+    return (
+        chunk_emb.select("doc_id", cos.alias("chunk_cos"))
+        .groupBy("doc_id")
+        .agg(F.round(F.max("chunk_cos"), 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), "doc_id")
+        .limit(k)
+    )

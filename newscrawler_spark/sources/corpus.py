@@ -36,7 +36,7 @@ from datetime import datetime, timedelta, timezone
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-CORPUS_VERSION = 7  # bump to invalidate cached corpora
+CORPUS_VERSION = 8  # bump to invalidate cached corpora (v8: <img> tags)
 
 _WORDS = (
     "the quick brown fox jumps over a lazy dog while reporters file stories "
@@ -141,6 +141,13 @@ def _gen_host(args) -> dict:
             else:
                 targets.append(dangling[rng.randrange(len(dangling))])
         anchors = "".join(f'<a href="{t}">link</a> ' for t in targets)
+        # 0-3 images per article, occasionally duplicated (exercises the
+        # extractor's order-preserving image de-dup, ref scraper.py:214-226)
+        n_imgs = rng.randint(0, 3)
+        img_urls = [f"https://{host}/img/{j % 50}-{k}.jpg" for k in range(n_imgs)]
+        if n_imgs >= 2 and rng.random() < 0.3:
+            img_urls.append(img_urls[0])
+        imgs = "".join(f'<img src="{u}" alt="im">' for u in img_urls)
         para_texts = [_paragraph(rng) for _ in range(rng.randint(lo, hi))]
         paras = "".join(f"<p>{p}</p>" for p in para_texts)
         author = rng.choice(["A. Reporter", "B. Writer", "C. Editor"])
@@ -152,7 +159,7 @@ def _gen_host(args) -> dict:
             f'<meta property="article:published_time" content="{pub}">'
             "<style>p{color:black}</style></head><body>"
             '<nav><a href="/">home</a> | sections</nav>'
-            f"{paras}<div>{anchors}</div>"
+            f"{paras}{imgs}<div>{anchors}</div>"
             "<script>var tracking=1;</script>"
             "<footer>subscribe | contact</footer></body></html>"
         )

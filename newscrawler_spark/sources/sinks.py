@@ -28,6 +28,7 @@ def write_articles_json(articles: DataFrame, path: str, partitions: int | None =
                     F.col("authors"),
                     F.col("published_date"),
                     F.col("lang").alias("language"),
+                    F.col("images"),
                 ).alias("metadata"),
                 F.col("quality_score"),
             )

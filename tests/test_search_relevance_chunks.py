@@ -1,0 +1,137 @@
+"""Round-2 operators: text/hybrid search, relevance scorer, chunking,
+image extraction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_text_search_pagination_and_count(spark, docs):
+    from newscrawler_spark.operators.search import text_search
+
+    p1 = text_search(docs, "stream", lang="en", page=1, size=10).collect()
+    p2 = text_search(docs, "stream", lang="en", page=2, size=10).collect()
+    assert len(p1) == 10 and len(p2) == 10
+    total = p1[0]["total_count"]
+    assert all(r["total_count"] == total for r in p1 + p2)
+    # recency order (doc_id DESC surrogate), pages do not overlap
+    ids1 = [r["doc_id"] for r in p1]
+    ids2 = [r["doc_id"] for r in p2]
+    assert ids1 == sorted(ids1, reverse=True)
+    assert max(ids2) < min(ids1)
+    # every hit actually contains the term
+    for r in p1:
+        assert "stream" in docs.filter(F.col("doc_id") == r["doc_id"]).first()["text"]
+
+
+def test_hybrid_search_score_blend(spark, docs, emb):
+    from newscrawler_spark.operators.search import hybrid_search
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = hybrid_search(docs, emb, q, terms=["stream", "query"], semantic_weight=0.6, k=15).collect()
+    assert 0 < len(out) <= 15
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["kw_hits"] > 0 for r in out)  # the tsquery gate
+    # w=1.0 degenerates to pure cosine ranking of keyword-matching rows
+    pure = hybrid_search(docs, emb, q, terms=["stream"], semantic_weight=1.0, k=5).collect()
+    cosines = [r["score"] for r in pure]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_relevance_formula_terms(spark):
+    from newscrawler_spark.functions.relevance import is_relevant, relevance_score
+
+    rows = [
+        # empty: base 0.1 + content paras-term only (1 para of 3 → 0.2*0.3*1/3)
+        (0, ""),
+        # entities + country + sentences + paragraphs
+        (1, "Alice Johnson met Bob Smith in Germany. They signed. Deal done.\n\nSecond para.\n\nThird para here."),
+        # topic-heavy (query_engine bank: query scan filter sort agg)
+        (2, "query scan filter sort agg query scan filter"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["rel"], r["ok"])
+        for r in df.select(
+            "doc_id",
+            relevance_score(F.col("text")).alias("rel"),
+            is_relevant(F.col("text")).alias("ok"),
+        ).collect()
+    }
+    # empty text: 0.1 base + 0.2*(0.3*min(1/3,1)) = 0.12
+    assert got[0] == (pytest.approx(0.12), False)
+    # doc 1: people=2 distinct 2-word spans → hmm: 'Alice Johnson','Bob Smith' (+0.01*2)
+    #   countries: Germany (+0.05); orgs: distinct single caps words ≥ ... capped 0.10
+    #   no topics. Entity term present → score > base+content
+    assert got[1][0] > 0.15
+    # doc 2: one topic bank fires → +0.1; no caps
+    assert got[2][0] > 0.2
+    # entity caps: flooding with names cannot exceed the 0.3 entity cap
+    flood = " ".join(f"Name{i} Person{i}." for i in range(100))
+    one = spark.createDataFrame([(9, flood)], "doc_id int, text string").select(
+        relevance_score(F.col("text")).alias("rel")
+    ).first()["rel"]
+    base_content = 0.1 + 0.2 * (0.4 * min(len(flood) / 1000, 1.0) + 0.3 * (1 / 3) + 0.3 * min(100 / 10, 1.0))
+    assert one <= round(base_content + 0.3, 4) + 1e-9
+
+
+def test_chunking_overlap_contract(spark):
+    from newscrawler_spark.operators.chunks import chunk_text
+
+    text = "".join(chr(ord("a") + (i % 26)) for i in range(2500))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = {r["chunk_id"]: r for r in chunk_text(df).collect()}
+    assert sorted(chunks) == [0, 1, 2]
+    assert [chunks[i]["chunk_start"] for i in range(3)] == [0, 800, 1600]
+    assert [len(chunks[i]["chunk"]) for i in range(3)] == [1000, 1000, 900]
+    # consecutive chunks share exactly the 200-char overlap
+    for i in range(2):
+        assert chunks[i]["chunk"][800:] == chunks[i + 1]["chunk"][:200]
+    # reassembly covers the document exactly
+    rebuilt = chunks[0]["chunk"] + chunks[1]["chunk"][200:] + chunks[2]["chunk"][200:]
+    assert rebuilt == text
+    # short doc → single chunk
+    short = spark.createDataFrame([(2, "tiny")], "doc_id long, text string")
+    assert chunk_text(short).count() == 1
+
+
+def test_chunk_ann_finds_own_doc(spark, docs):
+    from newscrawler_spark.functions.embed import embed_text
+    from newscrawler_spark.operators.chunks import chunked_embeddings, doc_topk_from_chunks
+
+    sub = docs.limit(50)
+    target = sub.filter(F.col("doc_id") == 7).first()
+    q = embed_text(target["text"][:1000])  # the doc's own first chunk
+    top = doc_topk_from_chunks(chunked_embeddings(sub), q, k=3).collect()
+    assert top[0]["doc_id"] == 7
+    assert top[0]["cosine"] == pytest.approx(1.0, abs=1e-3)
+
+
+def test_image_extraction_dedup_order():
+    from newscrawler_spark.functions.extract import extract_page
+
+    html = (
+        b'<html><head><title>t</title></head><body>'
+        b'<p>story body text here</p>'
+        b'<img src="https://h.com/top.jpg">'
+        b'<img src="/local/b.png" alt="x">'
+        b'<img src="https://h.com/top.jpg">'  # duplicate of top image
+        b"</body></html>"
+    )
+    rec = extract_page(html, "https://h.com/art/1.html")
+    assert rec["images"] == ["https://h.com/top.jpg", "https://h.com/local/b.png"]
+    # boilerplate-stripped subtrees contribute no images
+    nav = b"<nav><img src='https://h.com/navlogo.png'></nav><p>x</p>"
+    assert extract_page(nav, "https://h.com/a.html")["images"] == []
