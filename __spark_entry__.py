@@ -509,6 +509,42 @@ FROM events WHERE ts < TIMESTAMP '2024-01-15' GROUP BY 1, 2
 """
 
 
+def q_t4_straggler_rollover(spark, sf_dir):
+    """T4: round-deadline straggler semantics (reference scheduler job
+    timeout, `scheduler.py:102,489-511`): a job scheduled at ``ts``
+    running ``value`` seconds completes at ``ts+value``; if that crosses
+    its hour-round's deadline the row is a straggler and ROLLS into the
+    completion round — the batch analog of the streaming watermark
+    (T1/T4).  Window arithmetic is done on epoch doubles so both
+    engines floor identically."""
+    ev = _t(spark, sf_dir, "events")
+    comp_epoch = F.unix_timestamp("ts").cast("double") + F.col("value")
+    comp_win = (F.floor(comp_epoch / 3600) * 3600).cast("long")
+    sched_win = (F.floor(F.unix_timestamp("ts").cast("double") / 3600) * 3600).cast("long")
+    return (
+        ev.select(
+            F.timestamp_seconds(comp_win).alias("win_start"),
+            F.when(comp_win > sched_win, 1).otherwise(0).alias("straggler"),
+        )
+        .groupBy("win_start")
+        .agg(
+            F.count("*").alias("n_done"),
+            F.sum("straggler").cast("long").alias("n_rolled_in"),
+        )
+    )
+
+
+SQL_T4 = """
+WITH j AS (
+  SELECT make_timestamp(CAST(floor((epoch(ts) + value) / 3600) * 3600 AS BIGINT) * 1000000) AS win_start,
+         CASE WHEN floor((epoch(ts) + value) / 3600) > floor(epoch(ts) / 3600)
+              THEN 1 ELSE 0 END AS straggler
+  FROM events)
+SELECT win_start, count(*) AS n_done, CAST(sum(straggler) AS BIGINT) AS n_rolled_in
+FROM j GROUP BY 1
+"""
+
+
 # =========================================================================
 # Training-data pipeline operators
 # =========================================================================
@@ -612,12 +648,26 @@ SELECT doc_id, CAST({_SIMHASH_BITS} AS INT) AS simhash FROM h GROUP BY doc_id
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (Hamming ≤ 1, half-blocking) — exactness
-    of the blocking is proven in tests; rows-only here (bit_count SQL
-    differs across engines)."""
+    """SimHash near-dup pairs (Hamming ≤ 1, half-blocking).  The DuckDB
+    oracle self-joins the signature table exhaustively (fine at sf0.01)
+    — agreement proves the pigeonhole blocking loses no pair."""
     from newscrawler_spark.operators.dedup import simhash_near_dups
 
     return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=1)
+
+
+SQL_DEDUP_SIMHASH_PAIRS = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+  FROM documents),
+h AS (SELECT doc_id, CAST(('0x' || substring(md5(token), 1, 4)) AS INT) AS h
+      FROM tok WHERE token <> ''),
+sig AS (SELECT doc_id, CAST({_SIMHASH_BITS} AS INT) AS simhash FROM h GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+"""
 
 
 def q_text_lang_id(spark, sf_dir):
@@ -742,6 +792,58 @@ def q_text_embed(spark, sf_dir):
         F.round(dot, 4).alias("sq_norm"),
         F.expr("array_position(embedding, array_max(embedding))").alias("argmax_bucket"),
     )
+
+
+def q_text_embed_buckets(spark, sf_dir):
+    """X7 oracle surface: the hashing-trick embedding KERNEL (md5 →
+    bucket, ±1 sign; functions/embed.embed_text before L2-norm) as pure
+    codegen expressions, mirrored bit-identically in DuckDB.  Proves the
+    embedder's hash/bucket/sign math cross-engine; the normalized-float
+    UDF output itself stays rows-only (text_embed).  The 64-int raw
+    vector surfaces comma-joined."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    h = tok.select(
+        "doc_id",
+        F.pmod(F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"), F.lit(64)).alias("bucket"),
+        F.when(
+            F.pmod(F.conv(F.substring(F.md5("tok"), 9, 2), 16, 10).cast("long"), F.lit(2)) == 1, 1
+        ).otherwise(-1).alias("sign"),
+    )
+    per_bucket = h.groupBy("doc_id", "bucket").agg(F.sum("sign").alias("cnt"))
+    vec = per_bucket.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "cnt"))).alias("m")
+    )
+    return docs.select("doc_id").join(vec, "doc_id", "left").select(
+        "doc_id",
+        F.expr(
+            "concat_ws(',', transform(sequence(0, 63), b -> "
+            "cast(coalesce(element_at(m, cast(b as long)), 0L) as string)))"
+        ).alias("raw_vec"),
+    )
+
+
+SQL_TEXT_EMBED_BUCKETS = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT) % 64 AS bucket,
+         CASE WHEN CAST(('0x' || substring(md5(tok), 9, 2)) AS INT) % 2 = 1
+              THEN 1 ELSE -1 END AS sign
+  FROM tok WHERE tok <> ''),
+pb AS (SELECT doc_id, bucket, sum(sign) AS cnt FROM h GROUP BY 1, 2),
+vec AS (
+  SELECT doc_id, map_from_entries(list(struct_pack(k := bucket, v := cnt))) AS m
+  FROM pb GROUP BY doc_id)
+SELECT d.doc_id,
+       array_to_string(list_transform(range(64),
+         b -> COALESCE(m[b][1], 0)::VARCHAR), ',') AS raw_vec
+FROM documents d LEFT JOIN vec USING (doc_id)
+"""
 
 
 def q_search_text(spark, sf_dir):
@@ -1106,18 +1208,58 @@ def q_sim_ann_lsh(spark, sf_dir):
 def q_mm_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payload → Arrow-batched feature
     extraction (operators/multimodal). Decode is stubbed; plumbing real.
-    The histogram surfaces comma-joined (driver canon cannot sort
-    list-typed columns)."""
+
+    Oracle strategy: the UDF emits exact integers (n_bytes, byte_sum,
+    16-bin nibble histogram); mean and entropy are then recomputed as
+    identical expression trees in BOTH engines (double division +
+    log2 over the same ints, summed in ascending-bin order), so the
+    float surface hashes identically.  Histogram surfaces comma-joined
+    (driver canon cannot sort list-typed columns)."""
     from newscrawler_spark.operators.multimodal import documents_as_media, media_features
 
     feats = media_features(documents_as_media(_t(spark, sf_dir, "documents")))
+    entropy = F.expr(
+        "round(-aggregate(filter(histogram, x -> x > 0), cast(0.0 as double), "
+        "(a, x) -> a + (x / cast(n_bytes as double)) * log2(x / cast(n_bytes as double))), 4)"
+    )
     return feats.select(
         "media_id",
         "n_bytes",
-        "byte_mean",
-        "byte_entropy",
+        "byte_sum",
+        F.round(F.col("byte_sum") / F.col("n_bytes"), 4).alias("byte_mean"),
+        entropy.alias("byte_entropy"),
         F.concat_ws(",", F.col("histogram").cast("array<string>")).alias("histogram"),
     )
+
+
+SQL_MM_FEATURES = r"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(hex(encode(text)),
+               2 * unnest(generate_series(0, octet_length(encode(text)) - 1)) + 1, 2)) AS INT) AS byte
+  FROM documents
+),
+bins AS (
+  SELECT doc_id, byte // 16 AS bin, count(*) AS n, sum(byte) AS bsum
+  FROM b GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bytes, CAST(sum(bsum) AS BIGINT) AS byte_sum,
+         map_from_entries(list(struct_pack(k := bin, v := n))) AS m
+  FROM bins GROUP BY doc_id
+),
+h AS (
+  SELECT doc_id, n_bytes, byte_sum,
+         list_transform(range(16), bi -> COALESCE(m[bi][1], 0)) AS hist
+  FROM agg
+)
+SELECT doc_id AS media_id, n_bytes, byte_sum,
+       round(byte_sum / CAST(n_bytes AS DOUBLE), 4) AS byte_mean,
+       round(-list_sum(list_transform(list_filter(hist, x -> x > 0),
+             x -> (x / CAST(n_bytes AS DOUBLE)) * log2(x / CAST(n_bytes AS DOUBLE)))), 4) AS byte_entropy,
+       array_to_string(list_transform(hist, x -> x::VARCHAR), ',') AS histogram
+FROM h
+"""
 
 
 def q_mm_frame_sample(spark, sf_dir):
@@ -1205,6 +1347,31 @@ def q_crawl_logs(spark, sf_dir):
     return store.read_rounds(spark, "crawl_logs")
 
 
+def q_s4_feed_entries(spark, sf_dir):
+    """S4: RSS/Atom feed source — posexplode of <item> entries with
+    title/link/pubDate, capped at 20/feed (sources/feeds.feed_entries;
+    ref feed_scraper.py:169-188,333).  Rows-only here (needs the html
+    corpus); Spark ≡ frozen-Python over the whole corpus is asserted in
+    tests/test_feeds_sniff.py."""
+    from newscrawler_spark.sources.feeds import feed_entries
+
+    _, paths = _crawl_store(spark, sf_dir)
+    pages = spark.read.parquet(paths["pages"])
+    feeds = pages.filter(F.col("url").endswith("/feed.xml"))
+    return feed_entries(feeds)
+
+
+def q_f12_script_sniff(spark, sf_dir):
+    """F12: script-tag count + SPA-shell sniff over raw pages
+    (sources/feeds.script_sniff; ref url_classifier.py:286-314).
+    Rows-only (needs the html corpus); golden-tested vs the frozen
+    Python spec."""
+    from newscrawler_spark.sources.feeds import script_sniff
+
+    _, paths = _crawl_store(spark, sf_dir)
+    return script_sniff(spark.read.parquet(paths["pages"]))
+
+
 def q_s1_csv_source(spark, sf_dir):
     """S1: CSV URL source (batch_processor.py:65-82)."""
     _, paths = _crawl_store(spark, sf_dir)
@@ -1281,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_recency_topk": q_w3_recency_topk,
         "u1_union_dedup": q_u1_union_dedup,
         "t2_due_filter": q_t2_due_filter,
+        "t4_straggler_rollover": q_t4_straggler_rollover,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1292,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_topics": q_text_topics,
         "text_entities": q_text_entities,
         "text_embed": q_text_embed,
+        "text_embed_buckets": q_text_embed_buckets,
         "search_text": q_search_text,
         "search_hybrid": q_search_hybrid,
         "relevance": q_relevance,
@@ -1311,6 +1480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_articles": q_crawl_articles,
         "crawl_order": q_crawl_order,
         "crawl_logs": q_crawl_logs,
+        "s4_feed_entries": q_s4_feed_entries,
+        "f12_script_sniff": q_f12_script_sniff,
         "s1_csv_source": q_s1_csv_source,
         "s2_due_sources": q_s2_due_sources,
     }
@@ -1339,14 +1510,17 @@ def oracle_sql() -> dict[str, str]:
         "w3_recency_topk": SQL_W3,
         "u1_union_dedup": SQL_U1,
         "t2_due_filter": SQL_T2,
+        "t4_straggler_rollover": SQL_T4,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
+        "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
         "text_lang_id": SQL_TEXT_LANG,
         "text_token_stats": SQL_TEXT_TOKENS,
         "text_fingerprint": SQL_TEXT_FP,
         "text_topics": SQL_TEXT_TOPICS,
+        "text_embed_buckets": SQL_TEXT_EMBED_BUCKETS,
         "search_text": SQL_SEARCH_TEXT,
         "search_hybrid": SQL_SEARCH_HYBRID,
         "relevance": SQL_RELEVANCE,
@@ -1357,6 +1531,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_bruteforce_topk": SQL_SIM_TOPK,
         "sim_neardup_pairs": SQL_SIM_NEARDUP,
         "sim_neardup_lsh": SQL_SIM_NEARDUP_LSH,
+        "mm_media_features": SQL_MM_FEATURES,
         "mm_frame_sample": SQL_MM_FRAMES,
         "streaming_windowed": SQL_STREAMING,
     }

@@ -41,12 +41,21 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "text_lang_id",
     "text_token_stats",
     "text_topics",
     "text_embed",
+    "text_embed_buckets",
+    "search_text",
+    "search_hybrid",
+    "relevance",
+    "embed_chunks",
+    "chunk_ann",
+    "t4_straggler_rollover",
     "sim_bruteforce_topk",
     "sim_neardup_pairs",
+    "sim_neardup_lsh",
     "sim_ann_lsh",
     "mm_media_features",
     "streaming_windowed",

@@ -58,6 +58,22 @@ _IMG_RE = re.compile(IMG_SRC_PATTERN, re.IGNORECASE)
 # entries per feed like the reference's max_entries_per_feed
 _FEED_ITEM_RE = re.compile(r"<link>\s*(https?://[^<\s]+)\s*</link>", re.IGNORECASE)
 MAX_FEED_ENTRIES = 20
+# Full feedparser-shaped entry parse (S4): <item> blocks with
+# title/link/pubDate.  Patterns exported so the Spark codegen twin
+# (sources/feeds.py) shares them verbatim.
+FEED_BLOCK_PATTERN = r"(?is)<item\b[^>]*>(.*?)</item\s*>"
+FEED_TITLE_PATTERN = r"(?is)<title[^>]*>(.*?)</title\s*>"
+FEED_LINK_PATTERN = r"(?is)<link>\s*(https?://[^<\s]+)\s*</link>"
+FEED_PUBDATE_PATTERN = r"(?is)<pubdate[^>]*>(.*?)</pubdate\s*>"
+_FEED_BLOCK_RE = re.compile(FEED_BLOCK_PATTERN)
+_FEED_TITLE_RE = re.compile(FEED_TITLE_PATTERN)
+_FEED_LINK_RE = re.compile(FEED_LINK_PATTERN)
+_FEED_PUBDATE_RE = re.compile(FEED_PUBDATE_PATTERN)
+# F12: script-tag count / SPA sniff (ref url_classifier.py:286-314)
+SCRIPT_OPEN_PATTERN = r"(?i)<script\b"
+_SCRIPT_OPEN_RE = re.compile(SCRIPT_OPEN_PATTERN)
+SPA_MIN_SCRIPTS = 3       # ≥3 script tags and
+SPA_MAX_TEXT_RATIO = 0.01  # <1% visible text → SPA shell
 _META_AUTHOR_RE = re.compile(
     r"""<meta\b[^>]*?\bname\s*=\s*["']author["'][^>]*?\bcontent\s*=\s*["']([^"'>]*)["']""",
     re.IGNORECASE,
@@ -138,6 +154,45 @@ def extract_page(html_bytes: bytes, url: str) -> dict:
         "published": published,
         "images": images,
     }
+
+
+def parse_feed(html_text: str) -> list[dict]:
+    """Frozen S4 feed-entry spec (feedparser drop-in, ref
+    feed_scraper.py:169-188): the first ``MAX_FEED_ENTRIES`` <item>
+    blocks, each yielding (title, link, published).  Blocks without an
+    absolute http(s) <link> are dropped AFTER the cap (the reference
+    slices entries[:20] before validating).  Titles are tag-stripped
+    (no entity unescape — feed titles are plain text by this spec) and
+    whitespace-collapsed; pubDate is collapsed verbatim."""
+    entries = []
+    for block in _FEED_BLOCK_RE.findall(html_text)[:MAX_FEED_ENTRIES]:
+        lm = _FEED_LINK_RE.search(block)
+        if not lm:
+            continue
+        tm = _FEED_TITLE_RE.search(block)
+        pm = _FEED_PUBDATE_RE.search(block)
+        entries.append(
+            {
+                "title": collapse_ws(_TAG_RE.sub(" ", tm.group(1))) if tm else "",
+                "link": lm.group(1).strip(),
+                "published": collapse_ws(pm.group(1)) if pm else None,
+            }
+        )
+    return entries
+
+
+def script_count(html_text: str) -> int:
+    """Frozen F12 spec: number of ``<script`` tag openings."""
+    return len(_SCRIPT_OPEN_RE.findall(html_text))
+
+
+def is_spa(html_text: str, text: str) -> bool:
+    """Frozen F12 SPA sniff: script-heavy page with almost no visible
+    text (ref url_classifier.py:286-314 checks script counts + app-root
+    indicators)."""
+    n = script_count(html_text)
+    ratio = (len(text) / len(html_text)) if html_text else 0.0
+    return n >= SPA_MIN_SCRIPTS and ratio < SPA_MAX_TEXT_RATIO
 
 
 # --- Spark vectorized implementation -----------------------------------

@@ -71,6 +71,7 @@ FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("n_bytes", T.LongType()),
+        T.StructField("byte_sum", T.LongType()),
         T.StructField("byte_mean", T.DoubleType()),
         T.StructField("byte_entropy", T.DoubleType()),
         T.StructField("histogram", T.ArrayType(T.IntegerType())),
@@ -84,7 +85,7 @@ def feature_extract_map_in_pandas(it: Iterator[pd.DataFrame]) -> Iterator[pd.Dat
     Replace the body with a real decode+CNN featurizer; the Spark-side
     contract (schema, batching, partitioning) does not change."""
     for pdf in it:
-        rows = {"media_id": [], "n_bytes": [], "byte_mean": [], "byte_entropy": [], "histogram": []}
+        rows = {"media_id": [], "n_bytes": [], "byte_sum": [], "byte_mean": [], "byte_entropy": [], "histogram": []}
         for mid, payload in zip(pdf["media_id"].tolist(), pdf["payload"].tolist()):
             buf = np.frombuffer(bytes(payload), dtype=np.uint8) if payload is not None else np.zeros(0, np.uint8)
             hist = np.bincount(buf >> 4, minlength=16).astype(np.int64)
@@ -93,6 +94,7 @@ def feature_extract_map_in_pandas(it: Iterator[pd.DataFrame]) -> Iterator[pd.Dat
             nz = p[p > 0]
             rows["media_id"].append(mid)
             rows["n_bytes"].append(int(buf.size))
+            rows["byte_sum"].append(int(buf.sum()))
             rows["byte_mean"].append(round(float(buf.mean()) if buf.size else 0.0, 4))
             rows["byte_entropy"].append(round(float(-(nz * np.log2(nz)).sum()), 4))
             rows["histogram"].append([int(x) for x in hist])

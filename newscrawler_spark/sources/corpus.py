@@ -36,7 +36,8 @@ from datetime import datetime, timedelta, timezone
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-CORPUS_VERSION = 8  # bump to invalidate cached corpora (v8: <img> tags)
+CORPUS_VERSION = 9  # bump to invalidate cached corpora (v9: feed item
+# titles/pubDate + unlinked SPA shell pages)
 
 _WORDS = (
     "the quick brown fox jumps over a lazy dog while reporters file stories "
@@ -104,14 +105,35 @@ def _gen_host(args) -> dict:
         "",
         0,
     )
-    # RSS-ish feed page (S4): <item><link> entries, newest 25 articles —
-    # exercises the feed-entry extraction path (capped at 20 by contract)
-    items = "".join(f"<item><title>i</title><link>{u}</link></item>\n" for u in mine[-25:])
+    # RSS-ish feed page (S4): <item> entries with title/link/pubDate
+    # (feedparser entry shape, ref feed_scraper.py:169-188), newest 25
+    # articles — the extraction contract caps at 20 entries per feed
+    tail = mine[-25:]
+    base_j = len(mine) - len(tail)
+    items = "".join(
+        f"<item><title>Story {base_j + k} on {host}</title><link>{u}</link>"
+        f"<pubDate>{(BASE_TS + timedelta(hours=(base_j + k) % 240)).strftime('%a, %d %b %Y %H:%M:%S +0000')}</pubDate>"
+        "</item>\n"
+        for k, u in enumerate(tail)
+    )
     add(
         f"https://{host}/feed.xml",
         f'<rss version="2.0"><channel><title>{host} feed</title>\n{items}</channel></rss>',
         "",
         2,
+    )
+    # SPA shell page (F12: script-count / SPA sniff, url_classifier.py:286-314):
+    # many <script> tags, an app mount div, near-zero visible text.  NOT
+    # linked from anywhere — it exercises classification over the raw
+    # pages table without perturbing the crawl graph.
+    add(
+        f"https://{host}/app",
+        "<html><head><title>app</title>"
+        + "".join(f'<script src="/static/chunk-{k}.js"></script>' for k in range(4))
+        + '</head><body><div id="root"></div>'
+        "<script>window.__APP__=1;</script></body></html>",
+        "",
+        1,
     )
     # homepage (seed entry point)
     links = "".join(

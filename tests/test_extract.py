@@ -79,6 +79,29 @@ def test_entities_and_embed_contracts():
     assert abs(sum(x * x for x in v1) - 1.0) < 1e-3
 
 
+def test_embed_buckets_expr_matches_udf_kernel(spark):
+    """q_text_embed_buckets's codegen hashing kernel must equal the
+    UDF's unnormalized bucket vector (embed_text before L2-norm)."""
+    import hashlib
+
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.q_text_embed_buckets(spark, "/root/testdata/sf0.001").collect()
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert len(rows) == len(texts)
+    for r in rows[:50]:
+        vec = [0] * 64
+        for tok in texts[r.doc_id].lower().split():
+            h = hashlib.md5(tok.encode("utf-8")).digest()
+            vec[int.from_bytes(h[:4], "big") % 64] += 1 if h[4] & 1 else -1
+        assert r.raw_vec == ",".join(str(x) for x in vec), r.doc_id
+
+
 def test_resolve_link():
     base = "https://h.example.com/a/b.html"
     assert resolve_link(base, "/x/y.html") == "https://h.example.com/x/y.html"
