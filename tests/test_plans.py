@@ -74,3 +74,34 @@ def test_fetch_join_rows_match_outer_semantics(spark):
     assert n_missing == adm.filter(F.col("url_hash") % 3 == 0).count()
     # no admitted row is duplicated by the join
     assert hits.select("url_hash").distinct().count() == n_hits
+
+
+def test_robots_dim_scan_pushes_in_filter(spark, tmp_path):
+    """The robots-dim build must reach the parquet scan with an In
+    predicate over the literal robots URLs (row-group pruning before
+    any html byte is decoded), not a post-scan endswith filter — the
+    naive filter was measured at 35 s/600k pages on one executor."""
+    from newscrawler_spark.crawler import CrawlConfig, FrontierCrawler
+    from newscrawler_spark.plans.storage import RoundStore
+    from newscrawler_spark.sources.corpus import generate_corpus
+
+    paths = generate_corpus(str(tmp_path / "c"), n_pages=200, n_hosts=4, seed=7)
+    crawler = FrontierCrawler(
+        spark,
+        paths["pages"],
+        paths["seeds"],
+        RoundStore(str(tmp_path / "s")),
+        CrawlConfig(max_rounds=1, cache_pages=False),
+    )
+    # the crawler persists robots_dim (InMemoryRelation hides the scan
+    # from explain) — assert on the unpersisted plan of the same build
+    plan = _plan(crawler._robots_dim_plan())
+    assert "PushedFilters" in plan, plan
+    assert "robots.txt" in plan, plan
+    # the pushed predicate is the In/equality form over the RAW url
+    # column (page_url is computed — nothing over it can push)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("In(url" in ln or "EqualTo(url" in ln for ln in pushed), plan
+    # and the dim still has exactly one row per host
+    rows = crawler.robots_dim.collect()
+    assert len(rows) == 4 and len({r["host"] for r in rows}) == 4

@@ -68,9 +68,13 @@ def main() -> None:
         bloom_expected=args.bloom_expected,
         cache_pages=not args.bulk,          # bulk scans pages exactly once
         repartition_fetched=not args.bulk,  # bulk keeps the scan partitioning
-        # bulk admitted sets are huge: shuffle join (not a 100 MB driver
-        # broadcast) and two-pass parallel fetch-seq assignment
-        broadcast_admitted_max=0 if args.bulk else 2_000_000,
+        # Broadcasting the admitted KEYS (≈60 MB/10^6 urls) beats
+        # shuffling the PAGES table even in bulk — the html bytes are
+        # ~100× the key bytes, and the pages-side shuffle was measured
+        # as the dominant non-scaling cost of the bulk round (a ~57 s
+        # serial IO component at 600k pages).  Past ~5M admitted rows
+        # you bucket/co-partition instead (see crawler.py fetch_join).
+        broadcast_admitted_max=5_000_000,
         scalable_fetch_order=args.bulk,
     )
     crawler = FrontierCrawler(spark, args.pages, args.seeds, store, cfg)
