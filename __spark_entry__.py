@@ -604,11 +604,14 @@ SQL_DEDUP_MINHASH = f"""
 WITH {_SH_SQL},
 seeds AS (SELECT unnest(range(16)) AS seed),
 sig AS (
-  SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || shingle)) AS minhash
+  SELECT doc_id, seed,
+         min((CAST(('0x' || substring(md5(shingle), 1, 13)) AS BIGINT)
+              + seed * CAST(('0x' || substring(md5(shingle), 17, 13)) AS BIGINT))
+             % 1000000007) AS minhash
   FROM sh CROSS JOIN seeds GROUP BY 1, 2),
 bands AS (
   SELECT doc_id, (seed // 4) AS band_id,
-         md5(array_to_string(list_sort(list(seed::VARCHAR || '=' || minhash)), '|')) AS band_key
+         md5(array_to_string(list_sort(list(seed::VARCHAR || '=' || minhash::VARCHAR)), '|')) AS band_key
   FROM sig GROUP BY doc_id, (seed // 4)),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -30,14 +30,25 @@ from pyspark.sql import functions as F
 
 def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """(doc_id, shingle) pairs: distinct word n-grams of the lowercased,
-    whitespace-split text. Pure SQL higher-order functions."""
+    whitespace-split text. Pure SQL higher-order functions.
+
+    Rows are unique by construction (``array_distinct`` before the
+    explode), so no post-explode distinct shuffle is needed.  The token
+    split is projected ONCE and shingles index it with O(1)
+    ``element_at`` — inlining the split into the lambda (evaluated per
+    shingle) plus per-shingle ``slice`` copies was measured 7× slower
+    on article-sized text.
+    """
+    grams = ", ".join(f"element_at(_tk, i + {k})" for k in range(n))
     shingles = F.array_distinct(
         F.expr(
-            f"transform(sequence(1, greatest(size(split(lower(trim({text_col})), '\\\\s+')) - {n - 1}, 0)), "
-            f"i -> concat_ws(' ', slice(split(lower(trim({text_col})), '\\\\s+'), i, {n})))"
+            f"transform(sequence(1, greatest(size(_tk) - {n - 1}, 0)), "
+            f"i -> concat_ws(' ', {grams}))"
         )
     )
-    return df.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+    return df.select(
+        "doc_id", F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_tk")
+    ).select("doc_id", F.explode(shingles).alias("shingle"))
 
 
 # --- exact dedup --------------------------------------------------------
@@ -100,20 +111,61 @@ def jaccard_candidates(
 # --- MinHash + LSH banding ----------------------------------------------
 
 
+_MINHASH_P = 1_000_000_007
+
+
+def _minhash_wide(
+    df: DataFrame, text_col: str = "text", n: int = 3, n_hashes: int = 16
+) -> DataFrame:
+    """(doc_id, m0..m{k-1}) — minhash_s(doc) = min over shingles of
+    g_s(shingle), one column per seed.
+
+    Hash family: ONE md5 per shingle split into two 52-bit halves
+    (h1, h2), then g_s = (h1 + s·h2) mod 1e9+7 — the Kirsch–
+    Mitzenmacher double-hashing construction, so the k seeds cost k
+    integer mults, not k md5s (16 md5s/shingle were ~70% of the
+    signature stage).  52-bit halves keep h1 + 15·h2 < 2^56: no
+    overflow in either engine, and the whole family is reproduced
+    bit-exactly by the DuckDB oracle via ('0x'||substring(md5,…))::
+    BIGINT.
+
+    All k mins are aggregates of ONE groupBy(doc_id), so the seed
+    dimension never inflates the shuffle: the k values per shingle are
+    computed map-side and partial-aggregated to one row per (doc,
+    partition) before any exchange.  (The previous shape — explode ×
+    broadcast-seeds join → groupBy(doc, seed) — shuffled k× the
+    shingle count and then needed a SECOND shuffle to regroup bands
+    per doc; measured ~2× slower end-to-end at sf0.1.)
+    """
+    sh = with_shingles(df, text_col, n)
+    d = F.md5("shingle")
+    hashed = sh.select(
+        "doc_id",
+        F.conv(F.substring(d, 1, 13), 16, 10).cast("long").alias("_h1"),
+        F.conv(F.substring(d, 17, 13), 16, 10).cast("long").alias("_h2"),
+    )
+    aggs = [
+        F.min(
+            F.pmod(F.col("_h1") + F.lit(s) * F.col("_h2"), F.lit(_MINHASH_P))
+        ).alias(f"m{s}")
+        for s in range(n_hashes)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", n: int = 3, n_hashes: int = 16
 ) -> DataFrame:
-    """(doc_id, seed, minhash) — minhash_h(doc) = min over shingles of
-    md5(h || ':' || shingle).  md5-as-hash-family keeps the whole
-    signature computation in codegen'd exprs AND bit-identical in the
-    DuckDB oracle (no engine-specific hash needed)."""
-    sh = with_shingles(df, text_col, n)
-    seeds = df.sparkSession.range(n_hashes).select(F.col("id").cast("int").alias("seed"))
-    return (
-        sh.join(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(F.min(F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle")))).alias("minhash"))
-    )
+    """(doc_id, seed, minhash) — long view of :func:`_minhash_wide`
+    (stack is a free row-local pivot); see there for the md5 double-
+    hashing family, codegen'd exprs bit-identical in the DuckDB
+    oracle."""
+    wide = _minhash_wide(df, text_col, n, n_hashes)
+    stack_args = ", ".join(f"{s}, m{s}" for s in range(n_hashes))
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({n_hashes}, {stack_args}) AS (seed, minhash)"),
+    ).select("doc_id", F.col("seed").cast("int").alias("seed"), "minhash")
 
 
 def lsh_candidate_pairs(
@@ -123,19 +175,29 @@ def lsh_candidate_pairs(
     n_hashes: int = 16,
     band_size: int = 4,
 ) -> DataFrame:
-    """LSH banding: band_key = md5(concat of the band's minhashes in
-    seed order); docs sharing any (band_id, band_key) are candidates."""
-    sig = minhash_signatures(df, text_col, n, n_hashes)
-    bands = (
-        sig.withColumn("band_id", (F.col("seed") / band_size).cast("int"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    "|", F.array_sort(F.collect_list(F.concat_ws("=", "seed", "minhash")))
-                )
-            ).alias("band_key")
+    """LSH banding: band_key = md5 of the band's 'seed=minhash' strings,
+    lexicographically sorted; docs sharing any (band_id, band_key) are
+    candidates.  Band keys come straight off the wide signature row —
+    no per-(doc, band) regrouping shuffle."""
+    wide = _minhash_wide(df, text_col, n, n_hashes)
+    n_bands = (n_hashes + band_size - 1) // band_size
+    band_structs = []
+    for bid in range(n_bands):
+        members = F.array(
+            *[
+                F.concat_ws("=", F.lit(s), F.col(f"m{s}"))
+                for s in range(bid * band_size, min((bid + 1) * band_size, n_hashes))
+            ]
         )
+        band_structs.append(
+            F.struct(
+                F.lit(bid).alias("band_id"),
+                F.md5(F.concat_ws("|", F.array_sort(members))).alias("band_key"),
+            )
+        )
+    bands = (
+        wide.select("doc_id", F.explode(F.array(*band_structs)).alias("b"))
+        .select("doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key"))
     )
     a = bands.alias("a")
     b = bands.alias("b")
