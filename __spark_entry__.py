@@ -1121,6 +1121,56 @@ FROM d ORDER BY cosine DESC, vec_id LIMIT 20
 """
 
 
+def q_sim_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN top-k (operators/similarity.ivf_topk): deterministic
+    stride-sampled codebook (C=16), probe top-4 inverted lists, exact
+    rerank; query = embedding of vec_id 0.  The Spark analog of a
+    pgvector ivfflat index (reference stores vectors in pgvector,
+    src/vector/processor.py) — at scale the assignment is a partition
+    column and the probe filter is partition pruning."""
+    from newscrawler_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        _t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir),
+        k=20, n_centroids=16, nprobe=4,
+    )
+
+
+SQL_SIM_IVF = """
+WITH e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+cent AS (
+  SELECT CAST(vec_id % 16 AS INT) AS cid, min(vec_id) AS cvid
+  FROM embeddings GROUP BY 1),
+ce AS (SELECT cent.cid, e.i, e.v FROM cent JOIN e ON e.vec_id = cent.cvid),
+cn AS (SELECT cid, sqrt(sum(v * v)) AS nrm FROM ce GROUP BY 1),
+en AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
+s AS (
+  SELECT e.vec_id, ce.cid,
+         round(sum(e.v * ce.v) / (en.nrm * cn.nrm), 4) AS sim
+  FROM e JOIN ce USING (i)
+  JOIN en ON en.vec_id = e.vec_id JOIN cn ON cn.cid = ce.cid
+  GROUP BY e.vec_id, ce.cid, en.nrm, cn.nrm),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM s) WHERE rn = 1),
+probe AS (SELECT cid FROM s WHERE vec_id = 0 ORDER BY sim DESC, cid LIMIT 4),
+q AS (SELECT i, v AS qv FROM e WHERE vec_id = 0),
+d AS (
+  SELECT e.vec_id, sum(e.v * q.qv) AS dot, sum(e.v * e.v) AS nn
+  FROM e JOIN q USING (i)
+  WHERE e.vec_id IN (SELECT a.vec_id FROM assign a JOIN probe USING (cid))
+  GROUP BY 1),
+qn AS (SELECT sum(qv * qv) AS qq FROM q)
+SELECT vec_id, round(dot / (sqrt(nn) * sqrt((SELECT qq FROM qn))), 4) AS cosine
+FROM d ORDER BY cosine DESC, vec_id LIMIT 20
+"""
+
+
 def q_sim_neardup_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs — EXACT, via distributed blocked
     GEMM (hash blocks → broadcast task map → one numpy matmul per
@@ -1474,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_image_extract": q_x_image_extract,
         "s7_json_sink": q_s7_json_sink,
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
+        "sim_ivf_topk": q_sim_ivf_topk,
         "sim_neardup_pairs": q_sim_neardup_pairs,
         "sim_neardup_lsh": q_sim_neardup_lsh,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -1532,6 +1583,7 @@ def oracle_sql() -> dict[str, str]:
         "j3_strategy_join": SQL_J3,
         "x_image_extract": SQL_IMAGES,
         "sim_bruteforce_topk": SQL_SIM_TOPK,
+        "sim_ivf_topk": SQL_SIM_IVF,
         "sim_neardup_pairs": SQL_SIM_NEARDUP,
         "sim_neardup_lsh": SQL_SIM_NEARDUP_LSH,
         "mm_media_features": SQL_MM_FEATURES,

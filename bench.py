@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "chunk_ann",
     "t4_straggler_rollover",
     "sim_bruteforce_topk",
+    "sim_ivf_topk",
     "sim_neardup_pairs",
     "sim_neardup_lsh",
     "sim_ann_lsh",

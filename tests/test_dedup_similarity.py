@@ -82,6 +82,38 @@ def test_ann_recall_vs_bruteforce(spark, emb):
     assert approx[0] == truth[0] == 1  # the query vector itself ranks first
 
 
+def test_ivf_topk_recall_and_partition_math(spark, emb):
+    """IVF-flat: probing nprobe/C of the lists must still find the query
+    vector itself (its own list is always ranked first) and a healthy
+    share of the true top-k; the candidate set must be exactly the union
+    of the probed lists (what partition pruning would read)."""
+    from newscrawler_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign_expr,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    truth = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(emb, q, k=10, n_centroids=8, nprobe=3).collect()]
+    assert approx[0] == truth[0] == 1  # own list is probed first
+    recall = len(set(truth) & set(approx)) / 10
+    assert recall >= 0.4, f"IVF recall {recall} too low (3/8 lists probed)"
+
+    # assignment is total and deterministic: every vector lands in
+    # exactly one of the C lists, twice over
+    cents = ivf_centroids(emb, n_centroids=8)
+    assert [c for c, _ in cents] == list(range(8))
+    a1 = emb.withColumn("cid", ivf_assign_expr(cents)).select("vec_id", "cid")
+    counts = {r["cid"]: r["n"] for r in a1.groupBy("cid").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == emb.count()
+    a2 = {r["vec_id"]: r["cid"] for r in a1.collect()}
+    a3 = {r["vec_id"]: r["cid"] for r in
+          emb.withColumn("cid", ivf_assign_expr(cents)).select("vec_id", "cid").collect()}
+    assert a2 == a3
+
+
 def test_embedding_neardup_lsh_vs_exact(spark, emb):
     """LSH-blocked near-dup is a subset of exact; at a high threshold
     with multiprobe-free blocking we accept partial recall but demand
