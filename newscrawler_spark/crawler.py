@@ -294,8 +294,15 @@ class FrontierCrawler:
                 )
                 .dropDuplicates(["url_hash", "canon_url"])
             )
-        self.store.write_round("frontier", -1, frontier0)
-        self.store.commit_round(-1, {"initialized": True})
+        from pyspark.sql import Observation
+
+        obs = Observation("init_frontier")
+        self.store.write_round(
+            "frontier", -1, frontier0.observe(obs, F.count(F.lit(1)).alias("next_frontier"))
+        )
+        self.store.commit_round(
+            -1, {"initialized": True, "next_frontier": int(obs.get["next_frontier"] or 0)}
+        )
 
     # ------------------------------------------------------------------
     def run(self, resume: bool = True) -> dict:
@@ -316,8 +323,18 @@ class FrontierCrawler:
             totals["fetched"] += man.get("extracted", 0) + man.get("short", 0)
             totals["rounds"] += 1
         for r in range(last + 1, self.config.max_rounds):
+            # the previous round's manifest already counted its output
+            # frontier (Observation during the write) — consult it instead
+            # of an isEmpty() job; legacy manifests without the count fall
+            # back to the probe.
+            try:
+                n_prev = self.store.manifest(r - 1).get("next_frontier")
+            except OSError:
+                n_prev = None
+            if n_prev == 0:
+                break
             frontier = self.store.read_round(self.spark, "frontier", r - 1)
-            if frontier is None or frontier.isEmpty():
+            if frontier is None or (n_prev is None and frontier.isEmpty()):
                 break
             stats = self.run_round(r, frontier, seq_offset)
             seq_offset += stats["admitted"]
@@ -510,10 +527,16 @@ class FrontierCrawler:
         )
 
         # 7. discovered links → next frontier (U1 union + lexicographic-
-        #    min dedup, the batch analog of pushing dup jobs on the heap)
+        #    min dedup, the batch analog of pushing dup jobs on the heap).
+        #    Dedup the RAW link strings first: pages link to shared
+        #    targets ~20× over, canonicalization is idempotent, and every
+        #    same-round link carries identical (priority, round) — so
+        #    deduping before the regex-heavy canonicalizer cuts its input
+        #    by the link fan-in factor with an identical result set
+        #    (map-side partial aggregation makes the extra groupBy cheap).
         links = present.select(
             F.explode(F.slice("out_links", 1, cfg.max_links_per_page)).alias("canon_url")
-        )
+        ).distinct()
         links = with_canonical(links, "canon_url").select(
             "canon_url",
             "url_hash",

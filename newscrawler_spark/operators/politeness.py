@@ -105,17 +105,14 @@ def global_fetch_order_scalable(
     """Same total order as :func:`global_fetch_order`, computed without a
     single-partition sort: range-partition on the frozen order key, sort
     within partitions, count per partition (one small job on the
-    persisted set), then assign ``offset[pid] + local_index`` in a
-    vectorized pass.  The classic two-pass zipWithIndex, kept in the
-    DataFrame/Arrow world.  Equality with the window version is asserted
-    in tests/test_politeness.py.
+    persisted set), then assign ``offset[pid] + local_index`` entirely
+    JVM-side — ``monotonically_increasing_id`` encodes (partition id,
+    local row index) as ``pid·2³³ + idx`` over the sorted partitions,
+    and a literal map turns pid into its global offset.  The classic
+    two-pass zipWithIndex with no Python round-trip of the admitted
+    rows.  Equality with the window version is asserted in
+    tests/test_politeness.py.
     """
-    from typing import Iterator
-
-    import pandas as pd
-    from pyspark import TaskContext
-    from pyspark.sql import types as T
-
     spark = admitted.sparkSession
     p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ranged = (
@@ -134,21 +131,14 @@ def global_fetch_order_scalable(
     for pid in range(p):
         offsets[pid] = acc
         acc += counts.get(pid, 0)
-    bc = spark.sparkContext.broadcast(offsets)
-
-    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ctx = TaskContext.get()
-        pid = ctx.partitionId() if ctx else 0
-        local = 0
-        offs = bc.value
-        for pdf in it:
-            n = len(pdf)
-            pdf = pdf.copy()
-            pdf["fetch_seq"] = range(offs[pid] + local + 1, offs[pid] + local + n + 1)
-            local += n
-            yield pdf
-
-    schema = T.StructType(
-        list(admitted.schema.fields) + [T.StructField("fetch_seq", T.LongType())]
+    # literal pid → offset map (≤ p entries, p ~ shuffle width: tiny plan)
+    off_map = F.create_map(
+        *[F.lit(x) for pid in range(p) for x in (pid, offsets[pid])]
     )
-    return ranged.mapInPandas(assign, schema=schema)
+    mid = F.monotonically_increasing_id()
+    pid_expr = F.shiftrightunsigned(mid, 33).cast("int")
+    local_expr = mid.bitwiseAND(F.lit((1 << 33) - 1))
+    return ranged.withColumn(
+        "fetch_seq",
+        (off_map[pid_expr] + local_expr + F.lit(1)).cast("long"),
+    )

@@ -57,6 +57,11 @@ def get_spark(
         # keeps the default (set via extra_conf).
         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.locality.wait", "0s")  # local mode: no rack/node locality to wait for
+        # collect-limit over a selective filter (e.g. the robots-dim root
+        # scan) otherwise runs escalating partial scans (1, 4, 16, …
+        # partitions — each round mostly serial); start wide so the scan
+        # is one full-parallel stage.
+        .config("spark.sql.limit.initialNumPartitions", "64")
         # Batch workload: throughput GC beats G1's latency focus — measured
         # 2.2× end-to-end on the crawl bench (G1 spent 248 task-seconds in
         # GC and stalled the driver between jobs).
