@@ -4,9 +4,11 @@
 SURVEY.md §2 plus the training-data-pipeline operators (dedup family,
 similarity search, text analysis, multimodal plumbing, streaming);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible one.  Crawl-pipeline queries (exactness proven against
-the pure-Python oracle in tests/) are rows-only here because their
-input is the synthetic pages corpus, not the pre-registered views.
+SQL-expressible one.  Corpus-input source queries (s1/s2/s4/f12) are
+oracled via DuckDB read_parquet/read_csv over the same deterministic
+corpus files (_corpus_oracle_sql); the iterative crawl-pipeline queries
+(exactness proven against the pure-Python oracle in tests/) remain
+rows-only because their multi-round semantics aren't one SQL statement.
 
 Cross-engine float discipline: aggregates over doubles use exact
 integer reformulations (cents) where sums are large; genuinely
@@ -766,16 +768,69 @@ FROM documents
 
 def q_text_entities(spark, sf_dir):
     """F10/X8: entities map<type, names> via deterministic heuristic
-    (spaCy NER drop-in; functions/entities.py). Rows-only."""
+    (spaCy NER drop-in; functions/entities.py).
+
+    ``documents.text`` is case-normalized (all lowercase), which would
+    make the capitalized-span heuristic vacuous — so a deterministic
+    case-restoration transform (capitalize words of length ≥ 6) is
+    applied identically in both engines first; the DuckDB oracle then
+    re-implements the frozen span/shed/dedup spec in pure SQL."""
     from newscrawler_spark.functions.entities import ENTITY_SCHEMA, entities_map_in_pandas
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    enriched = F.expr(
+        "array_join(transform(split(text, ' '), "
+        "w -> IF(length(w) >= 6, concat(upper(substring(w, 1, 1)), substring(w, 2)), w)), ' ')"
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", enriched.alias("text"))
     ent = docs.mapInPandas(entities_map_in_pandas, schema=ENTITY_SCHEMA)
     return ent.select(
         "doc_id",
         F.array_join(F.map_keys("entities"), ",").alias("entity_types"),
         F.size(F.coalesce(F.col("entities")["PERSON"], F.array())).alias("n_person"),
+        F.size(F.coalesce(F.col("entities")["ORG"], F.array())).alias("n_org"),
     )
+
+
+# The heuristic in SQL: mark sentence starts (chr(1) before the capital
+# — RE2 has no lookahead), extract maximal capitalized-word runs, shed
+# the first word of sentence-start runs, count distinct spans by length
+# class.  Spans are deduped by string, and a span's word count is a
+# function of the string, so DISTINCT-per-class equals the frozen
+# Python's shared ordered-seen-set counts.
+SQL_TEXT_ENTITIES = r"""
+WITH enriched AS (
+  SELECT doc_id,
+    array_to_string(list_transform(string_split(text, ' '),
+      w -> CASE WHEN length(w) >= 6 THEN upper(w[1]) || w[2:] ELSE w END), ' ') AS t
+  FROM documents
+),
+marked AS (
+  SELECT doc_id, regexp_replace(t, '(^|[.!?])(\s*)([A-Z])', '\1\2' || chr(1) || '\3', 'g') AS m
+  FROM enriched
+),
+spans AS (
+  SELECT doc_id, unnest(regexp_extract_all(m, '\x01?[A-Z][a-z]+(\s+[A-Z][a-z]+)*')) AS raw
+  FROM marked
+),
+shed AS (
+  SELECT doc_id,
+    CASE WHEN raw[1] = chr(1)
+         THEN list_slice(string_split_regex(replace(raw, chr(1), ''), '\s+'), 2, 1000000)
+         ELSE string_split_regex(raw, '\s+') END AS words
+  FROM spans
+),
+sp AS (SELECT doc_id, array_to_string(words, ' ') AS span, len(words) AS nw
+       FROM shed WHERE len(words) > 0)
+SELECT d.doc_id,
+       'PERSON,ORG' AS entity_types,
+       COALESCE(p.np, 0) AS n_person,
+       COALESCE(p.no_, 0) AS n_org
+FROM documents d LEFT JOIN (
+  SELECT doc_id,
+         CAST(count(DISTINCT CASE WHEN nw >= 2 THEN span END) AS INT) AS np,
+         CAST(count(DISTINCT CASE WHEN nw = 1 THEN span END) AS INT) AS no_
+  FROM sp GROUP BY doc_id) p ON d.doc_id = p.doc_id
+"""
 
 
 def q_text_embed(spark, sf_dir):
@@ -1403,9 +1458,10 @@ def q_crawl_logs(spark, sf_dir):
 def q_s4_feed_entries(spark, sf_dir):
     """S4: RSS/Atom feed source — posexplode of <item> entries with
     title/link/pubDate, capped at 20/feed (sources/feeds.feed_entries;
-    ref feed_scraper.py:169-188,333).  Rows-only here (needs the html
-    corpus); Spark ≡ frozen-Python over the whole corpus is asserted in
-    tests/test_feeds_sniff.py."""
+    ref feed_scraper.py:169-188,333).  DuckDB-oracled: the oracle SQL
+    re-implements the extraction over the same deterministic corpus
+    parquet via read_parquet (see _corpus_oracle_sql); Spark ≡
+    frozen-Python is additionally asserted in tests/test_feeds_sniff.py."""
     from newscrawler_spark.sources.feeds import feed_entries
 
     _, paths = _crawl_store(spark, sf_dir)
@@ -1417,8 +1473,8 @@ def q_s4_feed_entries(spark, sf_dir):
 def q_f12_script_sniff(spark, sf_dir):
     """F12: script-tag count + SPA-shell sniff over raw pages
     (sources/feeds.script_sniff; ref url_classifier.py:286-314).
-    Rows-only (needs the html corpus); golden-tested vs the frozen
-    Python spec."""
+    DuckDB-oracled over the corpus parquet (_corpus_oracle_sql);
+    golden-tested vs the frozen Python spec."""
     from newscrawler_spark.sources.feeds import script_sniff
 
     _, paths = _crawl_store(spark, sf_dir)
@@ -1442,6 +1498,160 @@ def q_s2_due_sources(spark, sf_dir):
     return seeds.filter(F.col("active") & (F.col("crawl_frequency") <= 12)).select(
         "source_id", "domain", "base_url", "priority"
     )
+
+
+_GATE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _corpus_oracle_sql() -> dict[str, str]:
+    """DuckDB oracles for the corpus-input source queries (s1/s2/s4/f12).
+
+    The synthetic corpus is plain parquet/CSV files written by pure
+    pyarrow (sources/corpus.generate_corpus, seed-stable bytes), so
+    DuckDB can read the SAME inputs via read_parquet/read_csv and
+    recompute each query independently.  The driver's gate runs at
+    sf=0.01 — generate_corpus here (idempotent marker, no Spark
+    needed) guarantees the files exist regardless of whether the Spark
+    query or the oracle runs first; byte-determinism guarantees the
+    contents match what the Spark side reads even if the driver spells
+    the sf dir differently."""
+    from newscrawler_spark.functions.extract import (
+        MAX_FEED_ENTRIES,
+        SPA_MAX_TEXT_RATIO,
+        SPA_MIN_SCRIPTS,
+    )
+    from newscrawler_spark.sources.corpus import generate_corpus
+
+    base = os.path.join(tempfile.gettempdir(), f"nc_crawl_{_stable_id(_GATE_SF_DIR)}")
+    p = generate_corpus(os.path.join(base, "corpus"), n_pages=1500, n_hosts=12, seed=42)
+
+    sql_s1 = (
+        f"SELECT url FROM read_csv('{p['url_index']}', header=true) "
+        "WHERE url LIKE 'http%'"
+    )
+    sql_s2 = (
+        "SELECT source_id, domain, base_url, priority "
+        f"FROM read_parquet('{p['seeds']}') "
+        "WHERE active AND crawl_frequency <= 12"
+    )
+    sql_s4 = rf"""
+WITH feeds AS (
+  SELECT url AS feed_url, decode(html) AS h
+  FROM read_parquet('{p["pages"]}') WHERE url LIKE '%/feed.xml'
+),
+b AS (
+  SELECT feed_url,
+         list_slice(regexp_extract_all(h, '(?is)<item\b[^>]*>(.*?)</item\s*>', 1),
+                    1, {MAX_FEED_ENTRIES}) AS blocks
+  FROM feeds
+),
+e AS (
+  SELECT feed_url, unnest(blocks) AS block, unnest(range(1, len(blocks)+1)) AS bno
+  FROM b
+),
+x AS (
+  SELECT feed_url, bno,
+    regexp_extract(block, '(?is)<link>\s*(https?://[^<\s]+)\s*</link>', 1) AS link0,
+    regexp_extract(block, '(?is)<title[^>]*>(.*?)</title\s*>', 1) AS title0,
+    CASE WHEN regexp_matches(block, '(?is)<pubdate[^>]*>(.*?)</pubdate\s*>')
+         THEN trim(regexp_replace(regexp_extract(block, '(?is)<pubdate[^>]*>(.*?)</pubdate\s*>', 1),
+                                  '\s+', ' ', 'g'))
+    END AS published
+  FROM e
+)
+SELECT feed_url,
+       CAST(row_number() OVER (PARTITION BY feed_url ORDER BY bno) - 1 AS INT) AS entry_no,
+       trim(regexp_replace(regexp_replace(title0, '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS title,
+       trim(link0) AS link,
+       published
+FROM x WHERE link0 <> ''
+"""
+    sql_f12 = rf"""
+WITH p AS (SELECT url, decode(html) AS h, text FROM read_parquet('{p["pages"]}')),
+s AS (SELECT url,
+        len(regexp_extract_all(h, '(?i)<script\b')) AS n_scripts,
+        CASE WHEN length(h) > 0 THEN CAST(length(text) AS DOUBLE) / length(h)
+             ELSE 0.0 END AS ratio
+      FROM p)
+SELECT url, CAST(n_scripts AS INT) AS n_scripts,
+       floor(ratio * 1e6) / 1e6 AS text_ratio,
+       (n_scripts >= {SPA_MIN_SCRIPTS} AND ratio < {SPA_MAX_TEXT_RATIO}) AS is_spa
+FROM s
+"""
+    return {
+        "s1_csv_source": sql_s1,
+        "s2_due_sources": sql_s2,
+        "s4_feed_entries": sql_s4,
+        "f12_script_sniff": sql_f12,
+    }
+
+
+def q_pipeline_training_corpus(spark, sf_dir):
+    """End-to-end training-data pipeline composition: exact-dedup
+    keep-first → predicted-language filter (en) → quality gate (≥ 0.5)
+    → per-source corpus stats.  The shape a 100 TB pretraining-corpus
+    build actually runs (dedup → filter → score → stats), composed
+    entirely from the individually-oracled operators; one shuffle for
+    the dedup window, one map-side-combined agg, no Python.
+
+    Float discipline: quality is 4dp-rounded per row (stable across
+    engines), the threshold compares the rounded value, and the
+    aggregate ships as an exact integer (sum of quality×10⁴) so no
+    order-dependent double summation reaches the gate."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    keeper = F.min("doc_id").over(Window.partitionBy(F.md5(F.col("text"))))
+    kept = (
+        docs.withColumn("keeper", keeper)
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .filter(lang_id(F.col("text")) == "en")
+    )
+    q = kept.select(
+        "source",
+        ws_token_count(F.col("text")).alias("toks"),
+        quality_score(F.col("text")).alias("quality"),
+    ).filter(F.col("quality") >= 0.5)
+    return q.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.sum(F.round(F.col("quality") * 10000).cast("long")).alias("quality_e4_sum"),
+    )
+
+
+SQL_PIPELINE = r"""
+WITH keep AS (
+  SELECT doc_id, source, text, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+  FROM documents
+),
+k AS (SELECT doc_id, source, text FROM keep WHERE doc_id = keeper),
+l AS (
+  SELECT doc_id, source, text,
+    len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS en,
+    len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|los|un)\b')) AS es,
+    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein|zu)\b')) AS de
+  FROM k
+),
+e AS (SELECT doc_id, source, text FROM l WHERE en >= es AND en >= de AND en > 0),
+m AS (
+  SELECT doc_id, source, length(text) AS n_chars,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+    len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS stop
+  FROM e),
+q AS (
+  SELECT doc_id, source, toks,
+    round(0.4 * least(n_chars / 500.0, 1.0)
+        + 0.3 * (CASE WHEN n_chars > 0 THEN n_alpha * 1.0 / n_chars ELSE 0.0 END)
+        + 0.3 * (CASE WHEN toks > 0 THEN least(stop * 8.0 / toks, 1.0) ELSE 0.0 END), 4) AS quality
+  FROM m)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(toks) AS BIGINT) AS total_tokens,
+       CAST(sum(CAST(round(quality * 10000) AS BIGINT)) AS BIGINT) AS quality_e4_sum
+FROM q WHERE quality >= 0.5
+GROUP BY source
+"""
 
 
 # =========================================================================
@@ -1513,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_topics": q_text_topics,
         "text_entities": q_text_entities,
         "text_embed": q_text_embed,
+        "pipeline_training_corpus": q_pipeline_training_corpus,
         "text_embed_buckets": q_text_embed_buckets,
         "search_text": q_search_text,
         "search_hybrid": q_search_hybrid,
@@ -1574,7 +1785,9 @@ def oracle_sql() -> dict[str, str]:
         "text_token_stats": SQL_TEXT_TOKENS,
         "text_fingerprint": SQL_TEXT_FP,
         "text_topics": SQL_TEXT_TOPICS,
+        "text_entities": SQL_TEXT_ENTITIES,
         "text_embed_buckets": SQL_TEXT_EMBED_BUCKETS,
+        "pipeline_training_corpus": SQL_PIPELINE,
         "search_text": SQL_SEARCH_TEXT,
         "search_hybrid": SQL_SEARCH_HYBRID,
         "relevance": SQL_RELEVANCE,
@@ -1589,4 +1802,5 @@ def oracle_sql() -> dict[str, str]:
         "mm_media_features": SQL_MM_FEATURES,
         "mm_frame_sample": SQL_MM_FRAMES,
         "streaming_windowed": SQL_STREAMING,
+        **_corpus_oracle_sql(),
     }

@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "text_topics",
     "text_embed",
     "text_embed_buckets",
+    "pipeline_training_corpus",
     "search_text",
     "search_hybrid",
     "relevance",

@@ -88,13 +88,19 @@ def script_sniff(
     text_col: str = "text",
 ) -> DataFrame:
     """(url, n_scripts, text_ratio, is_spa) — F12 page classification,
-    mirroring ``functions/extract.script_count`` / ``is_spa``."""
+    mirroring ``functions/extract.script_count`` / ``is_spa``.
+
+    ``text_ratio`` is truncated (floor at 6dp), not rounded: floor of an
+    identical IEEE double is bit-stable across engines, while decimal
+    rounding at an exact .5 boundary is half-up in Spark/DuckDB but
+    banker's in Python — truncation removes that cross-engine hazard.
+    ``is_spa`` always uses the untruncated ratio."""
     h = _html_str(html_col)
     n_scripts = F.size(F.regexp_extract_all(h, F.lit(SCRIPT_OPEN_PATTERN), F.lit(0)))
     ratio = F.when(F.length(h) > 0, F.length(text_col) / F.length(h)).otherwise(F.lit(0.0))
     return pages.select(
         F.col(url_col).alias("url"),
         n_scripts.alias("n_scripts"),
-        F.round(ratio, 6).alias("text_ratio"),
+        (F.floor(ratio * F.lit(1e6)) / F.lit(1e6)).alias("text_ratio"),
         ((n_scripts >= SPA_MIN_SCRIPTS) & (ratio < SPA_MAX_TEXT_RATIO)).alias("is_spa"),
     )
