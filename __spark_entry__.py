@@ -1434,7 +1434,9 @@ def _crawl_store(spark, sf_dir):
 
 
 def q_crawl_articles(spark, sf_dir):
-    """Full frontier crawl (3 rounds) → extracted articles table."""
+    """Full frontier crawl (3 rounds) → extracted articles table.
+    DuckDB-oracled: the gate replays the whole crawl as one SQL
+    statement (oracle_sql.crawl_articles_sql) and hash-compares."""
     store, _ = _crawl_store(spark, sf_dir)
     return store.read_rounds(spark, "articles").select(
         "url", "url_hash", "source_domain", "title", "quality_score", "round_id", "fetch_seq"
@@ -1442,7 +1444,8 @@ def q_crawl_articles(spark, sf_dir):
 
 
 def q_crawl_order(spark, sf_dir):
-    """Deterministic global crawl order (oracle-verified in pytest)."""
+    """Deterministic global crawl order (oracle-verified in pytest AND
+    via the unrolled-SQL crawl oracle in the driver gate)."""
     from newscrawler_spark.crawler import read_crawl_order
 
     store, _ = _crawl_store(spark, sf_dir)
@@ -1515,15 +1518,18 @@ def _corpus_oracle_sql() -> dict[str, str]:
     query or the oracle runs first; byte-determinism guarantees the
     contents match what the Spark side reads even if the driver spells
     the sf dir differently."""
+    from newscrawler_spark.crawler import CrawlConfig
     from newscrawler_spark.functions.extract import (
         MAX_FEED_ENTRIES,
         SPA_MAX_TEXT_RATIO,
         SPA_MIN_SCRIPTS,
     )
+    from newscrawler_spark.oracle_sql import crawl_articles_sql, crawl_order_sql
     from newscrawler_spark.sources.corpus import generate_corpus
 
     base = os.path.join(tempfile.gettempdir(), f"nc_crawl_{_stable_id(_GATE_SF_DIR)}")
     p = generate_corpus(os.path.join(base, "corpus"), n_pages=1500, n_hosts=12, seed=42)
+    crawl_cfg = CrawlConfig(max_rounds=3, round_budget=8, n_salts=4)  # == _crawl_store
 
     sql_s1 = (
         f"SELECT url FROM read_csv('{p['url_index']}', header=true) "
@@ -1583,6 +1589,11 @@ FROM s
         "s2_due_sources": sql_s2,
         "s4_feed_entries": sql_s4,
         "f12_script_sniff": sql_f12,
+        # The ENTIRE 3-round iterative crawl replayed as one SQL
+        # statement (newscrawler_spark/oracle_sql.py): global fetch
+        # order and article rows incl. the weighted quality score.
+        "crawl_order": crawl_order_sql(p["pages"], p["seeds"], crawl_cfg),
+        "crawl_articles": crawl_articles_sql(p["pages"], p["seeds"], crawl_cfg),
     }
 
 

@@ -1,0 +1,277 @@
+"""The frozen crawl round spec as ONE ANSI-SQL statement (DuckDB oracle).
+
+A third, fully independent implementation of the crawl semantics — after
+the Spark engine (``crawler.py``) and the pure-Python oracle
+(``oracle.py``) — written only from the frozen scalar contracts:
+canonicalize (``CANON_SQL``), 60-bit url hash, the byte-identical
+extraction spec (``functions/extract.py`` docstring), the robots parser
+spec (``functions/robots.py``), and the round protocol (anti-join seen →
+robots terminal deny → per-host budget admission in (priority,
+discovered_round, url_hash, canon_url) order → fetch → extract → links
+at default priority next round).  ``max_rounds`` is unrolled into
+chained CTEs; everything else is plain joins, windows and regexes, so
+the driver's DuckDB gate can replay the ENTIRE iterative crawl and
+hash-compare global fetch order and article rows against the engine.
+
+Equivalence is asserted three ways in tests/test_crawl_sql_oracle.py:
+SQL ≡ pure-Python oracle (order, statuses, byte-identical text) and —
+via the driver-gate replica — SQL ≡ Spark engine output.
+
+The boilerplate regex expands the Python spec's backreference
+(``<(script|…)\\b.*?</\\1>``) into a per-tag alternation because RE2 has
+no backreferences; per-tag pairing is what the backreference expressed.
+"""
+
+from __future__ import annotations
+
+from .crawler import CrawlConfig
+from .functions.canonical import CANON_SQL
+
+_BOILER_TAGS = ("script", "style", "nav", "header", "footer", "aside")
+_BOILER = "|".join(rf"<{t}\b.*?</{t}\s*>" for t in _BOILER_TAGS)
+_HASH60 = "CAST(('0x' || substring(md5({col}), 1, 15)) AS BIGINT)"
+
+# resolve_link spec (functions/extract.resolve_link) for a trimmed href
+# against an already-canonical base url (scheme/host/cu columns in scope).
+_RESOLVE = """
+    CASE
+      WHEN trim({h}) = '' OR starts_with(trim({h}), '#')
+           OR starts_with(trim({h}), 'javascript:') OR starts_with(trim({h}), 'mailto:')
+        THEN NULL
+      WHEN contains(substring(trim({h}), 1, 10), '://') THEN trim({h})
+      WHEN starts_with(trim({h}), '//') THEN scheme || ':' || trim({h})
+      WHEN starts_with(trim({h}), '/') THEN scheme || '://' || host || trim({h})
+      ELSE scheme || '://' || host ||
+           regexp_replace(regexp_extract(cu, '^[a-z]+://[^/]*(/[^?#]*)', 1), '[^/]*$', '') || trim({h})
+    END
+"""
+
+
+def crawl_sql(pages_path: str, seeds_path: str, cfg: CrawlConfig) -> str:
+    """Full crawl as SQL: one row per admitted URL, in global fetch order,
+    with status and the extracted article fields needed downstream."""
+    canon_base = CANON_SQL.format(col="base_url")
+    canon_href = CANON_SQL.format(col="target")
+    robots_body = (
+        "CASE WHEN position('<pre>' IN raw) > 0 AND position('</pre>' IN raw) > 0 "
+        "THEN substring(raw, position('<pre>' IN raw) + 5, "
+        "position('</pre>' IN raw) - position('<pre>' IN raw) - 5) ELSE '' END"
+    )
+
+    head = rf"""
+WITH pagemeta AS (
+  SELECT url AS cu, decode(html) AS raw,
+         regexp_replace(decode(html), '(?is){_BOILER}', ' ', 'g') AS body,
+         regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+         regexp_extract(url, '^[a-z]+://([^/?#]*)', 1) AS host
+  FROM read_parquet('{pages_path}')
+),
+ext AS (
+  SELECT cu, host,
+    COALESCE(trim(regexp_replace(regexp_replace(regexp_extract(body, '(?is)<title[^>]*>(.*?)</title\s*>', 1), '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')), '') AS title,
+    COALESCE(trim(regexp_replace(array_to_string(list_transform(
+        regexp_extract_all(body, '(?is)<p\b[^>]*>(.*?)</p\s*>', 1),
+        x -> regexp_replace(x, '<[^>]+>', ' ', 'g')), ' '), '\s+', ' ', 'g')), '') AS text,
+    len(regexp_extract_all(raw, '(?i)<meta\b[^>]*?\bname\s*=\s*["'']author["''][^>]*?\bcontent\s*=\s*["'']([^"''>]*)["'']', 1)) AS n_authors,
+    regexp_matches(raw, '(?i)<meta\b[^>]*?\bproperty\s*=\s*["'']article:published_time["''][^>]*?\bcontent\s*=\s*["'']([^"''>]*)["'']') AS has_published
+  FROM pagemeta
+),
+imgs AS (
+  SELECT cu, CAST(count(DISTINCT link) AS INT) AS n_images FROM (
+    SELECT cu, {canon_href} AS link FROM (
+      SELECT cu, {_RESOLVE.format(h="src")} AS target FROM (
+        SELECT cu, scheme, host,
+               unnest(regexp_extract_all(body, '(?i)<img\b[^>]*?\bsrc\s*=\s*["'']([^"''>]+)["'']', 1)) AS src
+        FROM pagemeta) s0
+    ) s1 WHERE target IS NOT NULL
+  ) s2 WHERE link IS NOT NULL GROUP BY cu
+),
+hx AS (
+  SELECT cu, scheme, host, unnest(hrefs) AS href, unnest(range(1, len(hrefs)+1)) AS pos
+  FROM (
+    SELECT cu, scheme, host,
+      list_concat(
+        regexp_extract_all(body, '(?i)<a\b[^>]*?\bhref\s*=\s*["'']([^"''>]+)["'']', 1),
+        list_slice(regexp_extract_all(body, '(?i)<link>\s*(https?://[^<\s]+)\s*</link>', 1), 1, 20)
+      ) AS hrefs
+    FROM pagemeta) hr
+),
+lc AS (
+  SELECT cu, pos, {canon_href} AS link
+  FROM (SELECT cu, pos, {_RESOLVE.format(h="href")} AS target FROM hx) r
+  WHERE target IS NOT NULL
+),
+lk AS (
+  SELECT cu, link, row_number() OVER (PARTITION BY cu ORDER BY pos) AS rk
+  FROM (
+    SELECT cu, pos, link, row_number() OVER (PARTITION BY cu, link ORDER BY pos) AS occ
+    FROM lc WHERE link IS NOT NULL) d
+  WHERE occ = 1
+),
+page_links AS (
+  SELECT cu, link FROM lk WHERE rk <= {cfg.max_links_per_page}
+),
+robots_lines AS (
+  SELECT host, pos, clean,
+    lower(trim(split_part(clean, ':', 1))) AS key,
+    trim(substring(clean, position(':' IN clean) + 1)) AS val
+  FROM (
+    SELECT host,
+      unnest(string_split({robots_body}, chr(10))) AS ln0,
+      unnest(range(1, len(string_split({robots_body}, chr(10)))+1)) AS pos
+    FROM pagemeta WHERE cu = scheme || '://' || host || '/robots.txt'
+  ) z, LATERAL (SELECT trim(split_part(z.ln0, '#', 1)) AS clean) c
+  WHERE position(':' IN trim(split_part(z.ln0, '#', 1))) > 0
+),
+robots_grp AS (
+  SELECT *, max(CASE WHEN key = 'user-agent' THEN pos END)
+              OVER (PARTITION BY host ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ua_pos
+  FROM robots_lines
+),
+robots_app AS (
+  SELECT g.*,
+    (SELECT bool_or(g2.val = '*') FROM robots_grp g2
+      WHERE g2.host = g.host AND g2.pos = g.ua_pos AND g2.key = 'user-agent') AS ap
+  FROM robots_grp g
+),
+robots_dim AS (
+  SELECT hosts.host, COALESCE(r.rules, []) AS rules, d.delay
+  FROM (SELECT DISTINCT host FROM robots_app) hosts
+  LEFT JOIN (
+    SELECT host, list(struct_pack(prefix := val, allow := (key = 'allow')) ORDER BY pos) AS rules
+    FROM robots_app WHERE key IN ('allow','disallow') AND ap AND val <> ''
+    GROUP BY host
+  ) r ON hosts.host = r.host
+  LEFT JOIN (
+    SELECT host, arg_max(TRY_CAST(val AS DOUBLE), pos) AS delay
+    FROM robots_app WHERE key = 'crawl-delay' AND ap AND TRY_CAST(val AS DOUBLE) IS NOT NULL
+    GROUP BY host
+  ) d ON hosts.host = d.host
+),
+seeds0 AS (
+  SELECT {canon_base} AS cu, priority
+  FROM read_parquet('{seeds_path}') WHERE active
+),
+pending_0 AS (
+  SELECT cu, CAST(min(priority) AS INT) AS prio, 0 AS disc
+  FROM seeds0 WHERE cu IS NOT NULL GROUP BY cu
+)"""
+
+    rounds = []
+    for r in range(cfg.max_rounds):
+        seen_union = (
+            "SELECT cu FROM ("
+            + " UNION ALL ".join(
+                f"SELECT cu FROM denied_{i} UNION ALL SELECT cu FROM admitted_{i}"
+                for i in range(r)
+            )
+            + ") su"
+        ) if r > 0 else "SELECT NULL AS cu WHERE false"
+        rounds.append(rf"""
+cand_{r} AS (
+  SELECT p.cu, p.prio, p.disc,
+    regexp_extract(p.cu, '^[a-z]+://([^/?#]*)', 1) AS host,
+    COALESCE('/' || regexp_extract(p.cu, '^[a-z]+://[^/]*/(.*)$', 1), '/') AS path
+  FROM pending_{r} p
+  WHERE p.cu NOT IN ({seen_union})
+),
+cand_rb_{r} AS (
+  SELECT c.*,
+    CASE WHEN rd.host IS NULL OR len(rd.rules) = 0 THEN true
+         ELSE (
+           CASE WHEN len(list_filter(rd.rules, x -> starts_with(c.path, x.prefix))) = 0 THEN true
+           ELSE len(list_filter(rd.rules,
+                 x -> starts_with(c.path, x.prefix) AND x.allow
+                      AND length(x.prefix) = list_max(list_transform(
+                            list_filter(rd.rules, y -> starts_with(c.path, y.prefix)),
+                            y -> length(y.prefix))))) > 0
+           END) END AS allowed,
+    greatest(1, CAST(trunc({cfg.round_budget}.0 / greatest(COALESCE(rd.delay, 1.0), 1.0)) AS INT)) AS budget
+  FROM cand_{r} c LEFT JOIN robots_dim rd ON c.host = rd.host
+),
+denied_{r} AS (
+  SELECT cu, 'robots_denied' AS status FROM cand_rb_{r} WHERE NOT allowed
+),
+ranked_{r} AS (
+  SELECT cu, prio, disc, host, budget, {_HASH60.format(col="cu")} AS h,
+    row_number() OVER (PARTITION BY host ORDER BY prio, disc, {_HASH60.format(col="cu")}, cu) AS rn
+  FROM cand_rb_{r} WHERE allowed
+),
+admitted_{r} AS (
+  SELECT cu, prio, disc, h, {r} AS round_id FROM ranked_{r} WHERE rn <= budget
+),
+deferred_{r} AS (
+  SELECT cu, prio, disc FROM ranked_{r} WHERE rn > budget
+),
+links_{r} AS (
+  SELECT pl.link AS cu, {cfg.default_priority} AS prio, {r + 1} AS disc
+  FROM admitted_{r} a JOIN page_links pl ON a.cu = pl.cu
+  GROUP BY pl.link
+),
+pending_{r + 1} AS (
+  SELECT cu, CAST(k.prio AS INT) AS prio, CAST(k.disc AS INT) AS disc FROM (
+    SELECT cu, min(struct_pack(prio := prio2, disc := disc2)) AS k FROM (
+      SELECT cu, prio AS prio2, disc AS disc2 FROM deferred_{r}
+      UNION ALL
+      SELECT cu, prio AS prio2, disc AS disc2 FROM links_{r}
+    ) u GROUP BY cu
+  ) g
+)""")
+
+    tail = rf"""
+order_all AS (
+  {" UNION ALL ".join(f"SELECT cu, prio, disc, h, round_id FROM admitted_{r}" for r in range(cfg.max_rounds))}
+),
+ordered AS (
+  SELECT cu, h AS url_hash, round_id,
+    CAST(row_number() OVER (ORDER BY round_id, prio, disc, h, cu) AS BIGINT) AS fetch_seq
+  FROM order_all
+)
+SELECT o.cu AS url, o.url_hash, o.fetch_seq, o.round_id,
+  regexp_extract(o.cu, '^[a-z]+://([^/?#]*)', 1) AS source_domain,
+  CASE WHEN e.cu IS NULL THEN 'missing'
+       WHEN length(e.text) >= {cfg.min_content_len} THEN 'fetched'
+       ELSE 'short' END AS status,
+  e.title, e.text, e.n_authors, e.has_published,
+  COALESCE(i.n_images, 0) AS n_images
+FROM ordered o
+LEFT JOIN ext e ON o.cu = e.cu
+LEFT JOIN imgs i ON o.cu = i.cu
+"""
+    return head + "," + ",".join(rounds) + "," + tail
+
+
+def crawl_order_sql(pages_path: str, seeds_path: str, cfg: CrawlConfig) -> str:
+    """(url, fetch_seq) — the engine's global fetch order."""
+    return (
+        f"SELECT url, fetch_seq FROM ({crawl_sql(pages_path, seeds_path, cfg)}) c "
+        "ORDER BY fetch_seq"
+    )
+
+
+def crawl_articles_sql(pages_path: str, seeds_path: str, cfg: CrawlConfig) -> str:
+    """Article rows with the reference-shaped weighted quality score
+    (crawler.py step 6, mirroring base_scraper.py:69-117): weighted
+    content/metadata/title/images components normalized by the present
+    components' total weight, rounded to 6dp — the exact expression tree
+    of the Spark side, so the doubles agree bit-for-bit."""
+    return rf"""
+WITH crawl AS ({crawl_sql(pages_path, seeds_path, cfg)}),
+a AS (SELECT * FROM crawl WHERE status = 'fetched'),
+w AS (
+  SELECT *,
+    CASE WHEN length(text) > 0 THEN 0.3 ELSE 0.0 END AS content_w,
+    CASE WHEN title IS NOT NULL AND length(title) > 10 THEN 0.2 ELSE 0.0 END AS title_w,
+    CASE WHEN n_images > 0 THEN 0.2 ELSE 0.0 END AS img_w
+  FROM a)
+SELECT url, url_hash, source_domain, title,
+  round((least(length(text) / 2000.0, 1.0) * content_w
+       + 0.3 * (0.25 * (CASE WHEN n_authors > 0 THEN 1.0 ELSE 0.0 END)
+              + 0.25 * (CASE WHEN has_published THEN 1.0 ELSE 0.0 END))
+       + least(length(title) / 50.0, 1.0) * title_w
+       + least(n_images / 3.0, 1.0) * img_w)
+      / (content_w + 0.3 + title_w + img_w), 6) AS quality_score,
+  round_id, fetch_seq
+FROM w
+"""
