@@ -47,16 +47,86 @@ _RESOLVE = """
 """
 
 
+# Longest-match robots decision over a (path, rules) pair, where rules is
+# LIST<STRUCT(prefix, allow)> in file order — mirrors robots_allowed():
+# no rules or no matching prefix → allowed; else allowed iff some rule of
+# maximal matching-prefix length is an Allow.
+ALLOWED_SQL = """
+    CASE WHEN {rules} IS NULL OR len({rules}) = 0 THEN true
+         ELSE (
+           CASE WHEN len(list_filter({rules}, x -> starts_with({path}, x.prefix))) = 0 THEN true
+           ELSE len(list_filter({rules},
+                 x -> starts_with({path}, x.prefix) AND x.allow
+                      AND length(x.prefix) = list_max(list_transform(
+                            list_filter({rules}, y -> starts_with({path}, y.prefix)),
+                            y -> length(y.prefix))))) > 0
+           END) END
+"""
+
+_ROBOTS_BODY = (
+    "CASE WHEN position('<pre>' IN raw) > 0 AND position('</pre>' IN raw) > 0 "
+    "THEN substring(raw, position('<pre>' IN raw) + 5, "
+    "position('</pre>' IN raw) - position('<pre>' IN raw) - 5) ELSE '' END"
+)
+
+
+def robots_dim_sql(pages_path: str) -> str:
+    """(host, rules LIST<STRUCT(prefix,allow)>, delay) from the root
+    robots.txt pages — the parse_robots() spec in SQL: strip comments,
+    windowed user-agent grouping (a rule applies iff its nearest
+    preceding User-agent line is '*'), rules kept in file order,
+    last-wins crawl-delay."""
+    return rf"""
+WITH pagemeta AS (
+  SELECT url AS cu, decode(html) AS raw,
+         regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+         regexp_extract(url, '^[a-z]+://([^/?#]*)', 1) AS host
+  FROM read_parquet('{pages_path}')
+),
+robots_lines AS (
+  SELECT host, pos, clean,
+    lower(trim(split_part(clean, ':', 1))) AS key,
+    trim(substring(clean, position(':' IN clean) + 1)) AS val
+  FROM (
+    SELECT host,
+      unnest(string_split({_ROBOTS_BODY}, chr(10))) AS ln0,
+      unnest(range(1, len(string_split({_ROBOTS_BODY}, chr(10)))+1)) AS pos
+    FROM pagemeta WHERE cu = scheme || '://' || host || '/robots.txt'
+  ) z, LATERAL (SELECT trim(split_part(z.ln0, '#', 1)) AS clean) c
+  WHERE position(':' IN trim(split_part(z.ln0, '#', 1))) > 0
+),
+robots_grp AS (
+  SELECT *, max(CASE WHEN key = 'user-agent' THEN pos END)
+              OVER (PARTITION BY host ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ua_pos
+  FROM robots_lines
+),
+robots_app AS (
+  SELECT g.*,
+    (SELECT bool_or(g2.val = '*') FROM robots_grp g2
+      WHERE g2.host = g.host AND g2.pos = g.ua_pos AND g2.key = 'user-agent') AS ap
+  FROM robots_grp g
+)
+SELECT hosts.host, COALESCE(r.rules, []) AS rules, d.delay
+FROM (SELECT DISTINCT host FROM robots_app) hosts
+LEFT JOIN (
+  SELECT host, list(struct_pack(prefix := val, allow := (key = 'allow')) ORDER BY pos) AS rules
+  FROM robots_app WHERE key IN ('allow','disallow') AND ap AND val <> ''
+  GROUP BY host
+) r ON hosts.host = r.host
+LEFT JOIN (
+  SELECT host, arg_max(TRY_CAST(val AS DOUBLE), pos) AS delay
+  FROM robots_app WHERE key = 'crawl-delay' AND ap AND TRY_CAST(val AS DOUBLE) IS NOT NULL
+  GROUP BY host
+) d ON hosts.host = d.host
+"""
+
+
 def crawl_sql(pages_path: str, seeds_path: str, cfg: CrawlConfig) -> str:
     """Full crawl as SQL: one row per admitted URL, in global fetch order,
     with status and the extracted article fields needed downstream."""
     canon_base = CANON_SQL.format(col="base_url")
     canon_href = CANON_SQL.format(col="target")
-    robots_body = (
-        "CASE WHEN position('<pre>' IN raw) > 0 AND position('</pre>' IN raw) > 0 "
-        "THEN substring(raw, position('<pre>' IN raw) + 5, "
-        "position('</pre>' IN raw) - position('<pre>' IN raw) - 5) ELSE '' END"
-    )
 
     head = rf"""
 WITH pagemeta AS (
@@ -111,43 +181,8 @@ lk AS (
 page_links AS (
   SELECT cu, link FROM lk WHERE rk <= {cfg.max_links_per_page}
 ),
-robots_lines AS (
-  SELECT host, pos, clean,
-    lower(trim(split_part(clean, ':', 1))) AS key,
-    trim(substring(clean, position(':' IN clean) + 1)) AS val
-  FROM (
-    SELECT host,
-      unnest(string_split({robots_body}, chr(10))) AS ln0,
-      unnest(range(1, len(string_split({robots_body}, chr(10)))+1)) AS pos
-    FROM pagemeta WHERE cu = scheme || '://' || host || '/robots.txt'
-  ) z, LATERAL (SELECT trim(split_part(z.ln0, '#', 1)) AS clean) c
-  WHERE position(':' IN trim(split_part(z.ln0, '#', 1))) > 0
-),
-robots_grp AS (
-  SELECT *, max(CASE WHEN key = 'user-agent' THEN pos END)
-              OVER (PARTITION BY host ORDER BY pos
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ua_pos
-  FROM robots_lines
-),
-robots_app AS (
-  SELECT g.*,
-    (SELECT bool_or(g2.val = '*') FROM robots_grp g2
-      WHERE g2.host = g.host AND g2.pos = g.ua_pos AND g2.key = 'user-agent') AS ap
-  FROM robots_grp g
-),
 robots_dim AS (
-  SELECT hosts.host, COALESCE(r.rules, []) AS rules, d.delay
-  FROM (SELECT DISTINCT host FROM robots_app) hosts
-  LEFT JOIN (
-    SELECT host, list(struct_pack(prefix := val, allow := (key = 'allow')) ORDER BY pos) AS rules
-    FROM robots_app WHERE key IN ('allow','disallow') AND ap AND val <> ''
-    GROUP BY host
-  ) r ON hosts.host = r.host
-  LEFT JOIN (
-    SELECT host, arg_max(TRY_CAST(val AS DOUBLE), pos) AS delay
-    FROM robots_app WHERE key = 'crawl-delay' AND ap AND TRY_CAST(val AS DOUBLE) IS NOT NULL
-    GROUP BY host
-  ) d ON hosts.host = d.host
+  SELECT * FROM ({robots_dim_sql(pages_path)}) rdim
 ),
 seeds0 AS (
   SELECT {canon_base} AS cu, priority
@@ -178,15 +213,7 @@ cand_{r} AS (
 ),
 cand_rb_{r} AS (
   SELECT c.*,
-    CASE WHEN rd.host IS NULL OR len(rd.rules) = 0 THEN true
-         ELSE (
-           CASE WHEN len(list_filter(rd.rules, x -> starts_with(c.path, x.prefix))) = 0 THEN true
-           ELSE len(list_filter(rd.rules,
-                 x -> starts_with(c.path, x.prefix) AND x.allow
-                      AND length(x.prefix) = list_max(list_transform(
-                            list_filter(rd.rules, y -> starts_with(c.path, y.prefix)),
-                            y -> length(y.prefix))))) > 0
-           END) END AS allowed,
+    {ALLOWED_SQL.format(rules="rd.rules", path="c.path")} AS allowed,
     greatest(1, CAST(trunc({cfg.round_budget}.0 / greatest(COALESCE(rd.delay, 1.0), 1.0)) AS INT)) AS budget
   FROM cand_{r} c LEFT JOIN robots_dim rd ON c.host = rd.host
 ),
