@@ -626,8 +626,26 @@ class FrontierCrawler:
         # articles carry the text payload → written at natural (extract)
         # partitioning so no text bytes shuffle; the small metadata deltas
         # get round-robin repartitioned to keep file counts sane.
+        # Optional per-step walls (SPARK_GRAFT_STEP_TIMING=1): each write
+        # job timed separately; "articles" includes the fetch-join +
+        # extraction chain it materializes.  Recorded into the manifest.
+        steps: dict[str, float] = {}
+
+        def _timed(name):
+            import contextlib
+
+            @contextlib.contextmanager
+            def cm():
+                s = time.time()
+                yield
+                if os.environ.get("SPARK_GRAFT_STEP_TIMING") == "1":
+                    steps[name] = round(time.time() - s, 3)
+
+            return cm()
+
         wp = cfg.write_partitions
-        self.store.write_round("articles", round_id, article_rows)
+        with _timed("articles"):
+            self.store.write_round("articles", round_id, article_rows)
 
         obs_seen = Observation(f"seen_{round_id}")
         seen_obs_df = seen_delta.observe(
@@ -641,9 +659,11 @@ class FrontierCrawler:
             ),
             F.sum(F.when(F.col("fetch_seq").isNotNull(), 1).otherwise(0)).alias("admitted"),
         )
-        self.store.write_round("seen", round_id, seen_obs_df, partitions=wp)
+        with _timed("seen"):
+            self.store.write_round("seen", round_id, seen_obs_df, partitions=wp)
 
-        self.store.write_round("crawl_logs", round_id, logs, partitions=1)
+        with _timed("crawl_logs"):
+            self.store.write_round("crawl_logs", round_id, logs, partitions=1)
 
         obs_frontier = Observation(f"frontier_{round_id}")
         frontier_obs_df = next_frontier.observe(
@@ -653,12 +673,16 @@ class FrontierCrawler:
                 "deferred"
             ),
         )
-        self.store.write_round("frontier", round_id, frontier_obs_df, partitions=wp)
+        with _timed("frontier"):
+            self.store.write_round("frontier", round_id, frontier_obs_df, partitions=wp)
 
         stats = {k: int(v or 0) for k, v in {**obs_seen.get, **obs_frontier.get}.items()}
         if cfg.use_bloom:
-            self._advance_bloom(round_id)
+            with _timed("bloom"):
+                self._advance_bloom(round_id)
         stats["wall_secs"] = round(time.time() - t0, 3)
+        if steps:
+            stats["step_secs"] = steps
         self.store.commit_round(round_id, stats)
         admitted.unpersist()
         extracted.unpersist()

@@ -331,6 +331,13 @@ ratio at 0.67-0.86.  Fresh JVM per run, repeats interleaved
 **Scaling efficiency (4N vs N) = ({bl4['urls_per_sec']} / {bl1['urls_per_sec']}) / 4 =
 {eff:.2f}** (target ≥ 0.8).
 
+Host ceiling for this window: the N leg keeps ~2 processes busy and the
+4N leg ~8, so even a perfectly-scaling engine could show at most
+(6.90x / 2.03x) / 4 = **0.85** on this host (pure-CPU probe rates at
+the same process counts) — the measured {eff:.2f} is
+{eff / 0.85:.0%} of the host-achievable ratio; the residual is the
+engine's true coordination cost.
+
 - Raw repeats (urls/sec): {json.dumps({str(k): [r['urls_per_sec'] for r in v] for k, v in local.items()})}
 - Input: {args.pages}-page synthetic Common-Crawl-style corpus (seed=42,
   article-sized pages ~12 KB, hot host ≈ 33% of pages); one bulk
