@@ -1305,12 +1305,71 @@ FROM p2 WHERE round(dot / (sqrt(na) * sqrt(nb)), 4) >= 0.45
 
 
 def q_sim_ann_lsh(spark, sf_dir):
-    """ANN top-k via deterministic random-hyperplane LSH buckets (scale
-    path; recall vs brute force asserted in tests). Rows-only."""
-    from newscrawler_spark.operators.similarity import ann_topk
+    """ANN top-k via multi-table LSH buckets (scale path: pre-bucketed
+    layout, broadcast probe join, exact rerank of candidates only).
+
+    Uses the integer Rademacher scheme (operators/similarity.
+    ann_topk_rademacher): quantized vectors × md5-parity ±1 planes =
+    exact integer dots, so DuckDB derives bit-identical buckets and the
+    WHOLE approximate pipeline is oracled — the oracle checks the
+    algorithm, the pytest recall bound checks the operating point."""
+    from newscrawler_spark.operators.similarity import ann_topk_rademacher
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ann_topk(emb, _query_vec(spark, sf_dir), k=20, n_planes=8)
+    return ann_topk_rademacher(
+        emb, _query_vec(spark, sf_dir), k=20, n_planes=5, n_tables=16
+    )
+
+
+def _sql_sim_ann_lsh(dim: int = 64, n_planes: int = 5, n_tables: int = 16, seed: int = 42) -> str:
+    """DuckDB twin of q_sim_ann_lsh, planes inlined as one flat literal
+    (they are data-independent md5 parities).  Bucketing is exact
+    integer arithmetic — floor(x*1e4+0.5) quantization, ±1 dots, sign
+    bits — so buckets match Spark's numpy path bit-for-bit; the rerank
+    is the SQL_SIM_TOPK expression tree over the candidate set."""
+    from newscrawler_spark.operators.similarity import rademacher_planes
+
+    w = rademacher_planes(dim, n_planes, n_tables, seed)
+    flat = ",".join(str(int(v)) for v in w.reshape(-1))
+    return f"""
+WITH wflat AS (
+  SELECT unnest([{flat}]) AS wv,
+         CAST(generate_subscripts([{flat}], 1) - 1 AS BIGINT) AS f),
+w AS (
+  SELECT CAST(f // {n_planes * dim} AS INT) AS t,
+         CAST((f // {dim}) % {n_planes} AS INT) AS p,
+         CAST(f % {dim} AS INT) AS i, wv
+  FROM wflat),
+e AS (
+  SELECT vec_id,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS qv,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i
+  FROM embeddings),
+dots AS (
+  SELECT e.vec_id, w.t, w.p, sum(e.qv * w.wv) AS dot
+  FROM e JOIN w USING (i) GROUP BY 1, 2, 3),
+buckets AS (
+  SELECT vec_id, t,
+         sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS bucket
+  FROM dots GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT b.vec_id
+  FROM buckets b JOIN (SELECT t, bucket FROM buckets WHERE vec_id = 0) qb
+    ON b.t = qb.t AND b.bucket = qb.bucket),
+ev AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+q AS (SELECT i, ev AS qv FROM ev WHERE vec_id = 0),
+d AS (
+  SELECT ev.vec_id, sum(ev.ev * q.qv) AS dot, sum(ev.ev * ev.ev) AS nn
+  FROM ev JOIN q USING (i)
+  WHERE ev.vec_id IN (SELECT vec_id FROM cand)
+  GROUP BY 1),
+qn AS (SELECT sum(qv * qv) AS qq FROM q)
+SELECT vec_id, round(dot / (sqrt(nn) * sqrt((SELECT qq FROM qn))), 4) AS cosine
+FROM d ORDER BY cosine DESC, vec_id LIMIT 20
+"""
 
 
 def q_mm_media_features(spark, sf_dir):
@@ -1810,6 +1869,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivf_topk": SQL_SIM_IVF,
         "sim_neardup_pairs": SQL_SIM_NEARDUP,
         "sim_neardup_lsh": SQL_SIM_NEARDUP_LSH,
+        "sim_ann_lsh": _sql_sim_ann_lsh(),
         "mm_media_features": SQL_MM_FEATURES,
         "mm_frame_sample": SQL_MM_FRAMES,
         "streaming_windowed": SQL_STREAMING,

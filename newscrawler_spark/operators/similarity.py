@@ -439,6 +439,60 @@ def rademacher_bucket_udf(dim: int, n_planes: int, n_tables: int, seed: int = 42
     return body
 
 
+def rademacher_query_buckets(
+    query: list[float], n_planes: int, n_tables: int, seed: int = 42
+) -> list[tuple[int, int]]:
+    """The (table_id, bucket) probes of one query vector — the exact
+    scalar twin of :func:`rademacher_bucket_udf` (same quantization,
+    same integer dots), so a probe always lands in the bucket the UDF
+    would assign the identical vector to."""
+    w = rademacher_planes(len(query), n_planes, n_tables, seed)
+    q = np.floor(np.asarray(query, dtype=np.float64) * 10000 + 0.5).astype(np.int64)
+    shifts = 1 << np.arange(n_planes, dtype=np.int64)
+    probes = []
+    for t in range(n_tables):
+        dots = q @ w[t].T
+        probes.append((t, int(((dots > 0).astype(np.int64) * shifts).sum())))
+    return probes
+
+
+def ann_topk_rademacher(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-table ANN top-k with CROSS-ENGINE-EXACT buckets.
+
+    Same plan shape as :func:`ann_topk` (pre-bucketable layout, broadcast
+    probe join, candidates reranked exactly), but the buckets come from
+    the integer Rademacher scheme: vectors quantized to ints, ±1 planes
+    from md5 parity, exact integer dot products — so ANY engine with
+    md5() derives bit-identical buckets and the FULL approximate result
+    (bucketing + probing + rerank) has a DuckDB oracle, not just a
+    recall bound.  Recall is still measured against brute force in
+    tests; the oracle checks the algorithm, the recall test checks the
+    operating point."""
+    dim = len(query)
+    bucketed = embeddings.select("vec_id", "embedding").mapInPandas(
+        rademacher_bucket_udf(dim, n_planes, n_tables, seed),
+        schema="vec_id long, table_id int, bucket long",
+    )
+    probe_df = embeddings.sparkSession.createDataFrame(
+        rademacher_query_buckets(query, n_planes, n_tables, seed),
+        "table_id int, bucket long",
+    )
+    cand_ids = (
+        bucketed.join(F.broadcast(probe_df), ["table_id", "bucket"])
+        .select("vec_id")
+        .distinct()
+    )
+    cands = embeddings.join(cand_ids, "vec_id").select("vec_id", "embedding")
+    return cosine_topk(cands, query, k)
+
+
 def rademacher_candidate_pairs(
     embeddings: DataFrame, n_planes: int = 6, n_tables: int = 24, seed: int = 42
 ) -> DataFrame:

@@ -82,6 +82,40 @@ def test_ann_recall_vs_bruteforce(spark, emb):
     assert approx[0] == truth[0] == 1  # the query vector itself ranks first
 
 
+def test_ann_rademacher_probe_twin_and_recall(spark, emb):
+    """The scalar query-probe path must land in EXACTLY the bucket the
+    Arrow UDF assigns the identical vector (cross-engine-exact integer
+    scheme — this equality is what makes the DuckDB oracle of
+    q_sim_ann_lsh sound), and the operating point must keep useful
+    recall vs brute force."""
+    from newscrawler_spark.operators.similarity import (
+        ann_topk_rademacher,
+        cosine_topk,
+        rademacher_bucket_udf,
+        rademacher_query_buckets,
+    )
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    probes = dict(rademacher_query_buckets(q, n_planes=4, n_tables=16))
+    udf_rows = (
+        emb.filter(F.col("vec_id") == 1)
+        .select("vec_id", "embedding")
+        .mapInPandas(
+            rademacher_bucket_udf(len(q), 4, 16), schema="vec_id long, table_id int, bucket long"
+        )
+        .collect()
+    )
+    assert {r["table_id"]: r["bucket"] for r in udf_rows} == probes
+
+    truth = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    approx = [
+        r["vec_id"] for r in ann_topk_rademacher(emb, q, k=10, n_planes=4, n_tables=16).collect()
+    ]
+    assert approx[0] == truth[0] == 1  # own bucket always probed
+    recall = len(set(truth) & set(approx)) / 10
+    assert recall >= 0.6, f"rademacher ANN recall {recall} too low (4 planes × 16 tables)"
+
+
 def test_ivf_topk_recall_and_partition_math(spark, emb):
     """IVF-flat: probing nprobe/C of the lists must still find the query
     vector itself (its own list is always ranked first) and a healthy
