@@ -766,6 +766,19 @@ FROM documents
 """
 
 
+def _entities_df(spark, sf_dir):
+    """(doc_id, entities map<type, names>) over case-restored text —
+    shared by q_text_entities and q_entity_lookup."""
+    from newscrawler_spark.functions.entities import ENTITY_SCHEMA, entities_map_in_pandas
+
+    enriched = F.expr(
+        "array_join(transform(split(text, ' '), "
+        "w -> IF(length(w) >= 6, concat(upper(substring(w, 1, 1)), substring(w, 2)), w)), ' ')"
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", enriched.alias("text"))
+    return docs.mapInPandas(entities_map_in_pandas, schema=ENTITY_SCHEMA)
+
+
 def q_text_entities(spark, sf_dir):
     """F10/X8: entities map<type, names> via deterministic heuristic
     (spaCy NER drop-in; functions/entities.py).
@@ -775,14 +788,7 @@ def q_text_entities(spark, sf_dir):
     case-restoration transform (capitalize words of length ≥ 6) is
     applied identically in both engines first; the DuckDB oracle then
     re-implements the frozen span/shed/dedup spec in pure SQL."""
-    from newscrawler_spark.functions.entities import ENTITY_SCHEMA, entities_map_in_pandas
-
-    enriched = F.expr(
-        "array_join(transform(split(text, ' '), "
-        "w -> IF(length(w) >= 6, concat(upper(substring(w, 1, 1)), substring(w, 2)), w)), ' ')"
-    )
-    docs = _t(spark, sf_dir, "documents").select("doc_id", enriched.alias("text"))
-    ent = docs.mapInPandas(entities_map_in_pandas, schema=ENTITY_SCHEMA)
+    ent = _entities_df(spark, sf_dir)
     return ent.select(
         "doc_id",
         F.array_join(F.map_keys("entities"), ",").alias("entity_types"),
@@ -796,8 +802,9 @@ def q_text_entities(spark, sf_dir):
 # the first word of sentence-start runs, count distinct spans by length
 # class.  Spans are deduped by string, and a span's word count is a
 # function of the string, so DISTINCT-per-class equals the frozen
-# Python's shared ordered-seen-set counts.
-SQL_TEXT_ENTITIES = r"""
+# Python's shared ordered-seen-set counts.  The CTE chain through
+# ``sp`` is shared with the entity-lookup oracle below.
+_SQL_ENTITY_SPANS = r"""
 WITH enriched AS (
   SELECT doc_id,
     array_to_string(list_transform(string_split(text, ' '),
@@ -821,6 +828,9 @@ shed AS (
 ),
 sp AS (SELECT doc_id, array_to_string(words, ' ') AS span, len(words) AS nw
        FROM shed WHERE len(words) > 0)
+"""
+
+SQL_TEXT_ENTITIES = _SQL_ENTITY_SPANS + r"""
 SELECT d.doc_id,
        'PERSON,ORG' AS entity_types,
        COALESCE(p.np, 0) AS n_person,
@@ -830,6 +840,30 @@ FROM documents d LEFT JOIN (
          CAST(count(DISTINCT CASE WHEN nw >= 2 THEN span END) AS INT) AS np,
          CAST(count(DISTINCT CASE WHEN nw = 1 THEN span END) AS INT) AS no_
   FROM sp GROUP BY doc_id) p ON d.doc_id = p.doc_id
+"""
+
+
+def q_entity_lookup(spark, sf_dir):
+    """Entity lookup — the reference's articles-by-entity endpoint
+    (`GET /articles/entities/{type}/{entity}`, src/api/routers/
+    articles.py:357): all documents whose extracted PERSON entities
+    contain a given name.  The probe name is derived from the data
+    (the lexicographically-smallest PERSON span), so the query is
+    corpus-independent: explode PERSONs → broadcast-join the min-span
+    row — at scale this is an `array_contains` partition-pruned filter
+    over the entities column, no explode needed once the target is a
+    literal."""
+    pers = _entities_df(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.coalesce(F.col("entities")["PERSON"], F.array())).alias("entity"),
+    )
+    target = pers.groupBy().agg(F.min("entity").alias("entity"))
+    return pers.join(F.broadcast(target), "entity").select("doc_id", "entity")
+
+
+SQL_ENTITY_LOOKUP = _SQL_ENTITY_SPANS + r"""
+, pers AS (SELECT DISTINCT doc_id, span AS entity FROM sp WHERE nw >= 2)
+SELECT doc_id, entity FROM pers WHERE entity = (SELECT min(entity) FROM pers)
 """
 
 
@@ -1792,6 +1826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_topics": q_text_topics,
         "text_entities": q_text_entities,
+        "entity_lookup": q_entity_lookup,
         "text_embed": q_text_embed,
         "pipeline_training_corpus": q_pipeline_training_corpus,
         "text_embed_buckets": q_text_embed_buckets,
@@ -1856,6 +1891,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": SQL_TEXT_FP,
         "text_topics": SQL_TEXT_TOPICS,
         "text_entities": SQL_TEXT_ENTITIES,
+        "entity_lookup": SQL_ENTITY_LOOKUP,
         "text_embed_buckets": SQL_TEXT_EMBED_BUCKETS,
         "pipeline_training_corpus": SQL_PIPELINE,
         "search_text": SQL_SEARCH_TEXT,
