@@ -1072,13 +1072,53 @@ FROM s
 
 def q_chunk_ann(spark, sf_dir):
     """Chunk-level embeddings max-pooled to doc-level top-k (the chunk →
-    document aggregation of the reference's vector search). Rows-only —
-    the hashing-trick embedder has no SQL oracle."""
-    from newscrawler_spark.operators.chunks import chunked_embeddings, doc_topk_from_chunks
+    document aggregation of the reference's vector search,
+    vector/processor.py:46-72 + search.py rerank).
+
+    Fully DuckDB-oracled via the integer kernel (operators/chunks.
+    doc_topk_kernel): the embedder's pre-normalization vector is integer
+    bucket counts and cosine is scale-invariant, so chunks are scored on
+    exact int64 dots against the floor(x·1e4+0.5)-quantized query —
+    identical ranking to the float-UDF path (asserted in
+    tests/test_search_relevance_chunks.py), bit-identical cross-engine."""
+    from newscrawler_spark.operators.chunks import doc_topk_kernel
 
     docs = _t(spark, sf_dir, "documents")
-    ce = chunked_embeddings(docs)
-    return doc_topk_from_chunks(ce, _query_vec(spark, sf_dir), k=10)
+    return doc_topk_kernel(docs, _query_vec(spark, sf_dir), k=10)
+
+
+SQL_CHUNK_ANN = r"""
+WITH ch AS (
+  SELECT doc_id,
+         CAST(unnest(generate_series(0, greatest(length(text) - 201, 0), 800)) AS INT) AS chunk_start,
+         text
+  FROM documents),
+tok AS (
+  SELECT doc_id, chunk_start,
+         unnest(regexp_split_to_array(lower(substring(text, chunk_start + 1, 1000)), '\s+')) AS tok
+  FROM ch),
+h AS (
+  SELECT doc_id, chunk_start,
+         CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT) % 64 AS BIGINT) AS bucket,
+         CASE WHEN CAST(('0x' || substring(md5(tok), 9, 2)) AS INT) % 2 = 1
+              THEN 1 ELSE -1 END AS sign
+  FROM tok WHERE tok <> ''),
+pb AS (SELECT doc_id, chunk_start, bucket, sum(sign) AS cnt FROM h GROUP BY 1, 2, 3),
+q AS (
+  SELECT CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS qv,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS bucket
+  FROM embeddings WHERE vec_id = 0),
+qn AS (SELECT CAST(sum(qv * qv) AS DOUBLE) AS qq FROM q),
+sc AS (
+  SELECT pb.doc_id, pb.chunk_start,
+         CAST(sum(CAST(pb.cnt AS BIGINT) * q.qv) AS DOUBLE) AS dot,
+         CAST(sum(CAST(pb.cnt AS BIGINT) * CAST(pb.cnt AS BIGINT)) AS DOUBLE) AS nn
+  FROM pb JOIN q USING (bucket) GROUP BY 1, 2),
+dm AS (
+  SELECT doc_id, max(dot / sqrt(nn * (SELECT qq FROM qn))) AS c
+  FROM sc WHERE nn > 0 GROUP BY 1)
+SELECT doc_id, round(c, 4) AS cosine FROM dm ORDER BY cosine DESC, doc_id LIMIT 10
+"""
 
 
 def q_j3_strategy_join(spark, sf_dir):
@@ -1899,6 +1939,7 @@ def oracle_sql() -> dict[str, str]:
         "relevance": SQL_RELEVANCE,
         "topic_contains": SQL_TOPIC_CONTAINS,
         "embed_chunks": SQL_CHUNKS,
+        "chunk_ann": SQL_CHUNK_ANN,
         "j3_strategy_join": SQL_J3,
         "x_image_extract": SQL_IMAGES,
         "sim_bruteforce_topk": SQL_SIM_TOPK,

@@ -85,6 +85,71 @@ def chunked_embeddings(df: DataFrame, **kw) -> DataFrame:
     )
 
 
+def doc_topk_kernel(
+    docs: DataFrame, query: list[float], k: int = 10, dim: int = 64
+) -> DataFrame:
+    """Chunk → embed → doc-level max-pool top-k with a CROSS-ENGINE-EXACT
+    kernel (the oracled twin of :func:`doc_topk_from_chunks`).
+
+    The hashing-trick embedder's pre-normalization vector is an integer
+    bucket-count vector (md5 → bucket, ±1 sign — the same kernel the
+    float UDF in functions/embed.py applies), and cosine is
+    scale-invariant, so scoring chunks directly on the INTEGER raw
+    vectors gives the identical ranking to the normalized-float path
+    while every dot product stays exact int64 arithmetic: the query is
+    quantized ``floor(x·1e4 + 0.5)`` (the sim_ann_lsh convention), dots
+    and chunk norms are integer sums, and the only float ops are one
+    division and one sqrt per chunk — bit-identical in any engine.
+    Whole pipeline pure codegen (no UDF): posexplode chunks → split/md5
+    tokens → two partial-agg groupBys → TakeOrdered k.
+
+    At 100 TB: narrow until the per-(doc,chunk,bucket) combine — the
+    token explode never shuffles raw text, only (ids, bucket, sign)
+    rows with map-side partial aggregation; top-k is TakeOrdered, not a
+    global sort.
+    """
+    import math
+
+    qint = [int(math.floor(float(x) * 10000 + 0.5)) for x in query]
+    qq = float(sum(v * v for v in qint))
+    qlit = "array(" + ",".join(f"{v}L" for v in qint) + ")"
+    ch = chunk_text(docs)
+    tok = ch.select(
+        "doc_id",
+        "chunk_id",
+        F.explode(F.split(F.lower("chunk"), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = tok.select(
+        "doc_id",
+        "chunk_id",
+        F.pmod(
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"), F.lit(dim)
+        ).alias("bucket"),
+        F.when(
+            F.pmod(F.conv(F.substring(F.md5("tok"), 9, 2), 16, 10).cast("long"), F.lit(2)) == 1,
+            1,
+        )
+        .otherwise(-1)
+        .alias("sign"),
+    )
+    pb = h.groupBy("doc_id", "chunk_id", "bucket").agg(F.sum("sign").alias("cnt"))
+    scored = pb.groupBy("doc_id", "chunk_id").agg(
+        F.sum(
+            F.col("cnt") * F.expr(f"element_at({qlit}, cast(bucket + 1 as int))")
+        ).alias("dot"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("nn"),
+    )
+    cos = F.col("dot") / F.sqrt(F.col("nn").cast("double") * F.lit(qq))
+    return (
+        scored.filter(F.col("nn") > 0)
+        .select("doc_id", cos.alias("c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.max("c"), 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), "doc_id")
+        .limit(k)
+    )
+
+
 def doc_topk_from_chunks(
     chunk_emb: DataFrame, query: list[float], k: int = 10
 ) -> DataFrame:

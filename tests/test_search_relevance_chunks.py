@@ -119,6 +119,33 @@ def test_chunk_ann_finds_own_doc(spark, docs):
     assert top[0]["cosine"] == pytest.approx(1.0, abs=1e-3)
 
 
+def test_chunk_ann_kernel_matches_float_path(spark, docs, emb):
+    """The integer-kernel chunk ANN (pure codegen, DuckDB-oracled) ranks
+    identically to the float-UDF chunk path: cosine is scale-invariant,
+    so scoring raw integer bucket counts == scoring the L2-normalized
+    embeddings, modulo the 1e-4 query quantization and the embedder's
+    6-decimal component rounding."""
+    from newscrawler_spark.operators.chunks import (
+        chunked_embeddings,
+        doc_topk_from_chunks,
+        doc_topk_kernel,
+    )
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    sub = docs.limit(80)
+    kern = doc_topk_kernel(sub, q, k=10).collect()
+    flt = doc_topk_from_chunks(chunked_embeddings(sub), q, k=10).collect()
+    assert kern[0]["doc_id"] == flt[0]["doc_id"]
+    # same docs retrieved; allow one boundary swap at the k-th rank from
+    # the two paths' different rounding granularity
+    k_ids, f_ids = {r["doc_id"] for r in kern}, {r["doc_id"] for r in flt}
+    assert len(k_ids & f_ids) >= 9
+    fcos = {r["doc_id"]: r["cosine"] for r in flt}
+    for r in kern:
+        if r["doc_id"] in fcos:
+            assert r["cosine"] == pytest.approx(fcos[r["doc_id"]], abs=3e-4)
+
+
 def test_image_extraction_dedup_order():
     from newscrawler_spark.functions.extract import extract_page
 
