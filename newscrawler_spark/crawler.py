@@ -465,11 +465,33 @@ class FrontierCrawler:
 
         extracted = fetched.mapInPandas(extract_part, schema=ext_schema).persist()
 
+        # The fat extraction cache carries the text payload (~8 KB/row);
+        # only the articles write needs it.  The other consumers (seen,
+        # crawl_logs, frontier link discovery) read this slim projection,
+        # cached separately, so the fat rows are dropped right after the
+        # articles+seen writes instead of being re-deserialized by every
+        # later job.  On a 1M-page bulk round the frontier step was the
+        # round's non-scaling component purely from scanning the fat
+        # cache (119.8 s at 1 core → 74.5 s at 4; GC-bound); at 100 TB
+        # keeping the text live for link discovery would be a
+        # memory-bandwidth bottleneck on every executor.
+        slim = extracted.select(
+            "url_hash",
+            "canon_url",
+            "host",
+            "priority",
+            "discovered_round",
+            "fetch_seq",
+            "partition_id",
+            F.length("text").alias("text_len"),
+            "out_links",
+        ).persist()
+
         # admitted URLs with no page in the corpus → "missing" (the batch
         # analog of a fetch error).  The anti-join's right side is bounded
         # by the admitted set, so it broadcasts under the same policy as
         # the fetch join; the left side is the already-tiny admitted set.
-        ext_keys = extracted.select("url_hash", "canon_url")
+        ext_keys = slim.select("url_hash", "canon_url")
         # persisted: consumed by both the seen and crawl_logs writes —
         # without the cache each write job rebuilds the ext_keys
         # broadcast and re-runs the anti-join (measured ~5 s/round).
@@ -534,7 +556,7 @@ class FrontierCrawler:
         #    deduping before the regex-heavy canonicalizer cuts its input
         #    by the link fan-in factor with an identical result set
         #    (map-side partial aggregation makes the extra groupBy cheap).
-        links = present.select(
+        links = slim.select(
             F.explode(F.slice("out_links", 1, cfg.max_links_per_page)).alias("canon_url")
         ).distinct()
         links = with_canonical(links, "canon_url").select(
@@ -563,10 +585,10 @@ class FrontierCrawler:
         # 8. seen delta: every terminal URL this round, with its fetch
         #    position (the crawl-order record) — one table, one write.
         status = F.when(
-            F.length("text") >= cfg.min_content_len, "fetched"
+            F.col("text_len") >= cfg.min_content_len, "fetched"
         ).otherwise("short")
         seen_delta = (
-            extracted.select(
+            slim.select(
                 "url_hash",
                 "canon_url",
                 "host",
@@ -605,7 +627,7 @@ class FrontierCrawler:
         # 9. per-partition lineage + per-status metrics (CrawlLog analog);
         # missing URLs never reach an extract partition → partition_id -1.
         logs = (
-            extracted.groupBy("partition_id", status.alias("status"))
+            slim.groupBy("partition_id", status.alias("status"))
             .agg(
                 F.count("*").alias("n_urls"),
                 F.sum(F.size(F.coalesce("out_links", F.array()))).alias("links_discovered"),
@@ -661,6 +683,10 @@ class FrontierCrawler:
         )
         with _timed("seen"):
             self.store.write_round("seen", round_id, seen_obs_df, partitions=wp)
+        # the seen write materialized the slim cache (a cheap projection
+        # of the fat one) — every remaining job reads slim only, so the
+        # text-payload rows can be dropped now
+        extracted.unpersist()
 
         with _timed("crawl_logs"):
             self.store.write_round("crawl_logs", round_id, logs, partitions=1)
@@ -685,7 +711,7 @@ class FrontierCrawler:
             stats["step_secs"] = steps
         self.store.commit_round(round_id, stats)
         admitted.unpersist()
-        extracted.unpersist()
+        slim.unpersist()
         evaluated.unpersist()
         missing.unpersist()
         return stats

@@ -10,8 +10,11 @@ to ~2N cores busy, not N: every Arrow/pandas stage pipelines a JVM task
 thread with its Python worker.  1 vs 4 cores therefore peaks at ~8
 active cores — inside the host's linear window on BOTH legs — while
 2 vs 8 pushes the 4N leg to ~16 active cores, the saturation edge,
-and measures the host rather than the engine.  Repeats are interleaved
-(1,4,1,4,…) so slow-host windows hit both sizes equally.
+and measures the host rather than the engine.  Each leg is pinned with
+``taskset`` to exactly 2N vCPUs (same honesty fix as the cluster
+workers: an unpinned JVM sizes its pools to the whole host and flatters
+the N baseline).  Repeats are interleaved (1,4,1,4,…) so slow-host
+windows hit both sizes equally.
 
 **Secondary — 1 vs 4 executor JVMs (standalone cluster)**: one master +
 four CPU-pinned 2-core worker daemons, job shipped with ``spark-submit
@@ -211,8 +214,15 @@ def run_local_child(cores: int, pages: str, seeds: str, tag: str, n_pages: int =
 
 
 def run_local(cores: int, corpus: dict, tag: str, n_pages: int = 1_000_000) -> dict:
+    # Pin each leg to exactly 2×cores vCPUs (JVM task threads + their
+    # pipelined python workers) — the same honesty fix the cluster
+    # harness applies to its workers: an unpinned "local[1]" JVM sizes
+    # GC/shuffle/codegen thread pools to the 32-vCPU HOST and leaks
+    # extra effective cores into the N baseline, understating N→4N
+    # efficiency.  Affinity inherits to the python workers.
+    pin = ["taskset", "-c", f"0-{2 * cores - 1}"]
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--_child", str(cores),
+        pin + [sys.executable, os.path.abspath(__file__), "--_child", str(cores),
          "--pages-path", corpus["pages"], "--seeds-path", corpus["seeds"],
          "--tag", tag, "--n-pages", str(n_pages)],
         capture_output=True, text=True, timeout=3600,
@@ -316,12 +326,14 @@ parallelism level changes.
 Pure-CPU probe on this VM (32 vCPU = 16 physical, HT): 1→2 procs 2.03×,
 1→4 procs 4.00×, 1→8 procs 6.90× (eff 0.86), 1→16 procs 10.7× (0.67).
 An Arrow/pandas stage pipelines each JVM task thread with a Python
-worker, so a `local[N]` leg keeps up to ~2N cores busy — 1 vs 4 cores
-peaks at ~8 active processes, keeping BOTH legs inside the probe's
-linear window, so the ratio measures the ENGINE; a 2-vs-8 window would
-push the 4N leg to ~16 active processes where the HOST alone caps the
-ratio at 0.67-0.86.  Fresh JVM per run, repeats interleaved
-(1,4,1,4,…), best of {args.repeats}:
+worker, so a `local[N]` leg needs ~2N cores — each leg is PINNED with
+`taskset` to exactly 2N vCPUs (N=1 → 2 vCPUs, 4N → 8 vCPUs), keeping
+BOTH legs inside the probe's linear window AND stopping the unpinned-N
+leak (a JVM given the whole host sizes GC/shuffle pools to 32 vCPUs
+and flatters the N baseline); a 2-vs-8 window would put the 4N leg at
+~16 active processes where the HOST alone caps the ratio at 0.67-0.86.
+Fresh JVM per run, repeats interleaved (1,4,1,4,…), best of
+{args.repeats}:
 
 | size | urls fetched+extracted | wall (s) | urls/sec |
 |---|---|---|---|
@@ -331,8 +343,8 @@ ratio at 0.67-0.86.  Fresh JVM per run, repeats interleaved
 **Scaling efficiency (4N vs N) = ({bl4['urls_per_sec']} / {bl1['urls_per_sec']}) / 4 =
 {eff:.2f}** (target ≥ 0.8).
 
-Host ceiling for this window: the N leg keeps ~2 processes busy and the
-4N leg ~8, so even a perfectly-scaling engine could show at most
+Host ceiling for this window: the N leg is pinned to 2 vCPUs and the
+4N leg to 8, so even a perfectly-scaling engine could show at most
 (6.90x / 2.03x) / 4 = **0.85** on this host (pure-CPU probe rates at
 the same process counts) — the measured {eff:.2f} is
 {eff / 0.85:.0%} of the host-achievable ratio; the residual is the
