@@ -225,23 +225,43 @@ class FrontierCrawler:
         EVERY row group (measured 35 s on the 600k-page bench corpus at
         one executor).  ``page_url`` is a COMPUTED column (canonical of
         the raw ``url``), so no predicate over it can push into the
-        parquet scan.  Two-phase build instead: phase 1 scans only the
-        raw ``url`` column (no html decode) and collects the raw URLs
-        whose canonical form is a root robots URL; phase 2 filters the
-        raw scan with ``url.isin(...)`` — an ``In`` predicate over a
-        REAL parquet column that pushes into the scan and prunes whole
-        row groups by url min/max before any html byte is decoded.
-        Beyond ``_ROBOTS_ISIN_MAX`` hosts, the distributed root-anchored
-        filter (no driver-side URL list) takes over.
+        parquet scan.  Hence:
+
+        * ``cache_pages=True`` (iterative rounds): the pages table is
+          persisted for the crawl anyway, so the dim is simply the root
+          filter over the CACHED table — no second parquet scan, no
+          driver collect, and the plan stays fully lazy (nothing runs in
+          the constructor; the first round's job materializes cache and
+          dim together).
+        * ``cache_pages=False`` (bulk / 100 TB shape): two-phase build —
+          phase 1 scans only the raw ``url`` column (no html decode),
+          prefiltered with ``url CONTAINS '/robots.txt'`` (the canonical
+          path is the raw path verbatim, so this is a strict superset of
+          the root-robots set AND a pushable ``StringContains`` parquet
+          predicate; the regex-heavy canonicalizer then runs on the
+          handful of survivors, not every URL), and collects the raw
+          URLs whose canonical form is a root robots URL; phase 2
+          filters the raw scan with ``url.isin(...)`` — an ``In``
+          predicate over a REAL parquet column that prunes whole row
+          groups by url min/max before any html byte is decoded.  Beyond
+          ``_ROBOTS_ISIN_MAX`` hosts, the distributed root-anchored
+          filter (no driver-side URL list) takes over.
         """
         root = F.regexp_extract(F.col("page_url"), r"^([a-z][a-z0-9+.-]*://[^/?#]*)", 1)
         root_filter = F.col("page_url") == F.concat(root, F.lit("/robots.txt"))
+        if self.config.cache_pages:
+            robots_pages = self.pages.filter(root_filter).select("page_url", "html")
+            return robots_pages.mapInPandas(
+                robots_dim_map_in_pandas, schema=ROBOTS_DIM_SCHEMA
+            )
         raw = self.spark.read.parquet(self.pages_path)
         # phase 1: narrow raw-url scan for candidate robots rows —
         # identical semantics to the root filter over canonical urls
         raw_urls = [
             r["url"]
-            for r in with_canonical(raw.select("url"), "url")
+            for r in with_canonical(
+                raw.select("url").filter(F.col("url").contains("/robots.txt")), "url"
+            )
             .select(F.col("canon_url").alias("page_url"), "url")
             .filter(root_filter)
             .limit(_ROBOTS_ISIN_MAX + 1)
