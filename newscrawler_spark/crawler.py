@@ -508,15 +508,27 @@ class FrontierCrawler:
         ).persist()
 
         # admitted URLs with no page in the corpus → "missing" (the batch
-        # analog of a fetch error).  The anti-join's right side is bounded
-        # by the admitted set, so it broadcasts under the same policy as
-        # the fetch join; the left side is the already-tiny admitted set.
+        # analog of a fetch error).  BOTH sides are bounded by the
+        # admitted set, so the pages table is never touched here.
+        # Budget-bounded rounds broadcast the tiny key set; bulk rounds
+        # (budget ≈ ∞, admitted in the millions) use a shuffled hash
+        # join instead — the broadcast hash-relation build is a
+        # single-threaded driver step whose cost is identical at every
+        # core count (pure Amdahl serial time in the N→4N ratio), while
+        # the shuffle of two skinny bounded-size tables is fully
+        # parallel and is the only shape that works when the bulk
+        # admitted set outgrows driver memory.
         ext_keys = slim.select("url_hash", "canon_url")
+        bulk_round = cfg.round_budget >= 100_000_000
+        if cfg.broadcast_admitted_max > 0 and not bulk_round:
+            ext_keys = F.broadcast(ext_keys)
+        else:
+            ext_keys = ext_keys.hint("shuffle_hash")
         # persisted: consumed by both the seen and crawl_logs writes —
         # without the cache each write job rebuilds the ext_keys
-        # broadcast and re-runs the anti-join (measured ~5 s/round).
+        # hash side and re-runs the anti-join (measured ~5 s/round).
         missing = adm.join(
-            F.broadcast(ext_keys) if cfg.broadcast_admitted_max > 0 else ext_keys,
+            ext_keys,
             on=["url_hash", "canon_url"],
             how="left_anti",
         ).persist()

@@ -105,3 +105,19 @@ def test_robots_dim_scan_pushes_in_filter(spark, tmp_path):
     # and the dim still has exactly one row per host
     rows = crawler.robots_dim.collect()
     assert len(rows) == 4 and len({r["host"] for r in rows}) == 4
+
+def test_bulk_missing_antijoin_is_shuffled_hash(spark):
+    """Bulk rounds (budget ≈ ∞) must not broadcast the extracted-key
+    set for the missing-status anti-join: the broadcast hash-relation
+    build is single-threaded driver time, identical at every core
+    count — pure Amdahl serial cost in the N→4N ratio — and caps out
+    entirely when the bulk admitted set outgrows driver memory.  The
+    shuffled hash join of the two bounded-size key sets is the scale
+    shape (the pages table is not involved either way)."""
+    pages, adm = _pages_and_adm(spark)
+    ext_keys = pages.select(
+        F.col("page_hash").alias("url_hash"), F.col("page_url").alias("canon_url")
+    ).hint("shuffle_hash")
+    plan = _plan(adm.join(ext_keys, on=["url_hash", "canon_url"], how="left_anti"))
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
