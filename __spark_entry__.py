@@ -259,15 +259,22 @@ SQL_F11 = (
 
 def q_j1_seen_antijoin(spark, sf_dir):
     """J1: URL-seen left-anti semantics (cli.py:72-77) — customers with
-    no orders; the crawl form is tested in tests/test_seen.py."""
+    no RECENT orders (the unrestricted form returns 0 rows at sf0.01,
+    making the gate row vacuous); the crawl form is tested in
+    tests/test_seen.py."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return cust.join(orders, "c_custkey", "left_anti").select("c_custkey", "c_name")
 
 
 SQL_J1 = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderdate >= DATE '2000-01-01')
 """
 
 
@@ -416,6 +423,76 @@ SELECT doc_id,
       + 0.3 * (CASE WHEN toks > 0 THEN least(stop * 8.0 / toks, 1.0) ELSE 0.0 END), 4)
   AS quality
 FROM m
+"""
+
+
+def q_a4_histogram(spark, sf_dir):
+    """A4 (completeness): bucketed latency histogram + bucket-derived
+    percentiles — the reference's Histogram metric and its Prometheus
+    export compute quantiles from fixed buckets
+    (src/utils/metrics.py:197-353, src/api/routers/metrics.py:106).
+    Width-25 buckets over events.value, capped at bucket 19; p50/p95
+    are the smallest bucket whose cumulative count clears the quantile
+    (pure integer arithmetic: cum·q_den ≥ total·q_num — no float
+    percentile estimator, so the surface is cross-engine exact).
+    Scale shape: one map-side-combined groupBy + a per-type window over
+    ≤20 rows each."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 25.0).cast("int"), F.lit(19)).alias("bucket"),
+    )
+    pb = ev.groupBy("event_type", "bucket").agg(F.count("*").alias("n"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = pb.withColumn("cum", F.sum("n").over(w_cum)).withColumn(
+        "total", F.sum("n").over(Window.partitionBy("event_type"))
+    )
+    g = c.groupBy("event_type").agg(
+        F.max("total").alias("n_events"),
+        F.map_from_entries(F.collect_list(F.struct("bucket", "n"))).alias("m"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("total"), F.col("bucket"))).alias("p50_bucket"),
+        F.min(F.when(F.col("cum") * 20 >= F.col("total") * 19, F.col("bucket"))).alias(
+            "p95_bucket"
+        ),
+    )
+    return g.select(
+        "event_type",
+        "n_events",
+        F.expr(
+            "concat_ws(',', transform(sequence(0, 19), b -> "
+            "cast(coalesce(element_at(m, cast(b as int)), 0L) as string)))"
+        ).alias("histogram"),
+        "p50_bucket",
+        "p95_bucket",
+    )
+
+
+SQL_A4 = """
+WITH b AS (
+  SELECT event_type, least(CAST(floor(value / 25.0) AS INT), 19) AS bucket FROM events),
+pb AS (SELECT event_type, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+c AS (
+  SELECT event_type, bucket, n,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         sum(n) OVER (PARTITION BY event_type) AS total
+  FROM pb),
+g AS (
+  SELECT event_type,
+         CAST(max(total) AS BIGINT) AS n_events,
+         map_from_entries(list(struct_pack(k := bucket, v := n))) AS m,
+         CAST(min(CASE WHEN cum * 2 >= total THEN bucket END) AS INT) AS p50_bucket,
+         CAST(min(CASE WHEN cum * 20 >= total * 19 THEN bucket END) AS INT) AS p95_bucket
+  FROM c GROUP BY event_type)
+SELECT event_type, n_events,
+       array_to_string(list_transform(range(20), x -> COALESCE(m[x][1], 0)::VARCHAR), ',')
+         AS histogram,
+       p50_bucket, p95_bucket
+FROM g
 """
 
 
@@ -938,6 +1015,67 @@ FROM documents d LEFT JOIN vec USING (doc_id)
 """
 
 
+def q_embed_missing(spark, sf_dir):
+    """Incremental embed-only-missing (vector/processor.py:122-149,
+    process_unembedded_articles): anti-join documents against the
+    vector store (embeddings with vec_id % 7 ≠ 3 stand in for the
+    already-embedded set), then run the embedding kernel over ONLY the
+    remainder — the J1 anti-join pattern feeding X7.  Kernel surface =
+    the integer raw bucket vector (same cross-engine-exact form as
+    text_embed_buckets)."""
+    store = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.pmod("vec_id", F.lit(7)) != 3)
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    docs = _t(spark, sf_dir, "documents").join(store, "doc_id", "left_anti")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    h = tok.select(
+        "doc_id",
+        F.pmod(F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"), F.lit(64)).alias("bucket"),
+        F.when(
+            F.pmod(F.conv(F.substring(F.md5("tok"), 9, 2), 16, 10).cast("long"), F.lit(2)) == 1, 1
+        ).otherwise(-1).alias("sign"),
+    )
+    per_bucket = h.groupBy("doc_id", "bucket").agg(F.sum("sign").alias("cnt"))
+    vec = per_bucket.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "cnt"))).alias("m")
+    )
+    return docs.select("doc_id").join(vec, "doc_id", "left").select(
+        "doc_id",
+        F.expr(
+            "concat_ws(',', transform(sequence(0, 63), b -> "
+            "cast(coalesce(element_at(m, cast(b as long)), 0L) as string)))"
+        ).alias("raw_vec"),
+    )
+
+
+SQL_EMBED_MISSING = r"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE NOT EXISTS (SELECT 1 FROM embeddings e
+                    WHERE e.vec_id = documents.doc_id AND e.vec_id % 7 <> 3)),
+tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok FROM d),
+h AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT) % 64 AS bucket,
+         CASE WHEN CAST(('0x' || substring(md5(tok), 9, 2)) AS INT) % 2 = 1
+              THEN 1 ELSE -1 END AS sign
+  FROM tok WHERE tok <> ''),
+pb AS (SELECT doc_id, bucket, sum(sign) AS cnt FROM h GROUP BY 1, 2),
+vec AS (
+  SELECT doc_id, map_from_entries(list(struct_pack(k := bucket, v := cnt))) AS m
+  FROM pb GROUP BY doc_id)
+SELECT d.doc_id,
+       array_to_string(list_transform(range(64),
+         b -> COALESCE(m[b][1], 0)::VARCHAR), ',') AS raw_vec
+FROM d LEFT JOIN vec USING (doc_id)
+"""
+
+
 def q_search_text(spark, sf_dir):
     """Text substring search + filters + count + page (the reference's
     /search/text, search.py:76-105; operators/search.text_search)."""
@@ -1118,6 +1256,118 @@ dm AS (
   SELECT doc_id, max(dot / sqrt(nn * (SELECT qq FROM qn))) AS c
   FROM sc WHERE nn > 0 GROUP BY 1)
 SELECT doc_id, round(c, 4) AS cosine FROM dm ORDER BY cosine DESC, doc_id LIMIT 10
+"""
+
+
+def q_rag_context(spark, sf_dir):
+    """RAG context assembly (context_assembly.py:73-190,
+    ChunkedContextStrategy): retrieve top-10 docs by max-pooled chunk
+    cosine, then pack their chunks in relevance order until a 2000-token
+    budget (len/4 estimate) is exhausted — windowed cumulative-sum cut
+    over the bounded per-query candidate set.  Fully oracled via the
+    integer embedding kernel (operators/rag.assemble_context_kernel)."""
+    from newscrawler_spark.operators.rag import assemble_context_kernel
+
+    docs = _t(spark, sf_dir, "documents")
+    return assemble_context_kernel(docs, _query_vec(spark, sf_dir), k_docs=10, max_tokens=2000)
+
+
+SQL_RAG_CONTEXT = r"""
+WITH ch AS (
+  SELECT doc_id,
+         CAST(unnest(generate_series(0, greatest(length(text) - 201, 0), 800)) AS INT) AS chunk_start,
+         CAST(generate_subscripts(generate_series(0, greatest(length(text) - 201, 0), 800), 1) - 1 AS INT) AS chunk_id,
+         text
+  FROM documents),
+cl AS (
+  SELECT doc_id, chunk_id, chunk_start,
+         length(substring(text, chunk_start + 1, 1000)) AS chunk_len,
+         substring(text, chunk_start + 1, 1000) AS chunk
+  FROM ch),
+tok AS (
+  SELECT doc_id, chunk_id, chunk_len,
+         unnest(regexp_split_to_array(lower(chunk), '\s+')) AS tok
+  FROM cl),
+h AS (
+  SELECT doc_id, chunk_id, chunk_len,
+         CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT) % 64 AS BIGINT) AS bucket,
+         CASE WHEN CAST(('0x' || substring(md5(tok), 9, 2)) AS INT) % 2 = 1
+              THEN 1 ELSE -1 END AS sign
+  FROM tok WHERE tok <> ''),
+pb AS (SELECT doc_id, chunk_id, chunk_len, bucket, sum(sign) AS cnt FROM h GROUP BY 1, 2, 3, 4),
+q AS (
+  SELECT CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS qv,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS bucket
+  FROM embeddings WHERE vec_id = 0),
+qn AS (SELECT CAST(sum(qv * qv) AS DOUBLE) AS qq FROM q),
+sc AS (
+  SELECT pb.doc_id, pb.chunk_id, pb.chunk_len,
+         CAST(sum(CAST(pb.cnt AS BIGINT) * q.qv) AS DOUBLE) AS dot,
+         CAST(sum(CAST(pb.cnt AS BIGINT) * CAST(pb.cnt AS BIGINT)) AS DOUBLE) AS nn
+  FROM pb JOIN q USING (bucket) GROUP BY 1, 2, 3),
+scored AS (
+  SELECT doc_id, chunk_id, chunk_len, dot / sqrt(nn * (SELECT qq FROM qn)) AS c
+  FROM sc WHERE nn > 0),
+topdocs AS (
+  SELECT doc_id FROM (SELECT doc_id, max(c) AS mc FROM scored GROUP BY doc_id)
+  ORDER BY mc DESC, doc_id LIMIT 10),
+cand AS (
+  SELECT s.doc_id, s.chunk_id, s.c,
+         CAST(floor(s.chunk_len / 4) AS INT) AS token_est
+  FROM scored s JOIN topdocs USING (doc_id)),
+packed AS (
+  SELECT doc_id, chunk_id, c, token_est,
+         sum(token_est) OVER (ORDER BY c DESC, doc_id, chunk_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM cand)
+SELECT doc_id, chunk_id, round(c, 4) AS cosine, token_est,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM packed WHERE cum_tokens <= 2000
+"""
+
+
+def q_response_cache(spark, sf_dir):
+    """Semantic response cache (response_cache.py:68-99): incoming
+    queries (embeddings with vec_id % 10 = 5) probe the cached-query
+    dimension (vec_id < 32) by exact cosine; a hit serves the cached
+    response when the 4dp-rounded similarity ≥ 0.92 (the reference's
+    threshold).  Cache side broadcasts (a response cache is small by
+    construction); best hit per query via max_by with cache-id
+    tie-break."""
+    from newscrawler_spark.operators.rag import semantic_cache_lookup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.pmod("vec_id", F.lit(10)) == 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cache = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("cache_id"), "embedding"
+    )
+    return semantic_cache_lookup(queries_df, cache, threshold=0.92)
+
+
+SQL_RESPONSE_CACHE = """
+WITH e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, i FROM e WHERE vec_id % 10 = 5),
+c AS (SELECT vec_id AS cache_id, v AS cv, i FROM e WHERE vec_id < 32),
+d AS (
+  SELECT query_id, cache_id, sum(qv * cv) AS dot, sum(qv * qv) AS qq
+  FROM q JOIN c USING (i) GROUP BY 1, 2),
+cn AS (SELECT cache_id, sum(cv * cv) AS cc FROM c GROUP BY 1),
+s AS (
+  SELECT query_id, cache_id,
+         round(dot / (sqrt(qq) * sqrt(cc)), 4) AS cosine
+  FROM d JOIN cn USING (cache_id)),
+best AS (
+  SELECT query_id, cache_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, cache_id) AS rn
+  FROM s)
+SELECT query_id, cache_id AS best_cache_id, cosine, cosine >= 0.92 AS cache_hit
+FROM best WHERE rn = 1
 """
 
 
@@ -1833,16 +2083,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Order matters: the driver gate walks this dict in order and may
+    # stop on a time budget (r02 truncated after 50 entries, leaving the
+    # trailing crawl/corpus/streaming queries with no driver row despite
+    # passing the replica gate).  The expensive-setup queries
+    # (_crawl_store corpus+crawl, streaming) therefore run EARLY — the
+    # setup cost is paid once wherever they sit — and the cheap
+    # column-expression queries fill in behind them.
     return {
         "p1_url_classify": q_p1_url_classify,
         "p4_canonicalize": q_p4_canonicalize,
+        # --- shared-crawl-corpus block (one _crawl_store setup) ---
+        "crawl_articles": q_crawl_articles,
+        "crawl_order": q_crawl_order,
+        "crawl_logs": q_crawl_logs,
+        "s1_csv_source": q_s1_csv_source,
+        "s2_due_sources": q_s2_due_sources,
+        "s4_feed_entries": q_s4_feed_entries,
+        "f12_script_sniff": q_f12_script_sniff,
+        "s7_json_sink": q_s7_json_sink,
+        # --- streaming + multimodal (previously truncated) ---
+        "streaming_windowed": q_streaming_windowed,
+        "mm_media_features": q_mm_media_features,
+        "mm_frame_sample": q_mm_frame_sample,
+        # --- round-3 additions ---
+        "a4_histogram": q_a4_histogram,
+        "rag_context": q_rag_context,
+        "response_cache": q_response_cache,
+        "embed_missing": q_embed_missing,
+        "j1_seen_antijoin": q_j1_seen_antijoin,
+        # --- crawl-core relational operators ---
         "p6_api_filters": q_p6_api_filters,
         "p8_url_validity": q_p8_url_validity,
         "f1_whitespace_collapse": q_f1_whitespace_collapse,
         "f6_cache_key": q_f6_cache_key,
         "f7_truncate": q_f7_truncate,
         "f11_to_json": q_f11_to_json,
-        "j1_seen_antijoin": q_j1_seen_antijoin,
         "j2_broadcast_dim": q_j2_broadcast_dim,
         "j4_reporting_join": q_j4_reporting_join,
         "a1_per_domain_stats": q_a1_per_domain_stats,
@@ -1856,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u1_union_dedup": q_u1_union_dedup,
         "t2_due_filter": q_t2_due_filter,
         "t4_straggler_rollover": q_t4_straggler_rollover,
+        # --- training-data pipeline operators ---
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1878,22 +2155,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_ann": q_chunk_ann,
         "j3_strategy_join": q_j3_strategy_join,
         "x_image_extract": q_x_image_extract,
-        "s7_json_sink": q_s7_json_sink,
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
         "sim_neardup_pairs": q_sim_neardup_pairs,
         "sim_neardup_lsh": q_sim_neardup_lsh,
         "sim_ann_lsh": q_sim_ann_lsh,
-        "mm_media_features": q_mm_media_features,
-        "mm_frame_sample": q_mm_frame_sample,
-        "streaming_windowed": q_streaming_windowed,
-        "crawl_articles": q_crawl_articles,
-        "crawl_order": q_crawl_order,
-        "crawl_logs": q_crawl_logs,
-        "s4_feed_entries": q_s4_feed_entries,
-        "f12_script_sniff": q_f12_script_sniff,
-        "s1_csv_source": q_s1_csv_source,
-        "s2_due_sources": q_s2_due_sources,
     }
 
 
@@ -1908,6 +2174,10 @@ def oracle_sql() -> dict[str, str]:
         "f7_truncate": SQL_F7,
         "f11_to_json": SQL_F11,
         "j1_seen_antijoin": SQL_J1,
+        "a4_histogram": SQL_A4,
+        "rag_context": SQL_RAG_CONTEXT,
+        "response_cache": SQL_RESPONSE_CACHE,
+        "embed_missing": SQL_EMBED_MISSING,
         "j2_broadcast_dim": SQL_J2,
         "j4_reporting_join": SQL_J4,
         "a1_per_domain_stats": SQL_A1,

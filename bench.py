@@ -172,6 +172,10 @@ def main() -> None:
         crawl[k] = best_bulk[k]
     crawl["crawl_runs_secs"] = [r["crawl_secs"] for r in runs]
     crawl["bulk_runs_secs"] = [r["bulk_secs"] for r in runs]
+    # the crawl and bulk numbers are each the best of their own leg and
+    # may come from DIFFERENT runs — not one achievable combined run;
+    # raw walls for every run are in *_runs_secs
+    crawl["legs_best_independent"] = True
     out.update(crawl)
     total += crawl["crawl_secs"]
     queries["crawl_frontier_4rounds"] = crawl["crawl_secs"]

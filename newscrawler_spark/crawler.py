@@ -66,6 +66,12 @@ SEEN_SCHEMA = "url_hash long, canon_url string, host string, round_id int, statu
 # (kept modest — a 10^5-literal In expression bloats the plan tree).
 _ROBOTS_ISIN_MAX = 10_000
 
+# round_budget at or above this means "no politeness bound" — bulk mode
+# (the reference's CSV batch shape): every allowed row is admitted, the
+# per-host windows are skipped, and the missing anti-join trades the
+# driver-broadcast build for a fully-parallel shuffled hash join.
+_BULK_BUDGET = 100_000_000
+
 
 @dataclass(frozen=True)
 class CrawlConfig:
@@ -92,6 +98,10 @@ class CrawlConfig:
     scalable_fetch_order: bool = False  # two-pass range-partitioned seq
     # assignment instead of the single-partition window: use when the
     # admitted set is NOT budget-bounded (bulk rounds). Identical order.
+
+    @property
+    def is_bulk_round(self) -> bool:
+        return self.round_budget >= _BULK_BUDGET
 
 
 def fetch_join(pages: DataFrame, adm: DataFrame, broadcast: bool = True) -> DataFrame:
@@ -366,6 +376,34 @@ class FrontierCrawler:
         return totals
 
     # ------------------------------------------------------------------
+    def _missing_join(self, adm: DataFrame, ext_keys: DataFrame) -> DataFrame:
+        """Admitted URLs with no page in the corpus ("missing" status —
+        the batch analog of a fetch error).  BOTH sides are bounded by
+        the admitted set; the pages table is never touched here.
+
+        Strategy by config:
+          * budget-bounded + ``broadcast_admitted_max > 0``: broadcast
+            the tiny extracted-key set;
+          * bulk rounds (budget ≈ ∞, admitted in the millions): force a
+            shuffled hash join — the broadcast hash-relation build is a
+            single-threaded driver step whose cost is identical at every
+            core count (pure Amdahl serial time in the N→4N ratio),
+            while the shuffle of two skinny bounded-size tables is fully
+            parallel and is the only shape that works when the bulk
+            admitted set outgrows driver memory;
+          * ``broadcast_admitted_max == 0`` on a budget-bounded round:
+            leave unhinted — AQE picks broadcast/SMJ/shuffled-hash from
+            runtime stats, the documented semantics of the =0 escape
+            hatch for memory-constrained deployments.
+        """
+        cfg = self.config
+        if cfg.broadcast_admitted_max > 0 and not cfg.is_bulk_round:
+            ext_keys = F.broadcast(ext_keys)
+        elif cfg.is_bulk_round:
+            ext_keys = ext_keys.hint("shuffle_hash")
+        return adm.join(ext_keys, on=["url_hash", "canon_url"], how="left_anti")
+
+    # ------------------------------------------------------------------
     def run_round(self, round_id: int, frontier: DataFrame, seq_offset: int) -> dict:
         """One frontier-expansion round as a handful of write jobs.
 
@@ -415,7 +453,7 @@ class FrontierCrawler:
                 ).cast("int"),
             ),
         )
-        if cfg.round_budget >= 100_000_000:
+        if cfg.is_bulk_round:
             # unbounded budget (bulk mode): every allowed row is admitted;
             # skip the two window sorts — they would rank only to keep all
             admitted = allowed.withColumn("host_rank", F.lit(None).cast("int"))
@@ -507,31 +545,10 @@ class FrontierCrawler:
             "out_links",
         ).persist()
 
-        # admitted URLs with no page in the corpus → "missing" (the batch
-        # analog of a fetch error).  BOTH sides are bounded by the
-        # admitted set, so the pages table is never touched here.
-        # Budget-bounded rounds broadcast the tiny key set; bulk rounds
-        # (budget ≈ ∞, admitted in the millions) use a shuffled hash
-        # join instead — the broadcast hash-relation build is a
-        # single-threaded driver step whose cost is identical at every
-        # core count (pure Amdahl serial time in the N→4N ratio), while
-        # the shuffle of two skinny bounded-size tables is fully
-        # parallel and is the only shape that works when the bulk
-        # admitted set outgrows driver memory.
-        ext_keys = slim.select("url_hash", "canon_url")
-        bulk_round = cfg.round_budget >= 100_000_000
-        if cfg.broadcast_admitted_max > 0 and not bulk_round:
-            ext_keys = F.broadcast(ext_keys)
-        else:
-            ext_keys = ext_keys.hint("shuffle_hash")
         # persisted: consumed by both the seen and crawl_logs writes —
         # without the cache each write job rebuilds the ext_keys
         # hash side and re-runs the anti-join (measured ~5 s/round).
-        missing = adm.join(
-            ext_keys,
-            on=["url_hash", "canon_url"],
-            how="left_anti",
-        ).persist()
+        missing = self._missing_join(adm, slim.select("url_hash", "canon_url")).persist()
 
         present = extracted
         articles = present.filter(F.length("text") >= cfg.min_content_len)

@@ -85,11 +85,12 @@ def chunked_embeddings(df: DataFrame, **kw) -> DataFrame:
     )
 
 
-def doc_topk_kernel(
-    docs: DataFrame, query: list[float], k: int = 10, dim: int = 64
+def chunk_scores_kernel(
+    docs: DataFrame, query: list[float], dim: int = 64
 ) -> DataFrame:
-    """Chunk → embed → doc-level max-pool top-k with a CROSS-ENGINE-EXACT
-    kernel (the oracled twin of :func:`doc_topk_from_chunks`).
+    """Per-chunk cosine against ``query`` with a CROSS-ENGINE-EXACT
+    integer kernel — the shared scoring core of :func:`doc_topk_kernel`
+    and :func:`operators.rag.assemble_context_kernel`.
 
     The hashing-trick embedder's pre-normalization vector is an integer
     bucket-count vector (md5 → bucket, ±1 sign — the same kernel the
@@ -101,12 +102,16 @@ def doc_topk_kernel(
     and chunk norms are integer sums, and the only float ops are one
     division and one sqrt per chunk — bit-identical in any engine.
     Whole pipeline pure codegen (no UDF): posexplode chunks → split/md5
-    tokens → two partial-agg groupBys → TakeOrdered k.
+    tokens → two partial-agg groupBys.
+
+    Returns (doc_id, chunk_id, chunk_len, cosine_raw) for chunks with a
+    nonzero bucket vector; ``chunk_len`` rides through the groupBys as a
+    functionally-dependent key so no re-join against the chunk table is
+    needed.
 
     At 100 TB: narrow until the per-(doc,chunk,bucket) combine — the
     token explode never shuffles raw text, only (ids, bucket, sign)
-    rows with map-side partial aggregation; top-k is TakeOrdered, not a
-    global sort.
+    rows with map-side partial aggregation.
     """
     import math
 
@@ -117,11 +122,13 @@ def doc_topk_kernel(
     tok = ch.select(
         "doc_id",
         "chunk_id",
+        F.length("chunk").alias("chunk_len"),
         F.explode(F.split(F.lower("chunk"), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
     h = tok.select(
         "doc_id",
         "chunk_id",
+        "chunk_len",
         F.pmod(
             F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"), F.lit(dim)
         ).alias("bucket"),
@@ -132,17 +139,31 @@ def doc_topk_kernel(
         .otherwise(-1)
         .alias("sign"),
     )
-    pb = h.groupBy("doc_id", "chunk_id", "bucket").agg(F.sum("sign").alias("cnt"))
-    scored = pb.groupBy("doc_id", "chunk_id").agg(
+    pb = h.groupBy("doc_id", "chunk_id", "chunk_len", "bucket").agg(
+        F.sum("sign").alias("cnt")
+    )
+    scored = pb.groupBy("doc_id", "chunk_id", "chunk_len").agg(
         F.sum(
             F.col("cnt") * F.expr(f"element_at({qlit}, cast(bucket + 1 as int))")
         ).alias("dot"),
         F.sum(F.col("cnt") * F.col("cnt")).alias("nn"),
     )
     cos = F.col("dot") / F.sqrt(F.col("nn").cast("double") * F.lit(qq))
+    return scored.filter(F.col("nn") > 0).select(
+        "doc_id", "chunk_id", "chunk_len", cos.alias("cosine_raw")
+    )
+
+
+def doc_topk_kernel(
+    docs: DataFrame, query: list[float], k: int = 10, dim: int = 64
+) -> DataFrame:
+    """Chunk → embed → doc-level max-pool top-k with the cross-engine-
+    exact integer kernel (:func:`chunk_scores_kernel`) — the oracled
+    twin of :func:`doc_topk_from_chunks`.  Top-k is TakeOrdered, not a
+    global sort."""
+    scored = chunk_scores_kernel(docs, query, dim)
     return (
-        scored.filter(F.col("nn") > 0)
-        .select("doc_id", cos.alias("c"))
+        scored.select("doc_id", F.col("cosine_raw").alias("c"))
         .groupBy("doc_id")
         .agg(F.round(F.max("c"), 4).alias("cosine"))
         .orderBy(F.desc("cosine"), "doc_id")

@@ -1,0 +1,131 @@
+"""RAG retrieval-side operators — the batch analogs of the reference's
+LLM context assembly and semantic response cache.
+
+* :func:`assemble_context_kernel` — the reference assembles an LLM
+  context by retrieving top documents, then packing their best chunks
+  until a token budget is exhausted
+  (``src/llm/context_assembly.py:73-190``, ``ChunkedContextStrategy`` /
+  ``_truncate_to_max_tokens``).  Batch form: score every chunk against
+  the query (cross-engine-exact integer kernel, operators/chunks), keep
+  chunks of the top-``k_docs`` documents (max-pool retrieval), order by
+  chunk relevance, and cut at the cumulative token estimate — a
+  windowed cumulative-sum over a relation bounded by k_docs × chunks
+  per doc (inherently tiny per query; the single-partition window is
+  bounded by construction, never by the corpus).
+
+* :func:`semantic_cache_lookup` — the reference caches LLM responses
+  keyed by query embedding and serves a cached answer when a new
+  query's cosine similarity to any cached query clears a threshold
+  (``src/llm/response_cache.py:68-99``, default 0.92).  Batch form: a
+  broadcast join of incoming queries against the (small) cache-entry
+  dimension, exact cosine, best-hit-per-query via max_by, hit =
+  rounded cosine ≥ threshold.  At scale the cache side stays a
+  broadcast dim (a response cache is small by construction); the
+  queries side streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .chunks import chunk_scores_kernel
+
+# chars-per-token heuristic: the reference estimates tokens as
+# len(text) / 4 before truncating to max_tokens
+# (src/llm/context_assembly.py token estimate convention).
+CHARS_PER_TOKEN = 4
+
+
+def assemble_context_kernel(
+    docs: DataFrame,
+    query: list[float],
+    k_docs: int = 10,
+    max_tokens: int = 2000,
+    dim: int = 64,
+) -> DataFrame:
+    """Top-k retrieve → budgeted chunk packing.
+
+    Returns (doc_id, chunk_id, cosine, token_est, cum_tokens) — the
+    chunks an LLM prompt would include, in inclusion order: chunks of
+    the top-``k_docs`` docs ranked by exact-kernel cosine, kept while
+    the running token estimate stays within ``max_tokens`` (whole-chunk
+    granularity).
+
+    Determinism: ordering uses the full-precision cosine (exact int64
+    dot / sqrt of exact products — bit-identical cross-engine) with
+    (doc_id, chunk_id) tie-breaks; the budget cut compares exact
+    integers.
+    """
+    scored = chunk_scores_kernel(docs, query, dim)
+    top_docs = (
+        scored.select("doc_id", F.col("cosine_raw").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mc"))
+        .orderBy(F.desc("mc"), "doc_id")
+        .limit(k_docs)
+        .select("doc_id")
+    )
+    cand = scored.join(F.broadcast(top_docs), "doc_id").withColumn(
+        "token_est", (F.col("chunk_len") / CHARS_PER_TOKEN).cast("int")
+    )
+    # bounded relation: ≤ k_docs × chunks-per-doc rows — the global
+    # window is over the per-query candidate set, not the corpus
+    w = (
+        Window.orderBy(F.desc("cosine_raw"), "doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = cand.withColumn("cum_tokens", F.sum("token_est").over(w))
+    return (
+        packed.filter(F.col("cum_tokens") <= max_tokens)
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.round("cosine_raw", 4).alias("cosine"),
+            "token_est",
+            "cum_tokens",
+        )
+    )
+
+
+def semantic_cache_lookup(
+    queries: DataFrame,
+    cache: DataFrame,
+    threshold: float = 0.92,
+    query_id: str = "query_id",
+    cache_id: str = "cache_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Best cache entry per query + hit flag.
+
+    ``queries``/``cache``: (id, embedding array<float>).  Exact cosine
+    via zip_with/aggregate (pure codegen); the cache side broadcasts.
+    Returns (query_id, best_cache_id, cosine, cache_hit) — hit when the
+    4dp-rounded cosine clears ``threshold`` (rounded-value compare so
+    the threshold decision is reproducible cross-engine).
+    """
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).alias("__qv")
+    )
+    c = cache.select(F.col(cache_id), F.col(vec_col).alias("__cv"))
+    dot = F.expr(
+        "aggregate(zip_with(__qv, __cv, (a, b) -> cast(a as double) * cast(b as double)), "
+        "cast(0.0 as double), (s, x) -> s + x)"
+    )
+    sq = lambda col: F.expr(  # noqa: E731
+        f"aggregate(transform({col}, x -> cast(x as double) * cast(x as double)), "
+        "cast(0.0 as double), (s, x) -> s + x)"
+    )
+    cos = F.round(dot / (F.sqrt(sq("__qv")) * F.sqrt(sq("__cv"))), 4)
+    pairs = q.join(F.broadcast(c)).select(
+        query_id, cache_id, cos.alias("cosine")
+    )
+    best = pairs.groupBy(query_id).agg(
+        F.max(F.struct(F.col("cosine"), (-F.col(cache_id)).alias("nid"))).alias("b")
+    )
+    return best.select(
+        query_id,
+        (-F.col("b.nid")).alias("best_cache_id"),
+        F.col("b.cosine").alias("cosine"),
+        (F.col("b.cosine") >= F.lit(threshold)).alias("cache_hit"),
+    )

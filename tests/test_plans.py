@@ -106,7 +106,27 @@ def test_robots_dim_scan_pushes_in_filter(spark, tmp_path):
     rows = crawler.robots_dim.collect()
     assert len(rows) == 4 and len({r["host"] for r in rows}) == 4
 
-def test_bulk_missing_antijoin_is_shuffled_hash(spark):
+def _missing_join_plan(spark, tmp_path, cfg):
+    """Build the REAL crawler's missing-join plan under ``cfg`` (drives
+    FrontierCrawler._missing_join, the branch run_round executes — a
+    hand-built replica would not fail when the threshold/condition in
+    the bulk branch regresses)."""
+    from newscrawler_spark.crawler import FrontierCrawler
+    from newscrawler_spark.plans.storage import RoundStore
+    from newscrawler_spark.sources.corpus import generate_corpus
+
+    paths = generate_corpus(str(tmp_path / "c"), n_pages=60, n_hosts=3, seed=7)
+    crawler = FrontierCrawler(
+        spark, paths["pages"], paths["seeds"], RoundStore(str(tmp_path / "s")), cfg
+    )
+    pages, adm = _pages_and_adm(spark)
+    ext_keys = pages.select(
+        F.col("page_hash").alias("url_hash"), F.col("page_url").alias("canon_url")
+    )
+    return _plan(crawler._missing_join(adm, ext_keys))
+
+
+def test_bulk_missing_antijoin_is_shuffled_hash(spark, tmp_path):
     """Bulk rounds (budget ≈ ∞) must not broadcast the extracted-key
     set for the missing-status anti-join: the broadcast hash-relation
     build is single-threaded driver time, identical at every core
@@ -114,10 +134,49 @@ def test_bulk_missing_antijoin_is_shuffled_hash(spark):
     entirely when the bulk admitted set outgrows driver memory.  The
     shuffled hash join of the two bounded-size key sets is the scale
     shape (the pages table is not involved either way)."""
+    from newscrawler_spark.crawler import CrawlConfig
+
+    cfg = CrawlConfig(
+        max_rounds=1, round_budget=1_000_000_000, cache_pages=False,
+        broadcast_admitted_max=5_000_000,
+    )
+    assert cfg.is_bulk_round
+    plan = _missing_join_plan(spark, tmp_path, cfg)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_budget_round_missing_antijoin_broadcasts(spark, tmp_path):
+    """Budget-bounded rounds broadcast the tiny extracted-key set."""
+    from newscrawler_spark.crawler import CrawlConfig
+
+    cfg = CrawlConfig(max_rounds=1, round_budget=10, cache_pages=False)
+    assert not cfg.is_bulk_round
+    plan = _missing_join_plan(spark, tmp_path, cfg)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_budget_round_broadcast0_missing_antijoin_unhinted(spark, tmp_path):
+    """broadcast_admitted_max=0 on a budget-bounded round must leave the
+    strategy to AQE/Catalyst (no forced hint) — the documented escape
+    hatch for memory-constrained deployments (ADVICE r2)."""
+    from newscrawler_spark.crawler import CrawlConfig, FrontierCrawler
+    from newscrawler_spark.plans.storage import RoundStore
+    from newscrawler_spark.sources.corpus import generate_corpus
+
+    cfg = CrawlConfig(
+        max_rounds=1, round_budget=10, cache_pages=False, broadcast_admitted_max=0
+    )
+    paths = generate_corpus(str(tmp_path / "c"), n_pages=60, n_hosts=3, seed=7)
+    crawler = FrontierCrawler(
+        spark, paths["pages"], paths["seeds"], RoundStore(str(tmp_path / "s")), cfg
+    )
     pages, adm = _pages_and_adm(spark)
     ext_keys = pages.select(
         F.col("page_hash").alias("url_hash"), F.col("page_url").alias("canon_url")
-    ).hint("shuffle_hash")
-    plan = _plan(adm.join(ext_keys, on=["url_hash", "canon_url"], how="left_anti"))
-    assert "ShuffledHashJoin" in plan, plan
-    assert "BroadcastHashJoin" not in plan, plan
+    )
+    df = crawler._missing_join(adm, ext_keys)
+    # assert on the pre-optimization logical plan: no hint node of any
+    # kind may be injected (Catalyst/AQE then owns the strategy)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "hint" not in logical.lower(), logical

@@ -269,8 +269,29 @@ def main() -> None:
     local = {1: [], 4: []}
     results_path = os.path.join(REPO, "BENCH", "local_results.json")
     if args.skip_local:
+        if not os.path.exists(results_path):
+            sys.exit(
+                f"--skip-local: no cached local results at {results_path}; "
+                "run once without --skip-local first"
+            )
         with open(results_path) as f:
-            local = {int(k): v for k, v in json.load(f).items()}
+            saved = json.load(f)
+        if "results" not in saved:  # legacy flat format: no metadata to validate
+            print("WARNING: legacy local_results.json (no pages/ts metadata); "
+                  "reused numbers may come from a different corpus size", flush=True)
+            local = {int(k): v for k, v in saved.items()}
+        else:
+            if saved.get("pages") != args.pages:
+                sys.exit(
+                    f"--skip-local: cached local results are for pages={saved.get('pages')}, "
+                    f"current invocation is pages={args.pages} — rerun without --skip-local"
+                )
+            age_h = (time.time() - saved.get("ts", 0)) / 3600
+            if age_h > 24:
+                print(f"WARNING: cached local results are {age_h:.1f}h old — "
+                      "host speed drifts between VM windows; ratios vs fresh "
+                      "cluster legs may be skewed", flush=True)
+            local = {int(k): v for k, v in saved["results"].items()}
     else:
         for rep in range(args.repeats):
             for cores in (1, 4):
@@ -279,7 +300,7 @@ def main() -> None:
                 print(f"local[{cores}] rep={rep}: {r['urls_per_sec']} urls/s ({r['secs']}s)", flush=True)
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
         with open(results_path, "w") as f:
-            json.dump(local, f)
+            json.dump({"pages": args.pages, "ts": time.time(), "results": local}, f)
     bl1 = max(local[1], key=lambda r: r["urls_per_sec"])
     bl4 = max(local[4], key=lambda r: r["urls_per_sec"])
     eff = (bl4["urls_per_sec"] / bl1["urls_per_sec"]) / 4
