@@ -1791,6 +1791,43 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_streaming_append(spark, sf_dir):
+    """T4 scale-safe form: the same tumbling-window agg in APPEND mode
+    to a parquet file sink — each window is emitted exactly once when
+    the watermark passes its end and its state is evicted, so driver
+    memory and per-batch output are bounded by the watermark horizon
+    (the `complete`+memory form in streaming_windowed accumulates the
+    whole aggregate on the driver and stays for the hermetic oracle
+    only).  Windows still inside the 10-minute watermark horizon at
+    end-of-input are never finalized; the oracle mirrors that cut
+    (win_end ≤ max(ts) − 10 min)."""
+    import shutil
+
+    from newscrawler_spark.streaming.rounds import run_to_file_sink, windowed_event_counts
+
+    stage = os.path.join(tempfile.gettempdir(), f"nc_streamapp_{_stable_id(sf_dir)}")
+    os.makedirs(stage, exist_ok=True)
+    dst = os.path.join(stage, "in", "events.parquet")
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    if not os.path.exists(dst):
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), dst)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    agg = windowed_event_counts(
+        spark, os.path.dirname(dst), schema, window="1 hour", watermark="10 minutes"
+    )
+    return run_to_file_sink(
+        agg, os.path.join(stage, "sink"), os.path.join(stage, "ckpt")
+    )
+
+
+SQL_STREAMING_APPEND = """
+SELECT make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) * 1000000) AS win_start,
+       event_type, count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+HAVING epoch(win_start) + 3600 <= epoch((SELECT max(ts) FROM events)) - 600
+"""
+
+
 # =========================================================================
 # Crawl pipeline on the synthetic web corpus (rows-only here; exactness
 # vs the pure-Python oracle is proven in tests/test_crawler_oracle.py)
@@ -2104,6 +2141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_json_sink": q_s7_json_sink,
         # --- streaming + multimodal (previously truncated) ---
         "streaming_windowed": q_streaming_windowed,
+        "streaming_append": q_streaming_append,
         "mm_media_features": q_mm_media_features,
         "mm_frame_sample": q_mm_frame_sample,
         # --- round-3 additions ---
@@ -2220,5 +2258,6 @@ def oracle_sql() -> dict[str, str]:
         "mm_media_features": SQL_MM_FEATURES,
         "mm_frame_sample": SQL_MM_FRAMES,
         "streaming_windowed": SQL_STREAMING,
+        "streaming_append": SQL_STREAMING_APPEND,
         **_corpus_oracle_sql(),
     }

@@ -84,6 +84,12 @@ class CrawlConfig:
     use_bloom: bool = True
     bloom_fpp: float = 1e-3
     bloom_expected: int = 1_000_000  # sizes the cumulative bloom (fixed m)
+    bloom_buckets: int = 1  # >1 → partitioned bucket-aligned blooms
+    # (operators/seen.BloomBucketStore): one bitset per pmod(url_hash, B)
+    # bucket, built and applied on the executors with NO driver-assembled
+    # full bitset — the 10^10-seen shape (a single bloom at 10^10 keys is
+    # ~17 GB, SURVEY §7.3).  1 keeps the single broadcast bloom (fine to
+    # ~10^8 seen; cheapest at sandbox scale).
     respect_robots: bool = True
     broadcast_admitted_max: int = 2_000_000  # rows; 0 → let AQE pick the join
     write_partitions: int = 8  # per-round delta files; ~2-3× executors on a cluster
@@ -168,6 +174,37 @@ class FrontierCrawler:
             .dropDuplicates(["host"])
         )
         self._bloom = None  # cumulative seen bloom, maintained incrementally
+        if config.bloom_buckets > 1:
+            from .operators.seen import BloomBucketStore
+
+            self._bloom_store = BloomBucketStore(
+                os.path.join(store.root, "_blobs", "bloom_buckets"),
+                config.bloom_buckets,
+                max(16, config.bloom_expected // config.bloom_buckets),
+                config.bloom_fpp,
+            )
+        else:
+            self._bloom_store = None
+
+    # ------------------------------------------------------------------
+    def _ensure_partitioned_bloom(self, round_id: int) -> None:
+        """Make every bucket's cumulative blob current through
+        ``round_id - 1`` (cold resume / legacy store: rebuild from the
+        committed seen deltas in one executor-side pass)."""
+        from .operators.seen import advance_partitioned_bloom
+
+        if self._bloom_store.complete(round_id - 1):
+            return
+        seen = self.store.read_rounds(self.spark, "seen", upto=round_id - 1)
+        if seen is None:
+            return
+        # rebuild directly at round_id - 1: drop stale files so the
+        # advance pass starts from empty bitsets
+        import glob
+
+        for p in glob.glob(os.path.join(self._bloom_store.root, "bloomb*.bin")):
+            os.remove(p)
+        advance_partitioned_bloom(seen, "url_hash", self._bloom_store, round_id - 1)
 
     # ------------------------------------------------------------------
     def _seen_bloom(self, round_id: int):
@@ -203,9 +240,14 @@ class FrontierCrawler:
         return self._bloom
 
     def _advance_bloom(self, round_id: int) -> None:
+        delta = self.store.read_round(self.spark, "seen", round_id)
+        if self._bloom_store is not None:
+            from .operators.seen import advance_partitioned_bloom
+
+            advance_partitioned_bloom(delta, "url_hash", self._bloom_store, round_id)
+            return
         if self._bloom is None:
             self._seen_bloom(round_id)
-        delta = self.store.read_round(self.spark, "seen", round_id)
         delta_bloom = build_bloom(
             delta, "url_hash", self.config.bloom_expected, self.config.bloom_fpp
         )
@@ -419,11 +461,18 @@ class FrontierCrawler:
 
         # 1. URL-seen anti-join (incremental bloom prefilter + exact fallback)
         seen = self.store.read_rounds(self.spark, "seen", upto=round_id - 1)
-        if seen is not None:
+        if seen is None:
+            candidates = frontier
+        elif cfg.use_bloom and self._bloom_store is not None:
+            from .operators.seen import anti_join_seen_partitioned
+
+            self._ensure_partitioned_bloom(round_id)
+            candidates = anti_join_seen_partitioned(
+                frontier, seen, self._bloom_store, round_id - 1, "canon_url", "url_hash"
+            )
+        else:
             bloom = self._seen_bloom(round_id) if cfg.use_bloom else None
             candidates = anti_join_seen(frontier, seen, "canon_url", "url_hash", bloom)
-        else:
-            candidates = frontier
 
         # 2. robots gate (broadcast dim join + vectorized rule eval)
         with_rules = candidates.join(F.broadcast(self.robots_dim), on="host", how="left")
@@ -738,7 +787,10 @@ class FrontierCrawler:
         extracted.unpersist()
 
         with _timed("crawl_logs"):
-            self.store.write_round("crawl_logs", round_id, logs, partitions=1)
+            # bounded rollup (≤ partitions × statuses rows): driver-side
+            # Arrow write — no single-task shuffle drain (storage.py
+            # write_round_small rationale)
+            self.store.write_round_small("crawl_logs", round_id, logs)
 
         obs_frontier = Observation(f"frontier_{round_id}")
         frontier_obs_df = next_frontier.observe(

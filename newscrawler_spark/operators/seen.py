@@ -115,6 +115,192 @@ def build_bloom(seen: DataFrame, hash_col: str, expected: int, fpp: float = 1e-3
     return proto
 
 
+class BloomBucketStore:
+    """Partitioned, bucket-aligned blooms (SURVEY §7.3): one bitset per
+    ``pmod(url_hash, B)`` bucket, stored as shared-storage blobs that
+    EXECUTORS write and read directly — the driver never assembles (or
+    even sees) a full bitset.
+
+    Why: a single bloom for 10^10 hashes at fpp 1e-3 is ~17 GB — too
+    big to build on, hold in, or broadcast from the driver.  Bucketed,
+    each blob is ~17 GB / B; build tasks OR only their buckets' deltas
+    into their buckets' blobs, and apply tasks load only the buckets
+    their rows touch (with the seen/frontier tables bucket-partitioned
+    by the same key in storage — the Iceberg layout — that is exactly
+    one blob per task, fetched once).  In this sandbox the "shared
+    storage" is the store's local _blobs dir (same protocol as the
+    RoundStore manifest blobs); on a cluster it is object-store puts
+    from executors.
+
+    Files are per-round cumulative (``bloomb{b}-{r}.bin``): round r's
+    blob for bucket b = round r-1's ∪ bloom(delta_r ∩ bucket b), so
+    resume reads exactly the committed round's files and a crash
+    mid-build is invisible (next run overwrites round r's files
+    idempotently; commit is the round manifest, as for tables).
+    """
+
+    def __init__(self, root: str, n_buckets: int, expected_per_bucket: int, fpp: float):
+        proto = NumpyBloom(expected_per_bucket, fpp)
+        self.root = root
+        self.n_buckets = n_buckets
+        self.m, self.k = proto.m, proto.k
+        self.expected_per_bucket = expected_per_bucket
+        self.fpp = fpp
+
+    def path(self, bucket: int, round_id: int) -> str:
+        import os
+
+        return os.path.join(self.root, f"bloomb{bucket}-{round_id}.bin")
+
+    def complete(self, round_id: int) -> bool:
+        """True iff every bucket has a blob for ``round_id``."""
+        import os
+
+        return all(
+            os.path.exists(self.path(b, round_id)) for b in range(self.n_buckets)
+        )
+
+    # -- executor-side primitives (no Spark imports at call time) ------
+    def load_bucket(self, bucket: int, round_id: int) -> NumpyBloom:
+        import os
+
+        p = self.path(bucket, round_id)
+        if round_id < 0 or not os.path.exists(p):
+            return NumpyBloom(self.expected_per_bucket, self.fpp)
+        words = np.fromfile(p, dtype=np.uint64)
+        return NumpyBloom.from_state(words, self.m, self.k)
+
+    def write_bucket(self, bucket: int, round_id: int, bloom: NumpyBloom) -> None:
+        import os
+
+        os.makedirs(self.root, exist_ok=True)
+        p = self.path(bucket, round_id)
+        tmp = p + f".tmp{os.getpid()}"
+        bloom.words.tofile(tmp)
+        os.rename(tmp, p)
+
+
+def _bucket_of(hashes: np.ndarray, n_buckets: int) -> np.ndarray:
+    """pmod(hash, B) with Spark's non-negative-modulo semantics."""
+    return ((hashes.astype(np.int64) % n_buckets) + n_buckets) % n_buckets
+
+
+def advance_partitioned_bloom(
+    seen_delta: DataFrame,
+    hash_col: str,
+    store: BloomBucketStore,
+    round_id: int,
+) -> int:
+    """Advance every bucket's cumulative bloom to ``round_id`` by OR-ing
+    in the round's seen delta — entirely on the executors.
+
+    The delta is repartitioned by bucket (B-way shuffle of the skinny
+    hash column only — on an Iceberg seen table bucket-partitioned by
+    the same key this shuffle disappears; here it moves 8 bytes/row), a
+    skeleton row per bucket guarantees even empty buckets carry their
+    cumulative file forward, and each task loads round r-1's blobs for
+    ITS buckets, ORs, and writes round r's blobs directly.  The driver
+    receives only (bucket, n_added) counters.
+    """
+    spark = seen_delta.sparkSession
+    B = store.n_buckets
+    # skeleton rows use a flag, NOT a null hash — a nullable int64
+    # column arrives in pandas as float64, silently rounding 60-bit
+    # hashes (>2^53) and corrupting the bitset (false negatives, which
+    # unlike false positives break the equivalence contract)
+    skeleton = spark.range(B).select(
+        F.col("id").cast("int").alias("__bucket"),
+        F.lit(0).cast("long").alias("__h"),
+        F.lit(False).alias("__real"),
+    )
+    rows = seen_delta.select(
+        F.pmod(F.col(hash_col), F.lit(B)).cast("int").alias("__bucket"),
+        F.col(hash_col).alias("__h"),
+        F.lit(True).alias("__real"),
+    ).unionByName(skeleton)
+
+    root, n_buckets, expected, fpp = store.root, store.n_buckets, store.expected_per_bucket, store.fpp
+
+    def advance(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        st = BloomBucketStore(root, n_buckets, expected, fpp)
+        blooms: dict[int, NumpyBloom] = {}
+        counts: dict[int, int] = {}
+        for pdf in it:
+            for b, grp in pdf.groupby("__bucket"):
+                b = int(b)
+                if b not in blooms:
+                    blooms[b] = st.load_bucket(b, round_id - 1)
+                    counts[b] = 0
+                h = grp.loc[grp["__real"], "__h"].to_numpy(dtype=np.int64)
+                if len(h):
+                    blooms[b].add(h)
+                    counts[b] += len(h)
+        for b, bloom in blooms.items():
+            st.write_bucket(b, round_id, bloom)
+        if blooms:
+            yield pd.DataFrame(
+                {"bucket": list(blooms), "n_added": [counts[b] for b in blooms]}
+            )
+
+    stats = (
+        rows.repartition(B, "__bucket")
+        .mapInPandas(advance, schema="bucket int, n_added long")
+        .collect()
+    )
+    return int(sum(r["n_added"] for r in stats))
+
+
+def anti_join_seen_partitioned(
+    frontier: DataFrame,
+    seen: DataFrame,
+    store: BloomBucketStore,
+    round_id: int,
+    url_col: str = "canon_url",
+    hash_col: str = "url_hash",
+) -> DataFrame:
+    """Bucket-aligned bloom prefilter + exact anti-join fallback — the
+    partitioned twin of :func:`anti_join_seen` (same equivalence
+    contract, tested bloom-on vs bloom-off).
+
+    The prefilter is applied map-side wherever the frontier rows
+    already are (no extra shuffle); each task lazily loads only the
+    bucket blobs its batch touches, cached per task.  With the frontier
+    bucket-partitioned by the same key in storage (the 10^10 layout)
+    that is exactly one blob per task.
+    """
+    root, n_buckets, expected, fpp = store.root, store.n_buckets, store.expected_per_bucket, store.fpp
+    rid = round_id
+
+    def prefilter(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        st = BloomBucketStore(root, n_buckets, expected, fpp)
+        cache: dict[int, NumpyBloom] = {}
+        for pdf in it:
+            h = pdf[hash_col].to_numpy(dtype=np.int64)
+            out = np.zeros(len(h), dtype=bool)
+            buckets = _bucket_of(h, n_buckets)
+            for b in np.unique(buckets):
+                b = int(b)
+                if b not in cache:
+                    cache[b] = st.load_bucket(b, rid)
+                mask = buckets == b
+                out[mask] = cache[b].might_contain(h[mask])
+            pdf = pdf.copy()
+            pdf["__maybe_seen"] = out
+            yield pdf
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(frontier.schema.fields) + [T.StructField("__maybe_seen", T.BooleanType())]
+    )
+    seen_keys = seen.select(hash_col, url_col).dropDuplicates([hash_col, url_col])
+    tagged = frontier.mapInPandas(prefilter, schema=out_schema)
+    definitely_new = tagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
+    maybe = tagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+    survivors = maybe.join(seen_keys, on=[hash_col, url_col], how="left_anti")
+    return definitely_new.unionByName(survivors)
+
+
 def anti_join_seen(
     frontier: DataFrame,
     seen: DataFrame,

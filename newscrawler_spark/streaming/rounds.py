@@ -50,20 +50,78 @@ def windowed_event_counts(
     )
 
 
-def run_to_completion(streaming_df: DataFrame, name: str) -> DataFrame:
+def run_to_completion(
+    streaming_df: DataFrame, name: str, state_partitions: int = 8
+) -> DataFrame:
     """Drive a bounded streaming query to completion via a memory sink;
-    returns the result as a batch DataFrame."""
-    q = (
-        streaming_df.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    returns the result as a batch DataFrame.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    stream's lifetime (restored after): a stateful agg creates one
+    state-store instance PER shuffle partition PER batch, and the store
+    lifecycle (provider init, delta file, snapshot, commit) dominates a
+    small-state query — measured 2.4-2.8 s/batch at 32 partitions vs
+    0.4-0.8 s at 4-8 for the identical 100k-row window agg (the r02
+    streaming_windowed 2× regression was exactly this: the bench session
+    runs at shuffle=32).  State partitioning is pinned in the checkpoint
+    at first start, so this must be set BEFORE ``start()``; size it to
+    expected STATE volume (windows × keys), never to input volume.
+    """
+    spark = streaming_df.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.processAllAvailable()
+        q = (
+            streaming_df.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
-    return streaming_df.sparkSession.table(name)
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
+
+
+def run_to_file_sink(
+    streaming_df: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    state_partitions: int = 8,
+) -> DataFrame:
+    """Append-mode parquet-sink twin of :func:`run_to_completion` — the
+    SCALE-SAFE shape: ``complete`` + memory sink re-emits and holds the
+    whole aggregate on the driver every batch, while append mode emits
+    each window exactly once when the watermark passes its end and
+    evicts its state, so driver memory and per-batch output are bounded
+    by the watermark horizon, not the stream's lifetime.
+
+    Only watermark-FINALIZED windows appear in the sink (windows still
+    inside the watermark horizon at end-of-input are never emitted —
+    inherent to append semantics on a bounded input; the oracle mirrors
+    the cut).  Returns the sink read back as a batch DataFrame.
+    """
+    spark = streaming_df.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            streaming_df.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.read.parquet(sink_dir)
 
 
 def _token_bucket_fn(budget: int):

@@ -59,6 +59,81 @@ def test_anti_join_bloom_equivalence(spark, frontier_and_seen):
     assert len(a) == frontier.count() - seen.count()
 
 
+def test_partitioned_bloom_equivalence(spark, frontier_and_seen, tmp_path):
+    """Bucket-aligned partitioned blooms (B=4) ≡ exact anti-join —
+    the same pure-optimization contract as the single bloom, with the
+    bitsets built/loaded entirely by executor tasks (no driver bitset)."""
+    from newscrawler_spark.operators.seen import (
+        BloomBucketStore,
+        advance_partitioned_bloom,
+        anti_join_seen_partitioned,
+    )
+
+    frontier, seen = frontier_and_seen
+    store = BloomBucketStore(str(tmp_path / "bb"), n_buckets=4,
+                             expected_per_bucket=512, fpp=1e-3)
+    n = advance_partitioned_bloom(seen, "url_hash", store, round_id=0)
+    assert n == seen.count()
+    assert store.complete(0)
+    out = anti_join_seen_partitioned(frontier, seen, store, 0)
+    a = {r["url_hash"] for r in out.collect()}
+    b = {r["url_hash"] for r in anti_join_seen(frontier, seen, bloom=None).collect()}
+    assert a == b
+
+
+def test_partitioned_bloom_incremental_rounds(spark, tmp_path):
+    """Round r's blobs = round r-1's ∪ delta_r, per bucket; empty-delta
+    buckets still carry forward (skeleton rows)."""
+    from pyspark.sql import functions as F
+
+    from newscrawler_spark.operators.seen import (
+        BloomBucketStore,
+        advance_partitioned_bloom,
+        anti_join_seen_partitioned,
+    )
+
+    store = BloomBucketStore(str(tmp_path / "bb"), n_buckets=3,
+                             expected_per_bucket=256, fpp=1e-3)
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.concat(F.lit("u"), "id").alias("canon_url"), F.col("id").alias("url_hash")
+    )
+    advance_partitioned_bloom(mk(0, 60), "url_hash", store, 0)
+    # delta for round 1 hits only bucket 0 (multiples of 3)
+    d1 = mk(60, 120).filter(F.col("url_hash") % 3 == 0)
+    advance_partitioned_bloom(d1, "url_hash", store, 1)
+    assert store.complete(1)  # buckets 1,2 carried forward despite empty delta
+    seen_all = mk(0, 60).unionByName(d1)
+    frontier = mk(0, 200).withColumn("priority", F.lit(1))
+    out = {r["url_hash"] for r in
+           anti_join_seen_partitioned(frontier, seen_all, store, 1).collect()}
+    expect = {r["url_hash"] for r in
+              frontier.join(seen_all, ["url_hash", "canon_url"], "left_anti").collect()}
+    assert out == expect
+
+
+def test_crawler_partitioned_bloom_identical_crawl(spark, tmp_path):
+    """A full crawl with bloom_buckets=4 produces the identical seen set
+    and fetch order as the single-bloom crawl (bloom is pure
+    optimization at every B)."""
+    from newscrawler_spark.crawler import CrawlConfig, FrontierCrawler
+    from newscrawler_spark.plans.storage import RoundStore
+    from newscrawler_spark.sources.corpus import generate_corpus
+
+    paths = generate_corpus(str(tmp_path / "c"), n_pages=300, n_hosts=6, seed=42)
+
+    def crawl(tag, **kw):
+        store = RoundStore(str(tmp_path / tag))
+        cfg = CrawlConfig(max_rounds=3, round_budget=8, n_salts=4, **kw)
+        FrontierCrawler(spark, paths["pages"], paths["seeds"], store, cfg).run(resume=False)
+        seen = store.read_rounds(spark, "seen")
+        return sorted(
+            (r["url_hash"], r["canon_url"], r["fetch_seq"], r["status"])
+            for r in seen.collect()
+        )
+
+    assert crawl("a", bloom_buckets=4) == crawl("b", bloom_buckets=1)
+
+
 def test_hash_collision_does_not_drop_urls(spark):
     """Two distinct URLs with the same url_hash: only the truly-seen one
     is filtered (the join keys on (hash, url), not hash alone)."""
