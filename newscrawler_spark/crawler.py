@@ -104,6 +104,14 @@ class CrawlConfig:
     scalable_fetch_order: bool = False  # two-pass range-partitioned seq
     # assignment instead of the single-partition window: use when the
     # admitted set is NOT budget-bounded (bulk rounds). Identical order.
+    pages_bucketed_table: str | None = None  # catalog name of a pages
+    # table written by prepare_bucketed_pages (bucket(B, page_hash) —
+    # the Iceberg bucket-transform layout analog).  When set, the fetch
+    # join runs bucket co-partitioned: the pages side is read straight
+    # from its buckets with NO Exchange and only the skinny admitted
+    # side shuffles — the shape for admitted sets past driver-broadcast
+    # size (>~5M rows), where neither broadcast nor a pages-side
+    # shuffle is viable at 100 TB.
 
     @property
     def is_bulk_round(self) -> bool:
@@ -131,6 +139,77 @@ def fetch_join(pages: DataFrame, adm: DataFrame, broadcast: bool = True) -> Data
     ).drop("page_url", "page_hash")
 
 
+def prepare_bucketed_pages(
+    spark: SparkSession,
+    pages_path: str,
+    table_name: str,
+    n_buckets: int,
+    location: str | None = None,
+) -> DataFrame:
+    """One-time layout job: materialize the canonicalized pages
+    projection as a parquet table bucketed by ``page_hash`` — the plain-
+    Spark analog of an Iceberg ``bucket(B, url_hash)`` partition
+    transform (the reference target layout; at 100 TB this job runs once
+    per corpus snapshot and every subsequent crawl amortizes it).
+
+    The payoff is :func:`fetch_join_bucketed`: a scan of this table
+    carries ``HashPartitioning(page_hash, B)``, so a shuffled join on
+    ``page_hash`` needs NO Exchange on the pages side — only the skinny
+    admitted relation moves.  Size ``n_buckets`` to the target cluster
+    (~2-4× total cores; each bucket must fit an executor's hash-build or
+    stream budget).
+    """
+    df = with_canonical(spark.read.parquet(pages_path), "url").select(
+        F.col("canon_url").alias("page_url"),
+        F.col("url_hash").alias("page_hash"),
+        "warc_ts",
+        "html",
+        "lang",
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    writer = df.write.format("parquet").mode("overwrite").bucketBy(n_buckets, "page_hash")
+    if location:
+        writer = writer.option("path", location)
+    writer.saveAsTable(table_name)
+    return spark.table(table_name)
+
+
+def fetch_join_bucketed(pages: DataFrame, adm: DataFrame) -> DataFrame:
+    """Bucket co-partitioned fetch join — for admitted sets past
+    driver-broadcast size (PLANS.md's 100 TB TODO): neither side can be
+    broadcast, and a pages-side shuffle moves the 100 TB html payload.
+
+    ``pages`` must be a bucketed table from :func:`prepare_bucketed_pages`.
+    The join key is the single bucket column (``url_hash == page_hash``)
+    so the bucketed scan's ``HashPartitioning`` satisfies the join's
+    required distribution EXACTLY — the pages side streams straight out
+    of its buckets with no Exchange; only the admitted side shuffles
+    (into the table's bucket count).  The URL-equality collision guard
+    stays (hash-collision rows with a different URL are dropped, same
+    result set as the two-key join in :func:`fetch_join`) but is spelled
+    as ``<= AND >=``: a plain ``==`` filter is extracted by Catalyst
+    into an extra equi-join KEY, which widens the keys past the bucket
+    column and silently disables the bucketed scan ("Bucketed: false
+    (disabled by query planner)" — both sides re-shuffle on the two-key
+    hash).  The range pair is equality for non-null strings but stays a
+    residual join condition, evaluated per matched row.  The
+    ``shuffle_hash`` hint builds the bounded admitted side per bucket —
+    no sort of the pages stream (SMJ would sort the fat html rows).
+    """
+    return (
+        pages.join(
+            adm.hint("shuffle_hash"),
+            on=adm.url_hash == pages.page_hash,
+            how="inner",
+        )
+        .filter(
+            (F.col("canon_url") <= F.col("page_url"))
+            & (F.col("canon_url") >= F.col("page_url"))
+        )
+        .drop("page_url", "page_hash")
+    )
+
+
 class FrontierCrawler:
     def __init__(
         self,
@@ -147,15 +226,23 @@ class FrontierCrawler:
         # NB: pages.text (the ground-truth extraction) is deliberately NOT
         # selected — the engine must recover text from html; pruning it
         # also halves the scan/cache bytes.
-        self.pages = with_canonical(
-            spark.read.parquet(pages_path), "url"
-        ).select(
-            F.col("canon_url").alias("page_url"),
-            F.col("url_hash").alias("page_hash"),
-            "warc_ts",
-            "html",
-            "lang",
-        )
+        if config.pages_bucketed_table:
+            # pre-bucketed layout (prepare_bucketed_pages): already
+            # canonicalized, and the scan carries the bucket
+            # partitioning the co-partitioned fetch join relies on
+            self.pages = spark.table(config.pages_bucketed_table).select(
+                "page_url", "page_hash", "warc_ts", "html", "lang"
+            )
+        else:
+            self.pages = with_canonical(
+                spark.read.parquet(pages_path), "url"
+            ).select(
+                F.col("canon_url").alias("page_url"),
+                F.col("url_hash").alias("page_hash"),
+                "warc_ts",
+                "html",
+                "lang",
+            )
         if config.cache_pages:
             from pyspark import StorageLevel
 
@@ -531,7 +618,10 @@ class FrontierCrawler:
         adm = admitted.select(
             "canon_url", "url_hash", "host", "priority", "discovered_round", "fetch_seq"
         )
-        fetched = fetch_join(self.pages, adm, broadcast=cfg.broadcast_admitted_max > 0)
+        if cfg.pages_bucketed_table:
+            fetched = fetch_join_bucketed(self.pages, adm)
+        else:
+            fetched = fetch_join(self.pages, adm, broadcast=cfg.broadcast_admitted_max > 0)
         # The broadcast join inherits the PAGES scan partitioning, which
         # can be one fat partition (or skewed row groups).  Re-spread the
         # fetched rows — the moved bytes are the fetch result itself

@@ -53,6 +53,104 @@ def test_fetch_join_broadcasts_admitted_build_right(spark, no_auto_broadcast):
     assert "SortMergeJoin" in unhinted or "ShuffledHashJoin" in unhinted, unhinted
 
 
+def test_bucketed_fetch_join_no_pages_exchange(spark, tmp_path, no_auto_broadcast):
+    """The bucket co-partitioned fetch join (admitted sets past
+    driver-broadcast size) must read the pages table straight out of its
+    buckets: NO Exchange above the pages scan — the only shuffle in the
+    whole plan is the skinny admitted side moving into the bucket
+    layout.  At 100 TB an Exchange on the pages side is the job."""
+    from newscrawler_spark.crawler import fetch_join_bucketed, prepare_bucketed_pages
+    from newscrawler_spark.sources.corpus import generate_corpus
+
+    paths = generate_corpus(str(tmp_path / "c"), n_pages=200, n_hosts=4, seed=7)
+    pages = prepare_bucketed_pages(
+        spark, paths["pages"], "pages_bkt_plan_test", 8, str(tmp_path / "tbl")
+    )
+    try:
+        _, adm = _pages_and_adm(spark)
+        df = fetch_join_bucketed(pages, adm)
+        plan = _plan(df, "simple")
+        assert "ShuffledHashJoin" in plan, plan
+        assert "BroadcastHashJoin" not in plan and "SortMergeJoin" not in plan, plan
+        # exactly ONE Exchange — the admitted side; none over the scan
+        assert plan.count("Exchange") == 1, plan
+        formatted = _plan(df)
+        assert "Bucketed: true" in formatted, formatted
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pages_bkt_plan_test")
+
+
+def test_bucketed_fetch_join_rows_match(spark, tmp_path, no_auto_broadcast):
+    """Single-key join + URL post-filter == the two-key broadcast join
+    (the collision guard moved, not weakened)."""
+    from newscrawler_spark.crawler import (
+        fetch_join,
+        fetch_join_bucketed,
+        prepare_bucketed_pages,
+        with_canonical,
+    )
+    from newscrawler_spark.sources.corpus import generate_corpus
+
+    paths = generate_corpus(str(tmp_path / "c"), n_pages=200, n_hosts=4, seed=7)
+    bkt = prepare_bucketed_pages(
+        spark, paths["pages"], "pages_bkt_rows_test", 4, str(tmp_path / "tbl")
+    )
+    try:
+        plain = with_canonical(spark.read.parquet(paths["pages"]), "url").select(
+            F.col("canon_url").alias("page_url"),
+            F.col("url_hash").alias("page_hash"),
+            "warc_ts",
+            "html",
+            "lang",
+        )
+        # admitted = every other real page (so hits are non-trivial)
+        adm = (
+            plain.select(
+                F.col("page_url").alias("canon_url"),
+                F.col("page_hash").alias("url_hash"),
+            )
+            .withColumn("host", F.lit("h"))
+            .withColumn("priority", F.lit(2))
+            .withColumn("discovered_round", F.lit(0))
+            .withColumn("fetch_seq", F.monotonically_increasing_id())
+            .filter(F.col("url_hash") % 2 == 0)
+        )
+        a = {r["url_hash"] for r in fetch_join_bucketed(bkt, adm).collect()}
+        b = {r["url_hash"] for r in fetch_join(plain, adm, broadcast=True).collect()}
+        assert a == b and len(a) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pages_bkt_rows_test")
+
+
+def test_crawler_bucketed_pages_identical_crawl(spark, tmp_path):
+    """A full crawl over the bucketed pages layout produces the
+    identical seen set and fetch order as the broadcast-join crawl (the
+    layout is a pure physical-plan choice)."""
+    from newscrawler_spark.crawler import CrawlConfig, FrontierCrawler, prepare_bucketed_pages
+    from newscrawler_spark.plans.storage import RoundStore
+    from newscrawler_spark.sources.corpus import generate_corpus
+
+    paths = generate_corpus(str(tmp_path / "c"), n_pages=300, n_hosts=6, seed=42)
+    prepare_bucketed_pages(
+        spark, paths["pages"], "pages_bkt_crawl_test", 4, str(tmp_path / "tbl")
+    )
+
+    def crawl(tag, **kw):
+        store = RoundStore(str(tmp_path / tag))
+        cfg = CrawlConfig(max_rounds=3, round_budget=8, n_salts=4, **kw)
+        FrontierCrawler(spark, paths["pages"], paths["seeds"], store, cfg).run(resume=False)
+        seen = store.read_rounds(spark, "seen")
+        return sorted(
+            (r["url_hash"], r["canon_url"], r["fetch_seq"], r["status"])
+            for r in seen.collect()
+        )
+
+    try:
+        assert crawl("bkt", pages_bucketed_table="pages_bkt_crawl_test") == crawl("ref")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pages_bkt_crawl_test")
+
+
 def test_fetch_join_rows_match_outer_semantics(spark):
     """inner + anti decomposition == the old left-outer fetch: every
     admitted URL lands in exactly one of (fetched, missing)."""
