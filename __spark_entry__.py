@@ -1326,6 +1326,81 @@ FROM packed WHERE cum_tokens <= 2000
 """
 
 
+def q_rag_evaluate(spark, sf_dir):
+    """RAG answer evaluation (evaluation.py:112-198): per-response
+    citation counting ("Article i"/"article i" against 2 sources),
+    Jaccard word overlap vs ground truth, and the reference's weighted
+    quality score (0.4/0.3/0.3 then 50/50 with the ground-truth metric).
+    Responses/truths synthesized deterministically from documents (every
+    third answer cites 0, 1 or 2 sources; truth = an overlapping text
+    window); relevance inputs derive from n_chars.  Pure codegen — no
+    UDF, no shuffle."""
+    from newscrawler_spark.operators.rag import evaluate_responses
+
+    docs = _t(spark, sf_dir, "documents")
+    snippet = F.substring("text", 1, 400)
+    m3 = F.pmod(F.col("doc_id"), F.lit(3))
+    df = docs.select(
+        "doc_id",
+        "n_chars",
+        F.when(m3 == 0, snippet)
+        .when(m3 == 1, F.concat(F.lit("As Article 1 reports, "), snippet))
+        .otherwise(F.concat(F.lit("Article 1 and article 2 agree: "), snippet))
+        .alias("response"),
+        F.substring("text", 200, 400).alias("ground_truth"),
+        F.least(F.lit(1.0), F.col("n_chars") / F.lit(20000.0)).alias("rqr"),
+        F.least(F.lit(1.0), F.col("n_chars") / F.lit(40000.0)).alias("asr"),
+    )
+    return evaluate_responses(
+        df, "response", "ground_truth", n_sources=2,
+        relevance_col="rqr", source_relevance_col="asr",
+    ).drop("n_chars", "rqr", "asr")
+
+
+SQL_RAG_EVALUATE = r"""
+WITH base AS (
+  SELECT doc_id, n_chars,
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN substring(text, 1, 400)
+           WHEN 1 THEN 'As Article 1 reports, ' || substring(text, 1, 400)
+           ELSE 'Article 1 and article 2 agree: ' || substring(text, 1, 400)
+         END AS response,
+         substring(text, 200, 400) AS ground_truth
+  FROM documents),
+m AS (
+  SELECT doc_id, n_chars,
+         (CASE WHEN position('Article 1' IN response) > 0
+                 OR position('article 1' IN response) > 0 THEN 1 ELSE 0 END
+          + CASE WHEN position('Article 2' IN response) > 0
+                 OR position('article 2' IN response) > 0 THEN 1 ELSE 0 END)
+           AS citation_count,
+         list_distinct(list_filter(regexp_split_to_array(lower(response), '\s+'),
+                                   t -> t <> '')) AS rw,
+         list_distinct(list_filter(regexp_split_to_array(lower(ground_truth), '\s+'),
+                                   t -> t <> '')) AS tw
+  FROM base),
+s AS (
+  SELECT doc_id, n_chars, citation_count,
+         CAST(len(list_intersect(rw, tw)) AS INT) AS words_inter,
+         CAST(len(list_distinct(list_cat(rw, tw))) AS INT) AS words_union
+  FROM m),
+o AS (
+  SELECT doc_id, n_chars, citation_count, words_inter, words_union,
+         CASE WHEN words_union > 0 THEN words_inter / words_union
+              ELSE 0.0 END AS overlap,
+         citation_count / 2 AS citation_ratio
+  FROM s)
+SELECT doc_id, citation_count, citation_ratio, words_inter, words_union,
+       CAST(floor(overlap * 10000 + 0.5) AS INT) AS word_overlap_bp,
+       CAST(floor(least(1.0, greatest(0.0,
+         (least(1.0, n_chars / 20000.0) * 0.4
+          + least(1.0, n_chars / 40000.0) * 0.3
+          + citation_ratio * 0.3) * 0.5
+         + overlap * 0.5)) * 1000000 + 0.5) AS BIGINT) AS quality_ppm
+FROM o
+"""
+
+
 def q_response_cache(spark, sf_dir):
     """Semantic response cache (response_cache.py:68-99): incoming
     queries (embeddings with vec_id % 10 = 5) probe the cached-query
@@ -2147,6 +2222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-3 additions ---
         "a4_histogram": q_a4_histogram,
         "rag_context": q_rag_context,
+        "rag_evaluate": q_rag_evaluate,
         "response_cache": q_response_cache,
         "embed_missing": q_embed_missing,
         "j1_seen_antijoin": q_j1_seen_antijoin,
@@ -2214,6 +2290,7 @@ def oracle_sql() -> dict[str, str]:
         "j1_seen_antijoin": SQL_J1,
         "a4_histogram": SQL_A4,
         "rag_context": SQL_RAG_CONTEXT,
+        "rag_evaluate": SQL_RAG_EVALUATE,
         "response_cache": SQL_RESPONSE_CACHE,
         "embed_missing": SQL_EMBED_MISSING,
         "j2_broadcast_dim": SQL_J2,

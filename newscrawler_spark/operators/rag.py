@@ -13,6 +13,18 @@ LLM context assembly and semantic response cache.
   per doc (inherently tiny per query; the single-partition window is
   bounded by construction, never by the corpus).
 
+* :func:`evaluate_responses` — the reference scores every generated
+  RAG answer (``src/llm/evaluation.py:112-198``): explicit "Article i"
+  citation counting against the source list, Jaccard word overlap with
+  the ground truth, and a weighted quality score (0.4 relevance + 0.3
+  source relevance + 0.3 citation ratio, re-weighted 50/50 with the
+  ground-truth similarity).  Batch form: pure column expressions over
+  (response, ground_truth) rows — all codegen, no UDF, no shuffle
+  (per-row metrics); the embedding-based similarity inputs arrive as
+  caller-supplied columns (the reference computes them with its
+  embedding model; the deterministic twin uses the word-overlap metric
+  as the ground-truth similarity).
+
 * :func:`semantic_cache_lookup` — the reference caches LLM responses
   keyed by query embedding and serves a cached answer when a new
   query's cosine similarity to any cached query clears a threshold
@@ -85,6 +97,85 @@ def assemble_context_kernel(
             "token_est",
             "cum_tokens",
         )
+    )
+
+
+def evaluate_responses(
+    df: DataFrame,
+    response_col: str = "response",
+    truth_col: str = "ground_truth",
+    n_sources: int = 2,
+    relevance_col: str | None = None,
+    source_relevance_col: str | None = None,
+) -> DataFrame:
+    """Per-row RAG answer evaluation (reference
+    ``src/llm/evaluation.py``): citation metrics (:112-141), word
+    overlap vs ground truth (:141-170), weighted quality (:170-198).
+
+    * ``citation_count``: how many of sources 1..n_sources are cited as
+      ``Article i`` / ``article i`` in the response (the reference's two
+      exact case variants).
+    * ``word_overlap_bp``: Jaccard of the lowercased whitespace-split
+      word SETS of response and ground truth (the reference's
+      ``_compare_to_ground_truth``), in integer basis points; the raw
+      integer intersection/union sizes are also emitted.
+    * ``quality_ppm``: 0.4·relevance + 0.3·source_relevance +
+      0.3·citation_ratio, then re-weighted 0.5/0.5 with the
+      ground-truth similarity and clamped to [0, 1] — the reference's
+      ``_calculate_quality_score`` with the word-overlap metric
+      standing in for the embedding ground-truth cosine (the
+      deterministic metric available cross-engine; the float-embedding
+      path is the ``relevance`` / ``text_embed`` seam) — in integer
+      parts-per-million.  Missing relevance columns contribute 0, as
+      in the reference (absent metrics are skipped).
+
+    Scores are integers via ``floor(x·scale + 0.5)`` rather than
+    ``round(x, d)``: round() at exact decimal ties diverges across
+    engines (Spark re-rounds the shortest decimal repr with BigDecimal
+    HALF_UP; float engines nearbyint a scaled double), while floor of
+    the identical IEEE double is bit-deterministic everywhere.
+
+    Everything is a column expression (whole-stage codegen, per-row —
+    no shuffle, no UDF): at 100 TB this is a free rider on whatever
+    scan produces the responses.
+    """
+    resp, truth = F.col(response_col), F.col(truth_col)
+    cited = [
+        (
+            resp.contains(F.lit(f"Article {i}"))
+            | resp.contains(F.lit(f"article {i}"))
+        ).cast("int")
+        for i in range(1, n_sources + 1)
+    ]
+    citation_count = sum(cited[1:], cited[0])
+    words = lambda c: F.array_distinct(  # noqa: E731
+        F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != F.lit(""))
+    )
+    rw, tw = words(resp), words(truth)
+    inter = F.size(F.array_intersect(rw, tw))
+    union = F.size(F.array_union(rw, tw))
+    overlap = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    rqr = F.col(relevance_col) if relevance_col else F.lit(0.0)
+    asr = F.col(source_relevance_col) if source_relevance_col else F.lit(0.0)
+    ratio = citation_count / F.lit(n_sources)
+    base = rqr * 0.4 + asr * 0.3 + ratio * 0.3
+    quality = F.least(
+        F.lit(1.0), F.greatest(F.lit(0.0), base * 0.5 + overlap * 0.5)
+    )
+    return (
+        df.withColumn("citation_count", citation_count)
+        .withColumn("citation_ratio", ratio)
+        .withColumn("words_inter", inter)
+        .withColumn("words_union", union)
+        .withColumn(
+            "word_overlap_bp",
+            F.floor(overlap * 10000 + F.lit(0.5)).cast("int"),
+        )
+        .withColumn(
+            "quality_ppm",
+            F.floor(quality * 1000000 + F.lit(0.5)).cast("long"),
+        )
+        .drop(response_col, truth_col)
     )
 
 

@@ -162,3 +162,45 @@ def test_image_extraction_dedup_order():
     # boilerplate-stripped subtrees contribute no images
     nav = b"<nav><img src='https://h.com/navlogo.png'></nav><p>x</p>"
     assert extract_page(nav, "https://h.com/a.html")["images"] == []
+
+
+def test_rag_evaluate_reference_formula(spark):
+    """evaluate_responses mirrors reference evaluation.py: citation
+    variants (:112-141), Jaccard word sets (:141-170), weighted quality
+    with 50/50 ground-truth re-weight and [0,1] clamp (:170-198)."""
+    from pyspark.sql import functions as F
+
+    from newscrawler_spark.operators.rag import evaluate_responses
+
+    df = spark.createDataFrame(
+        [
+            # cites both (one per case variant); words: {a,b,c} vs {b,c,d}
+            (1, "Article 1 says a b c and article 2 agrees", "b c d", 0.5, 0.5),
+            # no citations; identical word sets → overlap 1.0
+            (2, "x y z", "z  y x", 1.0, 1.0),
+            # "Article 3" is beyond n_sources=2 → not counted
+            (3, "Article 3 only", "none here", 0.0, 0.0),
+        ],
+        "doc_id int, response string, ground_truth string, rqr double, asr double",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in evaluate_responses(
+            df, "response", "ground_truth", n_sources=2,
+            relevance_col="rqr", source_relevance_col="asr",
+        ).collect()
+    }
+    r1 = out[1]
+    # words(resp)={article,1,says,a,b,c,and,2,agrees} ∩ {b,c,d} = {b,c}
+    assert r1["citation_count"] == 2 and r1["citation_ratio"] == 1.0
+    assert (r1["words_inter"], r1["words_union"]) == (2, 10)
+    assert r1["word_overlap_bp"] == 2000
+    # quality = 0.5*(0.4*0.5 + 0.3*0.5 + 0.3*1.0) + 0.5*0.2 = 0.425
+    assert r1["quality_ppm"] == 425000
+    r2 = out[2]
+    assert r2["citation_count"] == 0 and r2["word_overlap_bp"] == 10000
+    # 0.5*(0.4 + 0.3 + 0) + 0.5*1.0 = 0.85
+    assert r2["quality_ppm"] == 850000
+    r3 = out[3]
+    assert r3["citation_count"] == 0 and r3["words_inter"] == 0
+    assert r3["quality_ppm"] == 0
