@@ -95,9 +95,13 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
+    timings: list[tuple[str, float, float]] = []
+    import time
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception:
@@ -105,11 +109,14 @@ def main():
             traceback.print_exc()
             n_fail += 1
             continue
+        t_spark = time.time() - t0
         if name not in oracles:
             ok = len(sdf) >= 0
-            print(f"ROWS  {name}: {len(sdf)} rows (no oracle)")
+            timings.append((name, t_spark, 0.0))
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{t_spark:.1f}s]")
             n_rows_only += 1
             continue
+        t1 = time.time()
         try:
             ddf = con.sql(oracles[name]).df()
         except Exception:
@@ -117,6 +124,8 @@ def main():
             traceback.print_exc()
             n_fail += 1
             continue
+        t_duck = time.time() - t1
+        timings.append((name, t_spark, t_duck))
         errs = compare(name, sdf, ddf)
         if errs:
             print(f"FAIL  {name} ({len(sdf)} vs {len(ddf)} rows)")
@@ -124,8 +133,14 @@ def main():
                 print(f"      {e}")
             n_fail += 1
         else:
-            print(f"PASS  {name}: {len(sdf)} rows")
+            print(f"PASS  {name}: {len(sdf)} rows [spark {t_spark:.1f}s, duck {t_duck:.1f}s]")
             n_pass += 1
+    if len(timings) > 3:
+        slow = sorted(timings, key=lambda t: -(t[1] + t[2]))[:8]
+        total = sum(t[1] + t[2] for t in timings)
+        print(f"\ntotal gate wall {total:.0f}s; slowest:")
+        for name, ts, td in slow:
+            print(f"  {name}: spark {ts:.1f}s + duck {td:.1f}s")
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     sys.exit(1 if n_fail else 0)
 
