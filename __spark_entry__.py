@@ -1401,6 +1401,67 @@ FROM o
 """
 
 
+def q_rag_summarize(spark, sf_dir):
+    """Batch summarization (rag.py:369-440 `summarize_article`): the
+    reference's per-article prompt (Title/Source/Date/Content template)
+    assembled for every row as pure column exprs, with a deterministic
+    lead-2-sentences extractive summary standing in for the external
+    LLM call (the generative seam is predict_batch_udf over `prompt`).
+    No UDF, no shuffle — rides the scan."""
+    from newscrawler_spark.operators.rag import summarize_prompts
+
+    return summarize_prompts(
+        _t(spark, sf_dir, "documents"), source_col="source"
+    )
+
+
+SQL_RAG_SUMMARIZE = r"""
+WITH s AS (
+  SELECT doc_id, text,
+         'Please summarize the following news article:' || chr(10) || chr(10)
+           || 'Title: ' || substring(text, 1, 80) || chr(10)
+           || 'Source: ' || source || chr(10)
+           || 'Date: Unknown' || chr(10) || chr(10)
+           || 'Content:' || chr(10) || text AS prompt,
+         regexp_extract(text, '^[^.!?]*[.!?]([^.!?]*[.!?])?', 0) AS two_sents
+  FROM documents),
+t AS (
+  SELECT doc_id, prompt,
+         substring(CASE WHEN two_sents = '' THEN text ELSE two_sents END,
+                   1, 400) AS summary
+  FROM s)
+SELECT doc_id, prompt,
+       CAST(floor(length(prompt) / 4) AS INT) AS prompt_tokens,
+       summary,
+       CAST(length(summary) AS INT) AS summary_chars
+FROM t"""
+
+
+def q_rag_eval_metrics(spark, sf_dir):
+    """Evaluation-history averages (evaluation.py:200-231
+    `get_average_metrics(last_n)` via rag.py:442 `get_evaluation_metrics`):
+    mean citation count / word overlap / quality over the last 100
+    evaluations (top-100 by doc_id desc — the batch stand-in for the
+    evaluator's append-order history).  Exact-integer sums over exact
+    counts; single map-side-combined aggregate row."""
+    from newscrawler_spark.operators.rag import eval_metrics
+
+    return eval_metrics(q_rag_evaluate(spark, sf_dir), last_n=100)
+
+
+SQL_RAG_EVAL_METRICS = (
+    "WITH ev AS (" + SQL_RAG_EVALUATE + r""")
+, hist AS (SELECT * FROM ev ORDER BY doc_id DESC LIMIT 100)
+SELECT CAST(count(*) AS BIGINT) AS n_evals,
+       CAST(floor(avg(citation_count) * 10000 + 0.5) AS BIGINT)
+         AS avg_citation_count_bp,
+       CAST(floor(avg(word_overlap_bp) + 0.5) AS BIGINT)
+         AS avg_word_overlap_bp,
+       CAST(floor(avg(quality_ppm) + 0.5) AS BIGINT) AS avg_quality_ppm
+FROM hist"""
+)
+
+
 def q_response_cache(spark, sf_dir):
     """Semantic response cache (response_cache.py:68-99): incoming
     queries (embeddings with vec_id % 10 = 5) probe the cached-query
@@ -2223,6 +2284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_histogram": q_a4_histogram,
         "rag_context": q_rag_context,
         "rag_evaluate": q_rag_evaluate,
+        "rag_summarize": q_rag_summarize,
+        "rag_eval_metrics": q_rag_eval_metrics,
         "response_cache": q_response_cache,
         "embed_missing": q_embed_missing,
         "j1_seen_antijoin": q_j1_seen_antijoin,
@@ -2291,6 +2354,8 @@ def oracle_sql() -> dict[str, str]:
         "a4_histogram": SQL_A4,
         "rag_context": SQL_RAG_CONTEXT,
         "rag_evaluate": SQL_RAG_EVALUATE,
+        "rag_summarize": SQL_RAG_SUMMARIZE,
+        "rag_eval_metrics": SQL_RAG_EVAL_METRICS,
         "response_cache": SQL_RESPONSE_CACHE,
         "embed_missing": SQL_EMBED_MISSING,
         "j2_broadcast_dim": SQL_J2,

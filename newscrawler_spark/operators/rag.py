@@ -179,6 +179,96 @@ def evaluate_responses(
     )
 
 
+def summarize_prompts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    title_col: str | None = None,
+    source_col: str | None = None,
+    max_summary_chars: int = 400,
+) -> DataFrame:
+    """Batch article summarization — prompt assembly + extractive twin.
+
+    The reference summarizes one article at a time: load the row, build
+    a fixed prompt (Title / Source / Date / Content) and call an
+    external LLM (``src/llm/rag.py:369-440``, ``summarize_article``).
+    The batch form assembles the same prompt for EVERY row as a pure
+    column expression and emits a deterministic extractive summary —
+    the first two sentences (the classic lead-N extractive baseline),
+    capped at ``max_summary_chars`` — so the whole pipeline is
+    testable and cross-engine exact without a model in the loop.
+
+    The generative seam: replace the ``summary`` column with
+    ``predict_batch_udf``-wrapped model inference over ``prompt``
+    (pyspark.ml.functions.predict_batch_udf — Arrow-batched, one model
+    instance per worker); everything else (prompt text, token
+    accounting, downstream writes) is unchanged.  Per-row codegen, no
+    shuffle — at 100 TB this rides the scan; the LLM call is the only
+    non-free stage and it parallelizes per-batch.
+    """
+    title = (
+        F.col(title_col)
+        if title_col
+        else F.substring(F.col(text_col), 1, 80)
+    )
+    source = F.col(source_col) if source_col else F.lit("unknown")
+    prompt = F.concat(
+        F.lit("Please summarize the following news article:\n\nTitle: "),
+        title,
+        F.lit("\nSource: "),
+        source,
+        F.lit("\nDate: Unknown\n\nContent:\n"),
+        F.col(text_col),
+    )
+    # lead-2-sentences extractive baseline; empty match (no sentence
+    # terminator) falls back to a plain prefix cut
+    two_sents = F.regexp_extract(
+        F.col(text_col), r"^[^.!?]*[.!?]([^.!?]*[.!?])?", 0
+    )
+    summary = F.substring(
+        F.when(two_sents == "", F.col(text_col)).otherwise(two_sents),
+        1,
+        max_summary_chars,
+    )
+    return df.select(
+        F.col(id_col),
+        prompt.alias("prompt"),
+        F.floor(F.length(prompt) / CHARS_PER_TOKEN)
+        .cast("int")
+        .alias("prompt_tokens"),
+        summary.alias("summary"),
+        F.length(summary).alias("summary_chars"),
+    )
+
+
+def eval_metrics(
+    evaluated: DataFrame,
+    last_n: int | None = None,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Averages over the evaluation history — the reference's
+    ``get_average_metrics(last_n)`` (``src/llm/evaluation.py:200-231``):
+    mean of every numeric metric over the last ``last_n`` evaluations.
+
+    ``evaluated`` is :func:`evaluate_responses` output; "last N" is the
+    top-N by ``order_col`` descending (the batch stand-in for the
+    evaluator's append-order history).  Averages are exact-integer sums
+    over exact counts, emitted at the metrics' own integer scales via
+    ``floor(x·scale + 0.5)`` — cross-engine exact.  Single tiny
+    aggregate: partial (map-side) combine then one reduce row.
+    """
+    hist = evaluated
+    if last_n is not None:
+        hist = hist.orderBy(F.desc(order_col)).limit(last_n)
+    scaled = lambda c, s: F.floor(F.avg(c) * s + F.lit(0.5)).cast("long")  # noqa: E731
+    return hist.agg(
+        F.count(F.lit(1)).alias("n_evals"),
+        scaled("citation_count", 10000).alias("avg_citation_count_bp"),
+        scaled("word_overlap_bp", 1).alias("avg_word_overlap_bp"),
+        scaled("quality_ppm", 1).alias("avg_quality_ppm"),
+    )
+
+
 def semantic_cache_lookup(
     queries: DataFrame,
     cache: DataFrame,

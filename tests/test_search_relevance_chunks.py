@@ -204,3 +204,48 @@ def test_rag_evaluate_reference_formula(spark):
     r3 = out[3]
     assert r3["citation_count"] == 0 and r3["words_inter"] == 0
     assert r3["quality_ppm"] == 0
+
+
+def test_rag_summarize_prompt_and_extractive_fallback(spark):
+    """summarize_prompts mirrors the reference's summarize_article
+    prompt template (rag.py:369-440) and emits a deterministic
+    lead-2-sentences extractive summary; rows with no sentence
+    terminator fall back to a plain prefix cut."""
+    from newscrawler_spark.operators.rag import summarize_prompts
+
+    df = spark.createDataFrame(
+        [
+            (1, "First sentence. Second one! Third is dropped.", "feeds"),
+            (2, "no terminator at all just words", "csv"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["doc_id"]: r for r in summarize_prompts(df, source_col="source").collect()}
+    r1 = out[1]
+    assert r1["prompt"].startswith(
+        "Please summarize the following news article:\n\nTitle: First sentence."
+    )
+    assert "\nSource: feeds\n" in r1["prompt"]
+    assert r1["prompt"].endswith("Content:\nFirst sentence. Second one! Third is dropped.")
+    assert r1["summary"] == "First sentence. Second one!"
+    assert r1["prompt_tokens"] == len(r1["prompt"]) // 4
+    assert out[2]["summary"] == "no terminator at all just words"
+    assert out[2]["summary_chars"] == len(out[2]["summary"])
+
+
+def test_rag_eval_metrics_last_n(spark):
+    """eval_metrics averages the LAST N evaluations only
+    (evaluation.py:200-231 get_average_metrics)."""
+    from newscrawler_spark.operators.rag import eval_metrics
+
+    hist = spark.createDataFrame(
+        # doc_id, citation_count, word_overlap_bp, quality_ppm
+        [(1, 0, 0, 0), (2, 1, 5000, 400000), (3, 2, 10000, 800000)],
+        "doc_id long, citation_count int, word_overlap_bp int, quality_ppm long",
+    )
+    row = eval_metrics(hist, last_n=2).collect()[0]
+    # last 2 by doc_id desc = ids {2,3}: avg citations 1.5, overlap 7500
+    assert row["n_evals"] == 2
+    assert row["avg_citation_count_bp"] == 15000
+    assert row["avg_word_overlap_bp"] == 7500
+    assert row["avg_quality_ppm"] == 600000
