@@ -1507,6 +1507,34 @@ FROM best WHERE rn = 1
 """
 
 
+def q_response_cache_stats(spark, sf_dir):
+    """Cache statistics (response_cache.py:163-172 `stats` via
+    rag.py:457 `get_cache_stats`): lookup volume, hit count, hit rate —
+    one aggregate row over the semantic-cache lookup output (map-side
+    combine; the lookup itself is the broadcast probe of
+    q_response_cache)."""
+    hits = q_response_cache(spark, sf_dir)
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.col("cache_hit").cast("int")).alias("n_hits"),
+        F.floor(
+            F.avg(F.col("cache_hit").cast("int")) * 10000 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("hit_rate_bp"),
+    )
+
+
+SQL_RESPONSE_CACHE_STATS = (
+    "WITH lk AS (" + SQL_RESPONSE_CACHE + r""")
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(CASE WHEN cache_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(floor(avg(CASE WHEN cache_hit THEN 1 ELSE 0 END) * 10000 + 0.5)
+            AS BIGINT) AS hit_rate_bp
+FROM lk"""
+)
+
+
 def q_j3_strategy_join(spark, sf_dir):
     """J3/S12: frontier ⋈ domain-strategy dim — broadcast dim join +
     per-strategy rollup (Source.scraper_type, models.py:38-58)."""
@@ -2287,6 +2315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_summarize": q_rag_summarize,
         "rag_eval_metrics": q_rag_eval_metrics,
         "response_cache": q_response_cache,
+        "response_cache_stats": q_response_cache_stats,
         "embed_missing": q_embed_missing,
         "j1_seen_antijoin": q_j1_seen_antijoin,
         # --- crawl-core relational operators ---
@@ -2357,6 +2386,7 @@ def oracle_sql() -> dict[str, str]:
         "rag_summarize": SQL_RAG_SUMMARIZE,
         "rag_eval_metrics": SQL_RAG_EVAL_METRICS,
         "response_cache": SQL_RESPONSE_CACHE,
+        "response_cache_stats": SQL_RESPONSE_CACHE_STATS,
         "embed_missing": SQL_EMBED_MISSING,
         "j2_broadcast_dim": SQL_J2,
         "j4_reporting_join": SQL_J4,
