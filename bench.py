@@ -61,6 +61,14 @@ BENCH_QUERIES = [
     "sim_ann_lsh",
     "mm_media_features",
     "streaming_windowed",
+    # round-3 additions: scale-safe streaming sink + RAG surface
+    "streaming_append",
+    "a4_histogram",
+    "rag_context",
+    "rag_evaluate",
+    "rag_summarize",
+    "response_cache",
+    "embed_missing",
 ]
 
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))
