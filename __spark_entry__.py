@@ -1992,6 +1992,39 @@ HAVING epoch(win_start) + 3600 <= epoch((SELECT max(ts) FROM events)) - 600
 """
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming insert-if-absent (S8/U3 continuous twin):
+    dropDuplicatesWithinWatermark emits each (event_type, user_id)'s
+    first arrival with state bounded by the watermark horizon — the
+    only seen-set shape that survives an unbounded frontier.  The
+    bounded replay arrives inside one horizon, so the emitted relation
+    is exactly DISTINCT(keys); aggregated per type for a compact
+    hash-gated result."""
+    import shutil
+
+    from newscrawler_spark.streaming.rounds import dedup_stream, run_append_to_memory
+
+    stage = os.path.join(tempfile.gettempdir(), f"nc_streamdd_{_stable_id(sf_dir)}")
+    os.makedirs(stage, exist_ok=True)
+    dst = os.path.join(stage, "events.parquet")
+    if not os.path.exists(dst):
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), dst)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    dd = dedup_stream(spark, stage, schema, keys=["event_type", "user_id"])
+    first_seen = run_append_to_memory(dd, f"dedup_{_stable_id(sf_dir)}")
+    return (
+        first_seen.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_users"))
+    )
+
+
+SQL_STREAMING_DEDUP = """
+SELECT event_type, count(*) AS n_unique_users
+FROM (SELECT DISTINCT event_type, user_id FROM events)
+GROUP BY event_type
+"""
+
+
 # =========================================================================
 # Crawl pipeline on the synthetic web corpus (rows-only here; exactness
 # vs the pure-Python oracle is proven in tests/test_crawler_oracle.py)
@@ -2306,6 +2339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- streaming + multimodal (previously truncated) ---
         "streaming_windowed": q_streaming_windowed,
         "streaming_append": q_streaming_append,
+        "streaming_dedup": q_streaming_dedup,
         "mm_media_features": q_mm_media_features,
         "mm_frame_sample": q_mm_frame_sample,
         # --- round-3 additions ---
@@ -2431,5 +2465,6 @@ def oracle_sql() -> dict[str, str]:
         "mm_frame_sample": SQL_MM_FRAMES,
         "streaming_windowed": SQL_STREAMING,
         "streaming_append": SQL_STREAMING_APPEND,
+        "streaming_dedup": SQL_STREAMING_DEDUP,
         **_corpus_oracle_sql(),
     }

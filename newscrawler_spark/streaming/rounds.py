@@ -124,6 +124,65 @@ def run_to_file_sink(
     return spark.read.parquet(sink_dir)
 
 
+def dedup_stream(
+    spark: SparkSession,
+    events_dir: str,
+    schema: str,
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming insert-if-absent (S8's continuous twin): emit each key's
+    FIRST arrival, state bounded by the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state row per key seen
+    within the last ``watermark`` of event time and evicts older keys —
+    the shape a 10^10-URL continuous frontier needs (the batch crawler's
+    seen-set anti-join holds ALL history; a streaming dedup must bound
+    state or die, and eviction is correct exactly when re-crawl policy
+    says "a URL re-arriving after `watermark` is due again").  Reference
+    twin: the scheduler's already-queued check
+    (src/scrapers/scheduler.py:371-388) + article_exists insert guard.
+
+    Only the key columns are projected so the emitted relation equals
+    DISTINCT(keys) whenever every duplicate pair arrives within one
+    watermark horizon (true for a bounded replay in one micro-batch) —
+    which is what makes the operator exactly SQL-oracle-able.
+    """
+    keys = keys or ["event_type", "user_id"]
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .select("ts", *keys)
+        .dropDuplicatesWithinWatermark(keys)
+        .select(*keys)
+    )
+
+
+def run_append_to_memory(
+    streaming_df: DataFrame, name: str, state_partitions: int = 8
+) -> DataFrame:
+    """Append-mode memory-sink runner for bounded streaming inputs
+    (dedup / non-windowed stateful ops that cannot run ``complete``).
+    Same state-store sizing rationale as :func:`run_to_completion`."""
+    spark = streaming_df.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            streaming_df.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
+
+
 def _token_bucket_fn(budget: int):
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState

@@ -4,6 +4,8 @@ exactness, multimodal plumbing shape."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -224,3 +226,36 @@ def test_streaming_token_bucket(spark, tmp_path):
     counts = res.groupby("host").size().to_dict()
     assert counts["a.com"] == 5  # budget-capped
     assert counts["b.com"] == 3  # under budget
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over a bounded replay == DISTINCT
+    (every duplicate pair inside one watermark horizon), and state is
+    keyed only on the projected dedup keys."""
+    import pandas as pd
+
+    from newscrawler_spark.streaming.rounds import dedup_stream, run_append_to_memory
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(40),
+            "ts": [base + pd.Timedelta(seconds=i * 5) for i in range(40)],
+            "user_id": [i % 7 for i in range(40)],
+            "event_type": ["click" if i % 2 else "view" for i in range(40)],
+            "value": [float(i) for i in range(40)],
+            "props": ["{}"] * 40,
+        }
+    )
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src, mode="overwrite")
+    dd = dedup_stream(spark, src, schema, keys=["event_type", "user_id"])
+    got = run_append_to_memory(dd, "dd_test").toPandas()
+    want = pdf[["event_type", "user_id"]].drop_duplicates()
+    assert len(got) == len(want)
+    assert set(map(tuple, got.to_numpy())) == set(map(tuple, want.to_numpy()))
