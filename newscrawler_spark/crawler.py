@@ -871,10 +871,17 @@ class FrontierCrawler:
         )
         with _timed("seen"):
             self.store.write_round("seen", round_id, seen_obs_df, partitions=wp)
-        # the seen write materialized the slim cache (a cheap projection
-        # of the fat one) — every remaining job reads slim only, so the
-        # text-payload rows can be dropped now
-        extracted.unpersist()
+        # NB: `extracted` (the fat text-payload cache) must NOT be
+        # unpersisted here even though no later job reads it: uncaching a
+        # plan re-registers every dependent cache entry (slim, missing)
+        # with a fresh cache buffer, silently discarding their already-
+        # materialized blocks — the next reader then re-runs the whole
+        # fetch-join + extraction chain.  Step-timed on the 4-executor
+        # cluster leg: crawl_logs 34.6-44.6 s (full slim re-materialize,
+        # event-log TableCacheQueryStage inside the toArrow execution)
+        # vs 0.9 s with the cache chain intact.  The fat blocks are
+        # LRU-evictable, so keeping them registered until round end
+        # costs nothing that memory pressure can't reclaim.
 
         with _timed("crawl_logs"):
             # bounded rollup (≤ partitions × statuses rows): driver-side
@@ -901,10 +908,14 @@ class FrontierCrawler:
         if steps:
             stats["step_secs"] = steps
         self.store.commit_round(round_id, stats)
-        admitted.unpersist()
-        slim.unpersist()
-        evaluated.unpersist()
+        # unpersist order matters: children (missing, slim) before
+        # parents (extracted, admitted, evaluated), so no dependent
+        # cache entry survives to be re-registered buffer-less
         missing.unpersist()
+        slim.unpersist()
+        extracted.unpersist()
+        admitted.unpersist()
+        evaluated.unpersist()
         return stats
 
 

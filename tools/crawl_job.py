@@ -32,6 +32,17 @@ def main() -> None:
     ap.add_argument("--warmup-seeds")
     ap.add_argument("--warmup-store")
     ap.add_argument(
+        "--bucketed-pages",
+        type=int,
+        default=0,
+        metavar="B",
+        help="lay the pages table out as a B-bucket page_hash-bucketed "
+        "parquet table before the measured crawl (the Iceberg "
+        "bucket-transform layout; one-time per corpus snapshot at 100 TB) "
+        "and run the fetch join bucket co-partitioned instead of "
+        "broadcasting the admitted keys",
+    )
+    ap.add_argument(
         "--bulk",
         action="store_true",
         help="seed the ENTIRE url universe as round-0 frontier (the "
@@ -61,6 +72,21 @@ def main() -> None:
 
     shutil.rmtree(args.store, ignore_errors=True)
     store = RoundStore(args.store)
+    bucketed_table = None
+    if args.bucketed_pages:
+        # one-time layout job (not part of the measured crawl): at 100 TB
+        # this is the corpus snapshot's storage layout, amortized over
+        # every crawl that reads it
+        from newscrawler_spark.crawler import prepare_bucketed_pages
+
+        bucketed_table = "pages_bucketed_job"
+        prepare_bucketed_pages(
+            spark,
+            args.pages,
+            bucketed_table,
+            args.bucketed_pages,
+            location=args.store + "_bucketed_pages",
+        )
     cfg = CrawlConfig(
         max_rounds=1 if args.bulk else args.rounds,
         round_budget=1_000_000_000 if args.bulk else args.budget,
@@ -76,6 +102,7 @@ def main() -> None:
         # you bucket/co-partition instead (see crawler.py fetch_join).
         broadcast_admitted_max=5_000_000,
         scalable_fetch_order=args.bulk,
+        pages_bucketed_table=bucketed_table,
     )
     crawler = FrontierCrawler(spark, args.pages, args.seeds, store, cfg)
     t0 = time.time()

@@ -136,7 +136,7 @@ def build_pyfiles_zip() -> str:
     return zpath
 
 
-def submit_crawl(total_cores: int, corpus: dict, warmup: dict, zpath: str, tag: str, n_pages: int = 1_000_000) -> dict:
+def submit_crawl(total_cores: int, corpus: dict, warmup: dict, zpath: str, tag: str, n_pages: int = 1_000_000, extra_args: list | None = None, extra_conf: list | None = None) -> dict:
     store = os.path.join(BENCH, f"cluster_store_{tag}")
     cmd = [
         SPARK_SUBMIT,
@@ -161,6 +161,7 @@ def submit_crawl(total_cores: int, corpus: dict, warmup: dict, zpath: str, tag: 
         "--conf", "spark.executor.extraJavaOptions=-XX:+UseParallelGC",
         "--conf", "spark.driver.extraJavaOptions=-XX:+UseParallelGC",
         "--conf", "spark.ui.enabled=false",
+        *[a for c in (extra_conf or []) for a in ("--conf", c)],
         os.path.join(REPO, "tools", "crawl_job.py"),
         "--pages", corpus["pages"],
         "--seeds", corpus["seeds"],
@@ -170,7 +171,7 @@ def submit_crawl(total_cores: int, corpus: dict, warmup: dict, zpath: str, tag: 
         "--warmup-pages", warmup["pages"],
         "--warmup-seeds", warmup["seeds"],
         "--warmup-store", os.path.join(BENCH, f"cluster_warm_{tag}"),
-    ]
+    ] + (extra_args or [])
     out = subprocess.run(cmd, capture_output=True, text=True, env=_env(), timeout=2400)
     for line in out.stdout.splitlines():
         if line.startswith("CRAWL_RESULT "):
