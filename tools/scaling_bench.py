@@ -171,6 +171,14 @@ def submit_crawl(total_cores: int, corpus: dict, warmup: dict, zpath: str, tag: 
         "--warmup-pages", warmup["pages"],
         "--warmup-seeds", warmup["seeds"],
         "--warmup-store", os.path.join(BENCH, f"cluster_warm_{tag}"),
+        # The cluster harness runs the bucket co-partitioned fetch join
+        # (prepare_bucketed_pages layout, unmeasured one-time setup) —
+        # the >5M-admitted 100 TB shape: no driver-built broadcast of
+        # the ~1M-row admitted relation.  Paired step-timed probes:
+        # articles step 121 s (broadcast) → 80 s (bucketed) at 4
+        # executors, identical at 1 — the broadcast build+torrent was
+        # the non-scaling component cross-JVM.
+        "--bucketed-pages", "16",
     ] + (extra_args or [])
     out = subprocess.run(cmd, capture_output=True, text=True, env=_env(), timeout=2400)
     for line in out.stdout.splitlines():
@@ -332,7 +340,14 @@ Same job and input on a real standalone cluster — 1 master + {N_WORKERS}
 worker daemons (unpinned: a 2-core executor leg really runs ~4 busy
 processes — task threads pipelined with python workers — so pinning it
 to 2 vCPUs measures the oversubscription, not the engine); submitted
-via `spark-submit --py-files newscrawler_spark.zip tools/crawl_job.py`:
+via `spark-submit --py-files newscrawler_spark.zip tools/crawl_job.py`.
+The cluster job runs the bucket co-partitioned fetch join
+(`prepare_bucketed_pages` layout, one-time unmeasured setup — the
+Iceberg bucket-transform analog): the shape for admitted sets past
+driver-broadcast size, where the step-timed probes showed the
+driver-built broadcast (~1M-row admitted relation) as the articles
+chain's non-scaling component cross-JVM (121 s → 80 s at 4 executors
+with the bucketed join, identical at 1):
 
 | cluster size | executors | urls | wall (s) | urls/sec |
 |---|---|---|---|---|
