@@ -496,6 +496,49 @@ FROM g
 """
 
 
+def q_a4_percentiles(spark, sf_dir):
+    """A4 (completeness): EXACT latency percentiles per event type —
+    the reference's Metrics.get_percentile over raw samples
+    (src/utils/metrics.py:245-262) as percentile-DISC: the selected
+    sample is the smallest rank with 100·rank ≥ q·n (pure integer
+    arithmetic — no float lerp, so the value is the same in any
+    engine; continuous interpolation differs in last-ulp between
+    implementations and cannot be hash-gated).  Exact quantiles need a
+    per-key sort; at 100 TB the metrics stream per key is bounded (it
+    is telemetry, not data), and the data-scale estimator is
+    percentile_approx/t-digest — this query is the oracle-able exact
+    form over a window."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    return r.groupBy("event_type").agg(
+        F.max("n").alias("n_samples"),
+        F.round(F.min(F.when(F.col("rn") * 100 >= F.col("n") * 50, F.col("value"))), 4).alias("p50"),
+        F.round(F.min(F.when(F.col("rn") * 100 >= F.col("n") * 90, F.col("value"))), 4).alias("p90"),
+        F.round(F.min(F.when(F.col("rn") * 100 >= F.col("n") * 99, F.col("value"))), 4).alias("p99"),
+    )
+
+
+SQL_A4_PERCENTILES = """
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_samples,
+       round(min(CASE WHEN rn * 100 >= n * 50 THEN value END), 4) AS p50,
+       round(min(CASE WHEN rn * 100 >= n * 90 THEN value END), 4) AS p90,
+       round(min(CASE WHEN rn * 100 >= n * 99 THEN value END), 4) AS p99
+FROM r GROUP BY event_type
+"""
+
+
 def q_w1_priority_order(spark, sf_dir):
     """W1: heap-order analog — deterministic priority ranking
     (scheduler.py:44-56; operators/politeness.py)."""
@@ -2344,6 +2387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": q_mm_frame_sample,
         # --- round-3 additions ---
         "a4_histogram": q_a4_histogram,
+        "a4_percentiles": q_a4_percentiles,
         "rag_context": q_rag_context,
         "rag_evaluate": q_rag_evaluate,
         "rag_summarize": q_rag_summarize,
@@ -2415,6 +2459,7 @@ def oracle_sql() -> dict[str, str]:
         "f11_to_json": SQL_F11,
         "j1_seen_antijoin": SQL_J1,
         "a4_histogram": SQL_A4,
+        "a4_percentiles": SQL_A4_PERCENTILES,
         "rag_context": SQL_RAG_CONTEXT,
         "rag_evaluate": SQL_RAG_EVALUATE,
         "rag_summarize": SQL_RAG_SUMMARIZE,
