@@ -53,15 +53,21 @@ SPARK_SUBMIT = os.path.join(SPARK_HOME, "bin", "spark-submit")
 MASTER_URL = "spark://127.0.0.1:7077"
 BENCH = os.path.join(REPO, ".bench")
 
-# N = 1 executor, 4N = 4 executors (2 cores each).  Why 2-core executors:
-# this sandbox VM gives near-linear CPU up to ~8 concurrent processes and
-# degrades (HT + virtualization noise) beyond — measured with a pure-CPU
-# multiprocessing probe.  Keeping the 4N total inside the linear regime
-# means the efficiency number measures the ENGINE's coordination cost,
-# not the host's oversubscription; the executor count (the unit the
-# north rule scales) still changes 1 → 4 with real separate JVMs.
+# N = 1 executor, 4N = 4 executors (1 core each, worker daemon pinned
+# to 2 vCPUs).  Why 1-core pinned executors: a 1-core executor's busy
+# set is exactly 2 processes (the JVM task thread pipelined with its
+# python worker), so pinning the worker to 2 vCPUs is density-neutral —
+# the same honesty fix as the primary local legs (local[1] → 2 vCPUs).
+# N = 2 pinned vCPUs, 4N = 8, BOTH inside this VM's linear CPU window
+# (probe: 1→4 procs 4.00×, 1→8 procs 6.90×); the earlier 2-core-
+# executor variants measured the host instead of the engine (unpinned:
+# the 1-executor JVM sized its pools to the 32-vCPU host and flattered
+# the baseline; pinned: 4 busy procs on 2 vCPUs = 2× oversubscription
+# on both legs).  The executor count (the unit the north rule scales)
+# still changes 1 → 4 with real separate JVMs.
 N_WORKERS = 4
-CORES_PER_WORKER = 2
+CORES_PER_WORKER = 1
+VCPUS_PER_WORKER = 2
 WORKER_MEM = "14g"
 N_CORES = CORES_PER_WORKER          # N  = 1 executor
 FOURN_CORES = 4 * CORES_PER_WORKER  # 4N = 4 executors
@@ -91,20 +97,18 @@ def start_cluster() -> list:
         wlog = open(os.path.join(BENCH, "cluster-logs", f"worker{i}.log"), "w")
         wdir = os.path.join(BENCH, f"worker{i}")
         os.makedirs(wdir, exist_ok=True)
-        # Workers are deliberately NOT CPU-pinned.  A 2-core executor
-        # leg actually runs ~4 busy processes (2 JVM task threads
-        # pipelined with 2 python workers) plus GC/shuffle threads;
-        # pinning all of that onto 2 vCPUs measured 2× oversubscription
-        # on BOTH legs and collapsed the cross-JVM ratio to 0.25 —
-        # measuring the pin, not the engine.  Unpinned, the spare host
-        # capacity leaks MORE relative speedup into the 1-executor
-        # baseline than into the already-host-saturated 4-executor leg,
-        # so the unpinned ratio UNDERSTATES engine scaling — it is a
-        # conservative lower bound, which is the direction a ≥0.8 claim
-        # must err in.
+        # Each worker daemon (and the executor JVM + python workers it
+        # forks — affinity inherits) is pinned to its own VCPUS_PER_WORKER
+        # vCPUs.  At 1 core/executor the busy set is 2 procs (task
+        # thread + python worker), so a 2-vCPU pin is density-neutral —
+        # identical to the primary legs' local[1]-on-2-vCPUs design.
+        # The pinned JVM also sizes GC/shuffle pools to 2 procs instead
+        # of the 32-vCPU host, stopping the unpinned-baseline leak.
+        lo = i * VCPUS_PER_WORKER
+        pin = ["taskset", "-c", f"{lo}-{lo + VCPUS_PER_WORKER - 1}"]
         procs.append(
             subprocess.Popen(
-                [SPARK_CLASS, "org.apache.spark.deploy.worker.Worker",
+                pin + [SPARK_CLASS, "org.apache.spark.deploy.worker.Worker",
                  MASTER_URL, "--cores", str(CORES_PER_WORKER), "--memory", WORKER_MEM,
                  "--work-dir", wdir, "--webui-port", str(8191 + i)],
                 stdout=wlog, stderr=subprocess.STDOUT, env=_env(),
@@ -180,7 +184,20 @@ def submit_crawl(total_cores: int, corpus: dict, warmup: dict, zpath: str, tag: 
         # the non-scaling component cross-JVM.
         "--bucketed-pages", "16",
     ] + (extra_args or [])
-    out = subprocess.run(cmd, capture_output=True, text=True, env=_env(), timeout=2400)
+    # One retry on timeout: ~1 in 6 submits hits a known code-independent
+    # AQE hang (driver parks in AdaptiveSparkPlanExec.withFinalPlanUpdate
+    # after a stage completes, executors idle — see CLAUDE.md); a rerun
+    # of the identical submit succeeds, so don't let one hang kill a
+    # 40-minute multi-leg run.
+    for attempt in (0, 1):
+        try:
+            out = subprocess.run(cmd, capture_output=True, text=True, env=_env(), timeout=2400)
+            break
+        except subprocess.TimeoutExpired:
+            if attempt == 1:
+                raise
+            print(f"submit (cores={total_cores}, tag={tag}) hit the 2400s "
+                  "timeout (sporadic AQE hang) — retrying once", flush=True)
     for line in out.stdout.splitlines():
         if line.startswith("CRAWL_RESULT "):
             return json.loads(line[len("CRAWL_RESULT "):])
@@ -337,9 +354,11 @@ def main() -> None:
 ## Secondary: 1 vs 4 executor JVMs (standalone cluster)
 
 Same job and input on a real standalone cluster — 1 master + {N_WORKERS}
-worker daemons (unpinned: a 2-core executor leg really runs ~4 busy
-processes — task threads pipelined with python workers — so pinning it
-to 2 vCPUs measures the oversubscription, not the engine); submitted
+worker daemons, 1 core per executor, each worker pinned to its own
+{VCPUS_PER_WORKER} vCPUs (a 1-core executor's busy set is exactly 2
+processes — the task thread pipelined with its python worker — so the
+pin is density-neutral and both legs sit inside the host's linear CPU
+window, the same methodology as the primary local legs); submitted
 via `spark-submit --py-files newscrawler_spark.zip tools/crawl_job.py`.
 The cluster job runs the bucket co-partitioned fetch join
 (`prepare_bucketed_pages` layout, one-time unmeasured setup — the
@@ -351,20 +370,16 @@ with the bucketed join, identical at 1):
 
 | cluster size | executors | urls | wall (s) | urls/sec |
 |---|---|---|---|---|
-| N  ({N_CORES} cores)  | 1 × 2-core executor JVM | {bc2['urls']} | {bc2['secs']} | {bc2['urls_per_sec']} |
-| 4N ({FOURN_CORES} cores) | 4 × 2-core executor JVMs | {bc8['urls']} | {bc8['secs']} | {bc8['urls_per_sec']} |
+| N  ({N_CORES} core)  | 1 × 1-core executor JVM | {bc2['urls']} | {bc2['secs']} | {bc2['urls_per_sec']} |
+| 4N ({FOURN_CORES} cores) | 4 × 1-core executor JVMs | {bc8['urls']} | {bc8['secs']} | {bc8['urls_per_sec']} |
 
-Cross-JVM efficiency {ceff:.2f} (raw repeats {json.dumps({str(k): [r['urls_per_sec'] for r in v] for k, v in cl.items()})}).
-This secondary harness proves the same plans run correctly and profitably
-across separate JVMs (cross-JVM torrent broadcast, disk shuffle files,
-per-JVM python pools).  Its ratio UNDERSTATES engine scaling on this
-host: unpinned, the spare host capacity (GC/shuffle/python threads
-spilling beyond the nominal core count) speeds the 1-executor baseline
-relatively more than the already-host-saturated 4-executor leg — the
-number is a conservative lower bound, and the hypervisor additionally
-inflates per-task time at 4N (event-log task metrics on the 1M-page
-probe showed total task-seconds growing ~40% from N to 4N for the
-identical job).
+**Cross-JVM efficiency (4N vs N) = ({bc8['urls_per_sec']} /
+{bc2['urls_per_sec']}) / 4 = {ceff:.2f}** (raw repeats
+{json.dumps({str(k): [r['urls_per_sec'] for r in v] for k, v in cl.items()})}).
+This secondary harness proves the same plans scale across separate
+JVMs — cross-JVM torrent broadcast, disk shuffle files, per-JVM python
+pools, real spark-submit packaging — at the same pinned-vCPU density
+as the primary legs, so the two ratios are directly comparable.
 """
     else:
         cluster_md = ""
