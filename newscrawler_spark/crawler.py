@@ -869,8 +869,6 @@ class FrontierCrawler:
             ),
             F.sum(F.when(F.col("fetch_seq").isNotNull(), 1).otherwise(0)).alias("admitted"),
         )
-        with _timed("seen"):
-            self.store.write_round("seen", round_id, seen_obs_df, partitions=wp)
         # NB: `extracted` (the fat text-payload cache) must NOT be
         # unpersisted here even though no later job reads it: uncaching a
         # plan re-registers every dependent cache entry (slim, missing)
@@ -883,11 +881,15 @@ class FrontierCrawler:
         # LRU-evictable, so keeping them registered until round end
         # costs nothing that memory pressure can't reclaim.
 
-        with _timed("crawl_logs"):
-            # bounded rollup (≤ partitions × statuses rows): driver-side
-            # Arrow write — no single-task shuffle drain (storage.py
-            # write_round_small rationale)
-            self.store.write_round_small("crawl_logs", round_id, logs)
+        # Fill the shared caches with ONE job before fanning out: every
+        # remaining writer reads `slim` (and two read `missing`), and
+        # concurrent first-readers of an unmaterialized cache would each
+        # compute its partitions redundantly.  Computing `missing` pulls
+        # every `slim` partition through the cache, so a single count
+        # materializes both for the price of the one fat-cache pass the
+        # seen write used to pay anyway.
+        with _timed("cache_fill"):
+            missing.count()
 
         obs_frontier = Observation(f"frontier_{round_id}")
         frontier_obs_df = next_frontier.observe(
@@ -897,13 +899,46 @@ class FrontierCrawler:
                 "deferred"
             ),
         )
-        with _timed("frontier"):
-            self.store.write_round("frontier", round_id, frontier_obs_df, partitions=wp)
+
+        # The three remaining writes are independent jobs over the now-
+        # materialized caches (bloom tails the seen write: it reads the
+        # committed seen round).  Submit them from threads so the
+        # scheduler backfills idle slots — sequentially, each job's AQE
+        # wave tails and the driver's plan-compilation gaps between jobs
+        # serialize ~10-15% of the round wall at 4 executors (event-log
+        # measured: per-step CPU identical across 1 vs 4 executors, the
+        # gap is pure slot idleness + inter-job driver time).  A failed
+        # write surfaces via .result() before the round commits.
+        def _write_seen_then_bloom():
+            with _timed("seen"):
+                self.store.write_round("seen", round_id, seen_obs_df, partitions=wp)
+            if cfg.use_bloom:
+                with _timed("bloom"):
+                    self._advance_bloom(round_id)
+
+        def _write_logs():
+            with _timed("crawl_logs"):
+                # bounded rollup (≤ partitions × statuses rows): driver-
+                # side Arrow write — no single-task shuffle drain
+                # (storage.py write_round_small rationale)
+                self.store.write_round_small("crawl_logs", round_id, logs)
+
+        def _write_frontier():
+            with _timed("frontier"):
+                self.store.write_round("frontier", round_id, frontier_obs_df, partitions=wp)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [
+                pool.submit(_write_seen_then_bloom),
+                pool.submit(_write_logs),
+                pool.submit(_write_frontier),
+            ]
+            for f in futs:
+                f.result()
 
         stats = {k: int(v or 0) for k, v in {**obs_seen.get, **obs_frontier.get}.items()}
-        if cfg.use_bloom:
-            with _timed("bloom"):
-                self._advance_bloom(round_id)
         stats["wall_secs"] = round(time.time() - t0, 3)
         if steps:
             stats["step_secs"] = steps

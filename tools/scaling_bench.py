@@ -153,8 +153,14 @@ def submit_crawl(total_cores: int, corpus: dict, warmup: dict, zpath: str, tag: 
         "--driver-memory", "8g",
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.sql.adaptive.skewJoin.enabled=true",
-        # identical logical layout at both sizes; only resources differ
-        "--conf", f"spark.sql.shuffle.partitions={FOURN_CORES * 2}",
+        # identical logical layout at both sizes; only resources differ.
+        # 4× the 4N core count: finer shuffle waves at 4 executors (a
+        # 17-taskSec stage AQE-coalesced to 5 tasks ran 2 ragged waves on
+        # 4 slots); serial-neutral at 1 executor.  The 4m advisory keeps
+        # AQE from re-coalescing the small (≤50 MB) crawl shuffles back
+        # below the slot count.
+        "--conf", f"spark.sql.shuffle.partitions={FOURN_CORES * 4}",
+        "--conf", "spark.sql.adaptive.advisoryPartitionSizeInBytes=4m",
         "--conf", "spark.sql.session.timeZone=UTC",
         "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
         # wide rows (html ~12 KB): 2k-row Arrow batches keep per-task live
