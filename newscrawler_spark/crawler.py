@@ -837,7 +837,7 @@ class FrontierCrawler:
         # partitioning so no text bytes shuffle; the small metadata deltas
         # get round-robin repartitioned to keep file counts sane.
         # Optional per-step walls (SPARK_GRAFT_STEP_TIMING=1): each write
-        # job timed separately; "articles" includes the fetch-join +
+        # job timed separately; "cache_fill" includes the fetch-join +
         # extraction chain it materializes.  Recorded into the manifest.
         steps: dict[str, float] = {}
 
@@ -854,6 +854,14 @@ class FrontierCrawler:
             return cm()
 
         wp = cfg.write_partitions
+        # The articles write is FUSED with the extraction pass: it is the
+        # first job over the fat `extracted` cache, so extraction + the
+        # text-payload parquet encode happen in ONE pass over the ~10 KB
+        # rows.  Splitting them (materialize-then-write) was probed on
+        # the cluster legs: neutral at 4 executors (89.3 s vs 91.0 s
+        # round) but +40 s at 1 (the second full fat-cache pass spills
+        # past a single 12 g executor's storage fraction and re-reads
+        # from disk).
         with _timed("articles"):
             self.store.write_round("articles", round_id, article_rows)
 
@@ -885,9 +893,8 @@ class FrontierCrawler:
         # remaining writer reads `slim` (and two read `missing`), and
         # concurrent first-readers of an unmaterialized cache would each
         # compute its partitions redundantly.  Computing `missing` pulls
-        # every `slim` partition through the cache, so a single count
-        # materializes both for the price of the one fat-cache pass the
-        # seen write used to pay anyway.
+        # every `slim` partition through the cache (cheap: the articles
+        # job above already materialized `extracted`).
         with _timed("cache_fill"):
             missing.count()
 
@@ -929,7 +936,14 @@ class FrontierCrawler:
 
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=3) as pool:
+        # Concurrent jobs only pay off when there are idle slots to
+        # backfill: with <4 task slots the interleaved stages just churn
+        # the caches (and the executor's one slot serializes the work
+        # anyway), so run the writes sequentially there — the same
+        # size-adaptive choice AQE makes for plans, applied to job
+        # submission.
+        n_writers = 3 if self.spark.sparkContext.defaultParallelism >= 4 else 1
+        with ThreadPoolExecutor(max_workers=n_writers) as pool:
             futs = [
                 pool.submit(_write_seen_then_bloom),
                 pool.submit(_write_logs),

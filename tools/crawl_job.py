@@ -106,8 +106,10 @@ def main() -> None:
     )
     crawler = FrontierCrawler(spark, args.pages, args.seeds, store, cfg)
     t0 = time.time()
+    init_secs = 0.0
     if args.bulk:
         crawler.initialize(url_df=spark.read.parquet(args.pages).select("url"))
+        init_secs = round(time.time() - t0, 2)
         totals = crawler.run(resume=True)
     else:
         totals = crawler.run(resume=False)
@@ -123,6 +125,7 @@ def main() -> None:
                 "secs": round(wall, 2),
                 "urls_per_sec": round(totals["seq"] / wall, 1),
                 "round_secs": per_round,
+                "init_secs": init_secs,
                 "executors": spark.sparkContext.defaultParallelism,
             }
         )
