@@ -388,7 +388,17 @@ pools, real spark-submit packaging — at the same pinned-vCPU density
 as the primary legs, so the two ratios are directly comparable.
 """
     else:
+        # --skip-cluster: keep the previously recorded secondary section
+        # (the local and cluster sections are refreshed independently;
+        # each discloses its own raw repeats and code state).
         cluster_md = ""
+        prev = os.path.join(REPO, "BENCH", "BASELINE.md")
+        if os.path.exists(prev):
+            text = open(prev).read()
+            i = text.find("\n## Secondary:")
+            if i != -1:
+                j = text.find("\n- Reference baseline", i)
+                cluster_md = text[i:j] if j != -1 else text[i:]
 
     md = f"""# BENCH/BASELINE — N vs 4N scaling (north-rule evidence)
 
