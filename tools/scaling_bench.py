@@ -400,6 +400,33 @@ as the primary legs, so the two ratios are directly comparable.
                 j = text.find("\n- Reference baseline", i)
                 cluster_md = text[i:j] if j != -1 else text[i:]
 
+    # Data-scaling section: written by tools/data_scaling_probe.py into
+    # BENCH/data_scaling.json; rendered here so regeneration keeps it.
+    data_md = ""
+    ds_path = os.path.join(REPO, "BENCH", "data_scaling.json")
+    if os.path.exists(ds_path):
+        with open(ds_path) as f:
+            ds = json.load(f)
+        lo, hi = (str(n) for n in ds["sizes"])
+        data_md = f"""
+## Data scaling: same 4 executors, input doubled
+
+Fixed resources (4 × 1-core pinned executors, same harness as the
+secondary legs), input grown {int(hi) // int(lo)}×: wall must grow
+linearly or a shuffle/skew/driver structure is growing faster than
+the data.  Interleaved repeats, best per size:
+
+| input (pages) | urls | wall (s) | urls/sec |
+|---|---|---|---|
+| {lo} | {ds["best"][lo]["urls"]} | {ds["best"][lo]["secs"]} | {ds["best"][lo]["urls_per_sec"]} |
+| {hi} | {ds["best"][hi]["urls"]} | {ds["best"][hi]["secs"]} | {ds["best"][hi]["urls_per_sec"]} |
+
+**Wall ratio {ds["wall_ratio"]}× for {int(hi) // int(lo)}× the input —
+linearity {ds["linearity"]} (1.0 = perfectly linear; < 1.0 =
+fixed per-job overhead amortizing).**  Raw walls: {ds["raw_secs"]}.
+Reproduce: `python tools/data_scaling_probe.py`.
+"""
+
     md = f"""# BENCH/BASELINE — N vs 4N scaling (north-rule evidence)
 
 Identical bulk-crawl job, identical {args.pages}-page input, only the
@@ -446,7 +473,7 @@ engine's true coordination cost.
   admitted keys instead of a pages-side shuffle; In-pushdown robots dim
   scan; two-pass range-partitioned fetch-seq assignment (no single-
   partition window); Arrow 2k-row batches.
-{cluster_md}
+{cluster_md}{data_md}
 - Reference baseline (BASELINE.md): 5.1 articles/sec at 20 threads,
   thread-scaling efficiency 0.32.  This engine at N (1 core) runs
   {bl1['urls_per_sec'] / 5.1:.0f}× the reference's best throughput.
