@@ -2012,7 +2012,13 @@ def q_streaming_append(spark, sf_dir):
 
     from newscrawler_spark.streaming.rounds import run_to_file_sink, windowed_event_counts
 
-    stage = os.path.join(tempfile.gettempdir(), f"nc_streamapp_{_stable_id(sf_dir)}")
+    # the window/watermark spec is part of the stage id: the streaming
+    # checkpoint + sink persist across processes, so a changed spec must
+    # land in a FRESH checkpoint (a resumed one sees no new input and
+    # would return the previous spec's stale sink rows)
+    stage = os.path.join(
+        tempfile.gettempdir(), f"nc_streamapp_1h600_{_stable_id(sf_dir)}"
+    )
     os.makedirs(stage, exist_ok=True)
     dst = os.path.join(stage, "in", "events.parquet")
     os.makedirs(os.path.dirname(dst), exist_ok=True)

@@ -132,7 +132,7 @@ class BloomBucketStore:
     RoundStore manifest blobs); on a cluster it is object-store puts
     from executors.
 
-    Files are per-round cumulative (``bloomb{b}-{r}.bin``): round r's
+    Files are per-round cumulative (``bloomb{b}-{r}.m{m}k{k}.bin``): round r's
     blob for bucket b = round r-1's ∪ bloom(delta_r ∩ bucket b), so
     resume reads exactly the committed round's files and a crash
     mid-build is invisible (next run overwrites round r's files
@@ -150,7 +150,15 @@ class BloomBucketStore:
     def path(self, bucket: int, round_id: int) -> str:
         import os
 
-        return os.path.join(self.root, f"bloomb{bucket}-{round_id}.bin")
+        # m/k are part of the filename: blobs written under a different
+        # bloom config (e.g. a resume with a new --bloom-expected) are
+        # simply "not found", so complete() turns false and the caller
+        # rebuilds from the committed seen rounds — reinterpreting a
+        # bitset with the wrong m would produce false NEGATIVES, which
+        # the exact-anti-join-on-positives design cannot recover from.
+        return os.path.join(
+            self.root, f"bloomb{bucket}-{round_id}.m{self.m}k{self.k}.bin"
+        )
 
     def complete(self, round_id: int) -> bool:
         """True iff every bucket has a blob for ``round_id``."""
@@ -168,6 +176,11 @@ class BloomBucketStore:
         if round_id < 0 or not os.path.exists(p):
             return NumpyBloom(self.expected_per_bucket, self.fpp)
         words = np.fromfile(p, dtype=np.uint64)
+        if words.size != self.m // 64:
+            raise ValueError(
+                f"bloom blob {p} has {words.size} words, expected "
+                f"{self.m // 64} — written under a different bloom config"
+            )
         return NumpyBloom.from_state(words, self.m, self.k)
 
     def write_bucket(self, bucket: int, round_id: int, bloom: NumpyBloom) -> None:

@@ -147,3 +147,34 @@ def test_hash_collision_does_not_drop_urls(spark):
     bloom = build_bloom(seen, "url_hash", expected=16)
     out = [r["canon_url"] for r in anti_join_seen(frontier, seen, bloom=bloom).collect()]
     assert out == ["https://b.com/y"]
+
+
+def test_partitioned_bloom_config_change_invalidates_blobs(spark, tmp_path):
+    """Blobs written under a different bloom geometry must be invisible
+    (complete() false -> caller rebuilds), never reinterpreted: a bitset
+    read with the wrong m yields false NEGATIVES, which the exact-anti-
+    join-on-positives design cannot recover from."""
+    from pyspark.sql import functions as F
+
+    from newscrawler_spark.operators.seen import (
+        BloomBucketStore,
+        advance_partitioned_bloom,
+    )
+
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.concat(F.lit("u"), "id").alias("canon_url"), F.col("id").alias("url_hash")
+    )
+    old = BloomBucketStore(str(tmp_path / "bb"), n_buckets=3,
+                           expected_per_bucket=4096, fpp=1e-3)
+    advance_partitioned_bloom(mk(0, 60), "url_hash", old, 0)
+    assert old.complete(0)
+    # same root, smaller expected -> different m: old blobs must not match
+    new = BloomBucketStore(str(tmp_path / "bb"), n_buckets=3,
+                           expected_per_bucket=256, fpp=1e-3)
+    assert new.m != old.m
+    assert not new.complete(0)
+    # load_bucket under the new geometry returns a FRESH (empty) bloom,
+    # not a misread of the old bitset
+    assert not new.load_bucket(0, 0).might_contain(
+        __import__("numpy").arange(0, 60, 3)
+    ).any()

@@ -32,7 +32,10 @@ def main() -> None:
                     help="write a Spark event log per leg to .bench/eventlogs")
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
-    extra = ["--bucketed-pages", str(args.bucketed)] if args.bucketed else None
+    # always pass the flag: submit_crawl's base command hardcodes
+    # --bucketed-pages 16, and argparse takes the LAST occurrence, so
+    # --bucketed 0 must explicitly override it back to the broadcast join
+    extra = ["--bucketed-pages", str(args.bucketed)]
     conf = None
     if args.event_log:
         evdir = os.path.join(sb.BENCH, "eventlogs")

@@ -397,8 +397,19 @@ as the primary legs, so the two ratios are directly comparable.
             text = open(prev).read()
             i = text.find("\n## Secondary:")
             if i != -1:
-                j = text.find("\n- Reference baseline", i)
-                cluster_md = text[i:j] if j != -1 else text[i:]
+                # cut before the Data-scaling section (re-rendered from
+                # BENCH/data_scaling.json) and the reference-baseline
+                # bullet, else both would be duplicated on every
+                # --skip-cluster regeneration
+                ends = [
+                    j
+                    for j in (
+                        text.find("\n## Data scaling", i),
+                        text.find("\n- Reference baseline", i),
+                    )
+                    if j != -1
+                ]
+                cluster_md = text[i : min(ends)] if ends else text[i:]
 
     # Data-scaling section: written by tools/data_scaling_probe.py into
     # BENCH/data_scaling.json; rendered here so regeneration keeps it.
