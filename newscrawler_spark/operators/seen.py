@@ -301,6 +301,22 @@ def anti_join_seen_partitioned(
             pdf["__maybe_seen"] = out
             yield pdf
 
+    return _prefiltered_anti_join(frontier, seen, prefilter, url_col, hash_col)
+
+
+def _prefiltered_anti_join(
+    frontier: DataFrame,
+    seen: DataFrame,
+    prefilter,
+    url_col: str,
+    hash_col: str,
+) -> DataFrame:
+    """The shared bloom-prefilter contract: ``prefilter`` (a mapInPandas
+    function) tags each row ``__maybe_seen``; negatives bypass the join
+    (a bloom has no false negatives), positives take the EXACT (hash,
+    url) anti-join.  Single copy — both the broadcast-bloom and the
+    bucket-partitioned paths must stay behaviorally identical to the
+    plain left-anti baseline (tested bloom-on vs bloom-off)."""
     from pyspark.sql import types as T
 
     out_schema = T.StructType(
@@ -326,8 +342,8 @@ def anti_join_seen(
     With a bloom: negatives bypass the join; positives take the exact
     anti-join.  Without: plain left-anti (the correctness baseline).
     """
-    seen_keys = seen.select(hash_col, url_col).dropDuplicates([hash_col, url_col])
     if bloom is None:
+        seen_keys = seen.select(hash_col, url_col).dropDuplicates([hash_col, url_col])
         return frontier.join(seen_keys, on=[hash_col, url_col], how="left_anti")
 
     spark = frontier.sparkSession
@@ -342,13 +358,4 @@ def anti_join_seen(
             pdf["__maybe_seen"] = bloom_local.might_contain(h)
             yield pdf
 
-    from pyspark.sql import types as T
-
-    out_schema = T.StructType(
-        list(frontier.schema.fields) + [T.StructField("__maybe_seen", T.BooleanType())]
-    )
-    tagged = frontier.mapInPandas(prefilter, schema=out_schema)
-    definitely_new = tagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
-    maybe = tagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
-    survivors = maybe.join(seen_keys, on=[hash_col, url_col], how="left_anti")
-    return definitely_new.unionByName(survivors)
+    return _prefiltered_anti_join(frontier, seen, prefilter, url_col, hash_col)

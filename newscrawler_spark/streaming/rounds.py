@@ -50,40 +50,46 @@ def windowed_event_counts(
     )
 
 
-def run_to_completion(
-    streaming_df: DataFrame, name: str, state_partitions: int = 8
-) -> DataFrame:
-    """Drive a bounded streaming query to completion via a memory sink;
-    returns the result as a batch DataFrame.
+def _run_pinned(streaming_df: DataFrame, state_partitions: int, start_fn) -> None:
+    """Shared runner scaffolding: pin ``spark.sql.shuffle.partitions``
+    to the expected STATE volume, start the query via
+    ``start_fn(writeStream)``, drive it to completion, restore the conf.
 
-    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
-    stream's lifetime (restored after): a stateful agg creates one
-    state-store instance PER shuffle partition PER batch, and the store
-    lifecycle (provider init, delta file, snapshot, commit) dominates a
-    small-state query — measured 2.4-2.8 s/batch at 32 partitions vs
-    0.4-0.8 s at 4-8 for the identical 100k-row window agg (the r02
-    streaming_windowed 2× regression was exactly this: the bench session
-    runs at shuffle=32).  State partitioning is pinned in the checkpoint
-    at first start, so this must be set BEFORE ``start()``; size it to
-    expected STATE volume (windows × keys), never to input volume.
+    The pin matters: a stateful agg creates one state-store instance
+    PER shuffle partition PER batch, and the store lifecycle (provider
+    init, delta file, snapshot, commit) dominates a small-state query —
+    measured 2.4-2.8 s/batch at 32 partitions vs 0.4-0.8 s at 4-8 for
+    the identical 100k-row window agg (the r02 streaming_windowed 2×
+    regression was exactly this: the bench session runs at shuffle=32).
+    State partitioning is frozen into the checkpoint at first start, so
+    this must be set BEFORE ``start()``; size it to expected STATE
+    volume (windows × keys), never to input volume.
     """
     spark = streaming_df.sparkSession
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q = (
-            streaming_df.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
+        q = start_fn(streaming_df.writeStream)
         try:
             q.processAllAvailable()
         finally:
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
-    return spark.table(name)
+
+
+def run_to_completion(
+    streaming_df: DataFrame, name: str, state_partitions: int = 8
+) -> DataFrame:
+    """Drive a bounded streaming query to completion via a memory sink;
+    returns the result as a batch DataFrame.  (State-store sizing
+    rationale: :func:`_run_pinned`.)"""
+    _run_pinned(
+        streaming_df,
+        state_partitions,
+        lambda w: w.outputMode("complete").format("memory").queryName(name).start(),
+    )
+    return streaming_df.sparkSession.table(name)
 
 
 def run_to_file_sink(
@@ -105,22 +111,15 @@ def run_to_file_sink(
     the cut).  Returns the sink read back as a batch DataFrame.
     """
     spark = streaming_df.sparkSession
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        q = (
-            streaming_df.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", sink_dir)
-            .option("checkpointLocation", checkpoint_dir)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+    _run_pinned(
+        streaming_df,
+        state_partitions,
+        lambda w: w.outputMode("append")
+        .format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .start(),
+    )
     try:
         return spark.read.parquet(sink_dir)
     except Exception:
@@ -170,24 +169,13 @@ def run_append_to_memory(
 ) -> DataFrame:
     """Append-mode memory-sink runner for bounded streaming inputs
     (dedup / non-windowed stateful ops that cannot run ``complete``).
-    Same state-store sizing rationale as :func:`run_to_completion`."""
-    spark = streaming_df.sparkSession
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        q = (
-            streaming_df.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
-    return spark.table(name)
+    Same state-store sizing rationale as :func:`_run_pinned`."""
+    _run_pinned(
+        streaming_df,
+        state_partitions,
+        lambda w: w.outputMode("append").format("memory").queryName(name).start(),
+    )
+    return streaming_df.sparkSession.table(name)
 
 
 def _token_bucket_fn(budget: int):
