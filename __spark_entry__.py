@@ -59,6 +59,27 @@ def _stable_id(sf_dir: str) -> str:
     return f"c{CORPUS_VERSION}_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
 
 
+def _stage_events(sf_dir: str, dst: str) -> bool:
+    """Copy ``events.parquet`` into a streaming stage dir, refreshing a
+    stale copy (the driver may REGENERATE the sf dataset at the same
+    path — an exists()-only guard would keep streaming the old bytes
+    while the DuckDB oracle reads the fresh table).  copy2 preserves
+    mtime so (size, mtime) equality means same snapshot.  Returns True
+    when the copy was (re)made — callers with persistent checkpoints
+    must then discard them (the checkpoint tracks the file by PATH and
+    would consider the refreshed file already processed)."""
+    import shutil
+
+    src = os.path.join(sf_dir, "events.parquet")
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    if os.path.exists(dst):
+        ss, ds = os.stat(src), os.stat(dst)
+        if ss.st_size == ds.st_size and ss.st_mtime == ds.st_mtime:
+            return False
+    shutil.copy2(src, dst)
+    return True
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timestamps must render identically to the DuckDB oracle (UTC-naive)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -69,7 +90,6 @@ _CENTS = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
 
 # URL construction shared by the URL-function queries (same expression
 # rendered in both engines).
-_URL_SPARK = None  # built lazily below
 
 
 def _doc_urls(docs: DataFrame) -> DataFrame:
@@ -231,7 +251,14 @@ def q_f6_cache_key(spark, sf_dir):
     )
 
 
-SQL_F6 = "SELECT doc_id, md5(source || ':' || doc_id) AS cache_key FROM documents"
+# concat_ws SKIPS nulls in BOTH engines (verified: duckdb
+# concat_ws(':', NULL, 7) = '7'), unlike the || chain which NULLs the
+# whole key — so the oracle uses concat_ws too and a null source hashes
+# identically instead of diverging data-dependently
+SQL_F6 = (
+    "SELECT doc_id, md5(concat_ws(':', source, doc_id)) "
+    "AS cache_key FROM documents"
+)
 
 
 def q_f7_truncate(spark, sf_dir):
@@ -251,8 +278,11 @@ def q_f11_to_json(spark, sf_dir):
     )
 
 
+# Spark's to_json DROPS null struct fields; the || chain would NULL the
+# whole payload — mirror the dropped-field form explicitly
 SQL_F11 = (
-    "SELECT doc_id, '{\"doc_id\":' || doc_id || ',\"lang\":\"' || lang || '\"}' "
+    "SELECT doc_id, CASE WHEN lang IS NULL THEN '{\"doc_id\":' || doc_id || '}' "
+    "ELSE '{\"doc_id\":' || doc_id || ',\"lang\":\"' || lang || '\"}' END "
     "AS payload FROM documents"
 )
 
@@ -861,23 +891,29 @@ def q_text_topics(spark, sf_dir):
 
 
 def _bank_sql(name, words):
+    from newscrawler_spark.functions.text import TOPIC_MIN_HITS
+
     pat = r"\b(" + "|".join(words) + r")\b"
     return (
-        f"CASE WHEN len(regexp_extract_all(lower(text), '{pat}')) >= 3 "
+        f"CASE WHEN len(regexp_extract_all(lower(text), '{pat}')) >= {TOPIC_MIN_HITS} "
         f"THEN ['{name}'] ELSE [] END"
     )
 
 
-# DuckDB expression for the topics array (mirror of functions/text.topics)
-_TOPICS_LIST_SQL = (
-    "list_concat(list_concat("
-    + _bank_sql("query_engine", ("query", "scan", "filter", "sort", "agg"))
-    + ", "
-    + _bank_sql("storage", ("table", "row", "column", "part", "hash"))
-    + "), "
-    + _bank_sql("streaming", ("stream", "window", "batch"))
-    + ")"
-)
+def _topics_list_sql() -> str:
+    """DuckDB expression for the topics array, built from the SAME
+    TOPIC_BANKS/TOPIC_MIN_HITS constants the Spark topics() expression
+    uses (functions/text.py) — editing a bank there cannot silently
+    desynchronize the text_topics/topic_contains/relevance oracles."""
+    from functools import reduce
+
+    from newscrawler_spark.functions.text import TOPIC_BANKS
+
+    banks = [_bank_sql(name, words) for name, words in TOPIC_BANKS.items()]
+    return reduce(lambda a, b: f"list_concat({a}, {b})", banks)
+
+
+_TOPICS_LIST_SQL = _topics_list_sql()
 
 SQL_TEXT_TOPICS = f"""
 SELECT doc_id,
@@ -1013,7 +1049,14 @@ def q_text_embed_buckets(spark, sf_dir):
     embedder's hash/bucket/sign math cross-engine; the normalized-float
     UDF output itself stays rows-only (text_embed).  The 64-int raw
     vector surfaces comma-joined."""
-    docs = _t(spark, sf_dir, "documents")
+    return _embed_bucket_vec(_t(spark, sf_dir, "documents"))
+
+
+def _embed_bucket_vec(docs: DataFrame) -> DataFrame:
+    """(doc_id, raw_vec): the SINGLE Spark copy of the md5-bucket/sign
+    embedding kernel (mirrors functions/embed.embed_text pre-norm);
+    shared by q_text_embed_buckets and q_embed_missing so a kernel
+    change (dim, hash slice offsets) cannot diverge the two gates."""
     tok = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
     ).filter(F.col("tok") != "")
@@ -1072,27 +1115,7 @@ def q_embed_missing(spark, sf_dir):
         .select(F.col("vec_id").alias("doc_id"))
     )
     docs = _t(spark, sf_dir, "documents").join(store, "doc_id", "left_anti")
-    tok = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
-    ).filter(F.col("tok") != "")
-    h = tok.select(
-        "doc_id",
-        F.pmod(F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"), F.lit(64)).alias("bucket"),
-        F.when(
-            F.pmod(F.conv(F.substring(F.md5("tok"), 9, 2), 16, 10).cast("long"), F.lit(2)) == 1, 1
-        ).otherwise(-1).alias("sign"),
-    )
-    per_bucket = h.groupBy("doc_id", "bucket").agg(F.sum("sign").alias("cnt"))
-    vec = per_bucket.groupBy("doc_id").agg(
-        F.map_from_entries(F.collect_list(F.struct("bucket", "cnt"))).alias("m")
-    )
-    return docs.select("doc_id").join(vec, "doc_id", "left").select(
-        "doc_id",
-        F.expr(
-            "concat_ws(',', transform(sequence(0, 63), b -> "
-            "cast(coalesce(element_at(m, cast(b as long)), 0L) as string)))"
-        ).alias("raw_vec"),
-    )
+    return _embed_bucket_vec(docs)
 
 
 SQL_EMBED_MISSING = r"""
@@ -1610,7 +1633,6 @@ FROM documents JOIN dim USING (source) GROUP BY strategy
 """
 
 
-_IMG_HTML_SPARK = None  # built inline in q_x_image_extract
 
 
 def q_x_image_extract(spark, sf_dir):
@@ -1661,13 +1683,12 @@ FROM h
 def q_s7_json_sink(spark, sf_dir):
     """S7: JSON article sink (batch_processor.py:186-204) — write the
     crawl's articles as JSON lines, read back. Rows-only."""
-    import tempfile as _tf
 
     from newscrawler_spark.sources.sinks import write_articles_json
 
     store, _ = _crawl_store(spark, sf_dir)
     articles = store.read_rounds(spark, "articles")
-    out = os.path.join(_tf.gettempdir(), f"nc_json_{_stable_id(sf_dir)}")
+    out = os.path.join(tempfile.gettempdir(), f"nc_json_{_stable_id(sf_dir)}")
     write_articles_json(articles, out, partitions=4)
     back = spark.read.json(out)
     return back.select("url", "title", F.col("metadata.source_domain").alias("source_domain"))
@@ -1915,7 +1936,13 @@ def q_mm_media_features(spark, sf_dir):
     (driver canon cannot sort list-typed columns)."""
     from newscrawler_spark.operators.multimodal import documents_as_media, media_features
 
-    feats = media_features(documents_as_media(_t(spark, sf_dir, "documents")))
+    # features are defined for non-empty payloads only — the SQL twin's
+    # byte-unnest CTE produces no rows for an empty payload, so both
+    # sides filter n_bytes > 0 explicitly (else a zero-byte doc would
+    # appear Spark-side only and break the row-count/hash gate)
+    feats = media_features(documents_as_media(_t(spark, sf_dir, "documents"))).filter(
+        F.col("n_bytes") > 0
+    )
     entropy = F.expr(
         "round(-aggregate(filter(histogram, x -> x > 0), cast(0.0 as double), "
         "(a, x) -> a + (x / cast(n_bytes as double)) * log2(x / cast(n_bytes as double))), 4)"
@@ -1957,6 +1984,7 @@ SELECT doc_id AS media_id, n_bytes, byte_sum,
              x -> (x / CAST(n_bytes AS DOUBLE)) * log2(x / CAST(n_bytes AS DOUBLE)))), 4) AS byte_entropy,
        array_to_string(list_transform(hist, x -> x::VARCHAR), ',') AS histogram
 FROM h
+WHERE n_bytes > 0
 """
 
 
@@ -1977,15 +2005,11 @@ FROM documents
 def q_streaming_windowed(spark, sf_dir):
     """Structured Streaming tumbling-window agg over events (T1/T2/T4),
     driven to completion hermetically via a memory sink."""
-    import shutil
-
     from newscrawler_spark.streaming.rounds import run_to_completion, windowed_event_counts
 
     stage = os.path.join(tempfile.gettempdir(), f"nc_stream_{_stable_id(sf_dir)}")
-    os.makedirs(stage, exist_ok=True)
     dst = os.path.join(stage, "events.parquet")
-    if not os.path.exists(dst):
-        shutil.copy(os.path.join(sf_dir, "events.parquet"), dst)
+    _stage_events(sf_dir, dst)
     schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
     agg = windowed_event_counts(spark, stage, schema, window="1 hour")
     return run_to_completion(agg, f"windowed_{_stable_id(sf_dir)}")
@@ -1993,7 +2017,8 @@ def q_streaming_windowed(spark, sf_dir):
 
 SQL_STREAMING = """
 SELECT make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) * 1000000) AS win_start,
-       event_type, count(*) AS n, round(sum(value), 4) AS total_value
+       event_type, count(*) AS n,
+       CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS total_value_e4
 FROM events GROUP BY 1, 2
 """
 
@@ -2017,13 +2042,14 @@ def q_streaming_append(spark, sf_dir):
     # land in a FRESH checkpoint (a resumed one sees no new input and
     # would return the previous spec's stale sink rows)
     stage = os.path.join(
-        tempfile.gettempdir(), f"nc_streamapp_1h600_{_stable_id(sf_dir)}"
+        tempfile.gettempdir(), f"nc_streamapp_1h600e4_{_stable_id(sf_dir)}"
     )
-    os.makedirs(stage, exist_ok=True)
     dst = os.path.join(stage, "in", "events.parquet")
-    os.makedirs(os.path.dirname(dst), exist_ok=True)
-    if not os.path.exists(dst):
-        shutil.copy(os.path.join(sf_dir, "events.parquet"), dst)
+    if _stage_events(sf_dir, dst):
+        # fresh input snapshot -> the persistent checkpoint/sink pair is
+        # stale (the checkpoint tracks the input file by path)
+        shutil.rmtree(os.path.join(stage, "sink"), ignore_errors=True)
+        shutil.rmtree(os.path.join(stage, "ckpt"), ignore_errors=True)
     schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
     agg = windowed_event_counts(
         spark, os.path.dirname(dst), schema, window="1 hour", watermark="10 minutes"
@@ -2035,7 +2061,8 @@ def q_streaming_append(spark, sf_dir):
 
 SQL_STREAMING_APPEND = """
 SELECT make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) * 1000000) AS win_start,
-       event_type, count(*) AS n, round(sum(value), 4) AS total_value
+       event_type, count(*) AS n,
+       CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS total_value_e4
 FROM events GROUP BY 1, 2
 HAVING epoch(win_start) + 3600 <= epoch((SELECT max(ts) FROM events)) - 600
 """
@@ -2049,15 +2076,11 @@ def q_streaming_dedup(spark, sf_dir):
     bounded replay arrives inside one horizon, so the emitted relation
     is exactly DISTINCT(keys); aggregated per type for a compact
     hash-gated result."""
-    import shutil
-
     from newscrawler_spark.streaming.rounds import dedup_stream, run_append_to_memory
 
     stage = os.path.join(tempfile.gettempdir(), f"nc_streamdd_{_stable_id(sf_dir)}")
-    os.makedirs(stage, exist_ok=True)
     dst = os.path.join(stage, "events.parquet")
-    if not os.path.exists(dst):
-        shutil.copy(os.path.join(sf_dir, "events.parquet"), dst)
+    _stage_events(sf_dir, dst)
     schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
     dd = dedup_stream(spark, stage, schema, keys=["event_type", "user_id"])
     first_seen = run_append_to_memory(dd, f"dedup_{_stable_id(sf_dir)}")
@@ -2081,6 +2104,12 @@ GROUP BY event_type
 
 _CRAWL_CACHE: dict[str, object] = {}
 
+# ONE definition of the gate crawl: the Spark run (_crawl_store) and the
+# DuckDB replay (_corpus_oracle_sql) MUST execute the same corpus and
+# crawl parameters or the unrolled-SQL oracle replays a different crawl
+_GATE_CORPUS_ARGS = dict(n_pages=1500, n_hosts=12, seed=42)
+_GATE_CRAWL_ARGS = dict(max_rounds=3, round_budget=8, n_salts=4)
+
 
 def _crawl_store(spark, sf_dir):
     from newscrawler_spark.crawler import CrawlConfig, FrontierCrawler
@@ -2090,9 +2119,9 @@ def _crawl_store(spark, sf_dir):
     if sf_dir in _CRAWL_CACHE:
         return _CRAWL_CACHE[sf_dir]
     base = os.path.join(tempfile.gettempdir(), f"nc_crawl_{_stable_id(sf_dir)}")
-    paths = generate_corpus(os.path.join(base, "corpus"), n_pages=1500, n_hosts=12, seed=42)
+    paths = generate_corpus(os.path.join(base, "corpus"), **_GATE_CORPUS_ARGS)
     store = RoundStore(os.path.join(base, "store"))
-    cfg = CrawlConfig(max_rounds=3, round_budget=8, n_salts=4)
+    cfg = CrawlConfig(**_GATE_CRAWL_ARGS)
     crawler = FrontierCrawler(spark, paths["pages"], paths["seeds"], store, cfg)
     crawler.run(resume=True)
     _CRAWL_CACHE[sf_dir] = (store, paths)
@@ -2194,8 +2223,8 @@ def _corpus_oracle_sql() -> dict[str, str]:
     from newscrawler_spark.sources.corpus import generate_corpus
 
     base = os.path.join(tempfile.gettempdir(), f"nc_crawl_{_stable_id(_GATE_SF_DIR)}")
-    p = generate_corpus(os.path.join(base, "corpus"), n_pages=1500, n_hosts=12, seed=42)
-    crawl_cfg = CrawlConfig(max_rounds=3, round_budget=8, n_salts=4)  # == _crawl_store
+    p = generate_corpus(os.path.join(base, "corpus"), **_GATE_CORPUS_ARGS)
+    crawl_cfg = CrawlConfig(**_GATE_CRAWL_ARGS)  # same single definition as _crawl_store
 
     sql_s1 = (
         f"SELECT url FROM read_csv('{p['url_index']}', header=true) "

@@ -40,9 +40,14 @@ def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
     on article-sized text.
     """
     grams = ", ".join(f"element_at(_tk, i + {k})" for k in range(n))
+    # Index domain via filter, not sequence(1, size-n+1): for docs with
+    # fewer than n tokens Spark's sequence(1, 0) DESCENDS ([1, 0]) and
+    # element_at(_tk, i+n-1) then throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+    # — the filter yields the empty index set instead (zero shingles,
+    # matching the DuckDB oracle's empty range()).
     shingles = F.array_distinct(
         F.expr(
-            f"transform(sequence(1, greatest(size(_tk) - {n - 1}, 0)), "
+            f"transform(filter(sequence(1, size(_tk)), i -> i <= size(_tk) - {n - 1}), "
             f"i -> concat_ws(' ', {grams}))"
         )
     )

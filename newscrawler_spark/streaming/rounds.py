@@ -40,12 +40,19 @@ def windowed_event_counts(
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(
+            F.count("*").alias("n"),
+            # integer ten-thousandths, summed as long: a raw double sum
+            # is accumulation-order-dependent (partition merge order vs
+            # the oracle's scan order) — same discipline as _CENTS in
+            # __spark_entry__.py
+            F.sum(F.round(F.col("value") * 10000).cast("long")).alias("total_value_e4"),
+        )
         .select(
             F.col("win.start").alias("win_start"),
             "event_type",
             "n",
-            "total_value",
+            "total_value_e4",
         )
     )
 
