@@ -1567,9 +1567,11 @@ best AS (
   SELECT query_id, cache_id, cosine,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, cache_id) AS rn
-  FROM s)
-SELECT query_id, cache_id AS best_cache_id, cosine, cosine >= 0.92 AS cache_hit
-FROM best WHERE rn = 1
+  FROM s),
+qi AS (SELECT DISTINCT query_id FROM q)
+SELECT qi.query_id, best.cache_id AS best_cache_id, best.cosine,
+       COALESCE(best.cosine >= 0.92, false) AS cache_hit
+FROM qi LEFT JOIN best ON best.query_id = qi.query_id AND best.rn = 1
 """
 
 

@@ -596,10 +596,13 @@ class FrontierCrawler:
             deferred = allowed.limit(0)
         else:
             admitted, deferred = admit_per_host(allowed, "host_budget", cfg.n_salts)
+        round_caches: list = []  # internal operator caches, dropped at round end
         if cfg.scalable_fetch_order:
             from .operators.politeness import global_fetch_order_scalable
 
-            admitted = global_fetch_order_scalable(admitted, seq_offset).persist()
+            admitted = global_fetch_order_scalable(
+                admitted, seq_offset, cache_registry=round_caches
+            ).persist()
         else:
             admitted = global_fetch_order(admitted, seq_offset).persist()
 
@@ -964,6 +967,8 @@ class FrontierCrawler:
         slim.unpersist()
         extracted.unpersist()
         admitted.unpersist()
+        for c in round_caches:  # operator-internal caches (e.g. the
+            c.unpersist()      # scalable fetch-order's ranged set)
         evaluated.unpersist()
         return stats
 

@@ -22,6 +22,9 @@ from pyspark.sql import functions as F
 
 CHUNK_SIZE = 1000
 CHUNK_OVERLAP = 200
+# chunk_id domain for the composite (doc_id·span + chunk_id) ride-through
+# in chunked_embeddings: 10^4 chunks × 800-char stride = 8M chars/doc max
+_CHUNK_ID_SPAN = 10_000
 
 
 def chunk_text(
@@ -72,15 +75,32 @@ def chunked_embeddings(df: DataFrame, **kw) -> DataFrame:
     )
     # embed_map_in_pandas contract: (doc_id, text) → (doc_id, embedding);
     # ride chunk_id through a composite id and split it back out.
+    # _CHUNK_ID_SPAN bounds chunk_id (a doc longer than span×stride chars
+    # would alias into the next doc_id — fail loudly, don't mis-attribute
+    # embeddings); decode uses integer `div`, never double division
+    # (composite > 2^53 would round the decoded doc_id).
+    span = _CHUNK_ID_SPAN
     composite = ch.select(
-        (F.col("doc_id") * 10000 + F.col("chunk_id")).alias("doc_id"), "text"
+        (
+            F.col("doc_id") * span
+            + F.when(F.col("chunk_id") < span, F.col("chunk_id")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"chunk_id >= {span} for doc_id "),
+                        F.col("doc_id").cast("string"),
+                        F.lit(" — raise _CHUNK_ID_SPAN or chunk coarser"),
+                    )
+                ).cast("int")
+            )
+        ).alias("doc_id"),
+        "text",
     )
     from ..functions.embed import EMBED_SCHEMA
 
     emb = composite.mapInPandas(embed_map_in_pandas, schema=EMBED_SCHEMA)
     return emb.select(
-        (F.col("doc_id") / 10000).cast("long").alias("doc_id"),
-        F.pmod("doc_id", F.lit(10000)).cast("int").alias("chunk_id"),
+        F.expr(f"doc_id div {span}").alias("doc_id"),
+        F.pmod("doc_id", F.lit(span)).cast("int").alias("chunk_id"),
         "embedding",
     )
 
@@ -115,6 +135,10 @@ def chunk_scores_kernel(
     """
     import math
 
+    if len(query) != dim:
+        # element_at past len(query) yields NULL and F.sum would silently
+        # skip it — a truncated dot product, not an error
+        raise ValueError(f"query has {len(query)} dims, kernel dim is {dim}")
     qint = [int(math.floor(float(x) * 10000 + 0.5)) for x in query]
     qq = float(sum(v * v for v in qint))
     qlit = "array(" + ",".join(f"{v}L" for v in qint) + ")"

@@ -100,7 +100,10 @@ def global_fetch_order(admitted: DataFrame, seq_offset: int = 0) -> DataFrame:
 
 
 def global_fetch_order_scalable(
-    admitted: DataFrame, seq_offset: int = 0, partitions: int | None = None
+    admitted: DataFrame,
+    seq_offset: int = 0,
+    partitions: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Same total order as :func:`global_fetch_order`, computed without a
     single-partition sort: range-partition on the frozen order key, sort
@@ -120,6 +123,11 @@ def global_fetch_order_scalable(
         .sortWithinPartitions(*order_key())
         .persist()
     )
+    # the internal cache must be releasable by the caller (a crawl round
+    # leaks one admitted-set-sized cache per round otherwise — CLAUDE.md
+    # round-cache rule: drop all round caches together at round end)
+    if cache_registry is not None:
+        cache_registry.append(ranged)
     counts = {
         r["pid"]: r["n"]
         for r in ranged.groupBy(F.spark_partition_id().alias("pid"))

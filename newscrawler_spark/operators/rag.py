@@ -285,28 +285,34 @@ def semantic_cache_lookup(
     4dp-rounded cosine clears ``threshold`` (rounded-value compare so
     the threshold decision is reproducible cross-engine).
     """
+    from .similarity import _dot_expr, _norm_expr
+
     q = queries.select(
         F.col(query_id), F.col(vec_col).alias("__qv")
     )
     c = cache.select(F.col(cache_id), F.col(vec_col).alias("__cv"))
-    dot = F.expr(
-        "aggregate(zip_with(__qv, __cv, (a, b) -> cast(a as double) * cast(b as double)), "
-        "cast(0.0 as double), (s, x) -> s + x)"
+    # single copy of the cosine contract (similarity._dot_expr/_norm_expr)
+    cos = F.round(
+        F.expr(_dot_expr("__qv", "__cv"))
+        / (F.expr(_norm_expr("__qv")) * F.expr(_norm_expr("__cv"))),
+        4,
     )
-    sq = lambda col: F.expr(  # noqa: E731
-        f"aggregate(transform({col}, x -> cast(x as double) * cast(x as double)), "
-        "cast(0.0 as double), (s, x) -> s + x)"
-    )
-    cos = F.round(dot / (F.sqrt(sq("__qv")) * F.sqrt(sq("__cv"))), 4)
     pairs = q.join(F.broadcast(c)).select(
         query_id, cache_id, cos.alias("cosine")
     )
     best = pairs.groupBy(query_id).agg(
         F.max(F.struct(F.col("cosine"), (-F.col(cache_id)).alias("nid"))).alias("b")
     )
-    return best.select(
+    # LEFT join back to the query set: with an EMPTY cache (or a query
+    # producing no pairs) the query must still surface with
+    # cache_hit=false — a dropped row reads as "already answered".
+    # coalesce also forces a null cosine (zero-norm vector) to a false
+    # hit instead of a null flag.
+    return q.select(query_id).join(best, query_id, "left").select(
         query_id,
         (-F.col("b.nid")).alias("best_cache_id"),
         F.col("b.cosine").alias("cosine"),
-        (F.col("b.cosine") >= F.lit(threshold)).alias("cache_hit"),
+        F.coalesce(F.col("b.cosine") >= F.lit(threshold), F.lit(False)).alias(
+            "cache_hit"
+        ),
     )

@@ -40,12 +40,19 @@ def title_expr(text_col: str = "text"):
 def keyword_hits(terms: list[str], *cols: str):
     """Σ over terms of whole-word hit counts across the given columns —
     the ts_rank stand-in (monotone in term frequency, deterministic,
-    identical in DuckDB)."""
+    identical in DuckDB).
+
+    Terms are regex-ESCAPED (a raw "c++" is a PatternSyntaxException,
+    "a.b" would match 'aXb') and lowercased to match the lowercased
+    haystack (an unlowered "Spark" would never hit)."""
+    import re
+
     total = F.lit(0)
     for c in cols:
         for t in terms:
+            pat = rf"\b{re.escape(t.lower())}\b"
             total = total + F.size(
-                F.regexp_extract_all(F.lower(F.col(c)), F.lit(rf"\b{t}\b"), F.lit(0))
+                F.regexp_extract_all(F.lower(F.col(c)), F.lit(pat), F.lit(0))
             )
     return total
 

@@ -93,29 +93,6 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return out
 
 
-def lsh_bucket_udf(dim: int, n_planes: int = 12, seed: int = 42):
-    """mapInPandas body computing the sign-pattern bucket (int) for each
-    embedding row — one numpy matmul per Arrow batch."""
-    planes = _hyperplanes(dim, n_planes, seed)
-
-    def body(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            if len(mat) == 0:
-                pdf["bucket"] = pd.Series([], dtype="int64")
-                yield pdf
-                continue
-            signs = (mat @ planes.T) > 0
-            bucket = np.zeros(len(mat), dtype=np.int64)
-            for p in range(n_planes):
-                bucket |= signs[:, p].astype(np.int64) << p
-            pdf = pdf.copy()
-            pdf["bucket"] = bucket
-            yield pdf
-
-    return body
-
-
 def multi_table_bucket_udf(dim: int, n_planes: int, n_tables: int, seed: int = 42):
     """mapInPandas body emitting (row ⊗ table) with the row's bucket in
     each of the L independent hash tables — the standard multi-table
@@ -200,6 +177,14 @@ def _gemm_pairs_fn(threshold: float):
     4dp rounding = floor(x*1e4 + 0.5)/1e4, identical to Spark/DuckDB
     HALF_UP for the positive cosines that survive the threshold."""
 
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+        }
+    )
+
     def body(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         def prep(part):
             ids = part["vec_id"].to_numpy()
@@ -210,13 +195,21 @@ def _gemm_pairs_fn(threshold: float):
 
         a = pdf[pdf["side"] == 0]
         b = pdf[pdf["side"] == 1]
-        ids_a, na = prep(a)
-        if len(b):  # cross-block task
+        # the task's KIND comes from the carried `cross` flag, never from
+        # which sides happen to be non-empty: with sparse/clustered
+        # vec_ids a cross task can see only one side (the other block is
+        # empty) — "no b rows" would misroute it into the within-block
+        # branch and re-emit that block's pairs once per empty partner
+        if bool(pdf["cross"].iloc[0]):  # cross-block task
+            if not len(a) or not len(b):
+                return empty  # empty partner block -> no cross pairs
+            ids_a, na = prep(a)
             ids_b, nb = prep(b)
             sim = np.floor(na @ nb.T * 10000 + 0.5) / 10000
             ii, jj = np.nonzero(sim >= threshold)
             id1, id2 = ids_a[ii], ids_b[jj]
         else:  # within-block task: upper triangle only
+            ids_a, na = prep(a)
             sim = np.floor(na @ na.T * 10000 + 0.5) / 10000
             ii, jj = np.nonzero(np.triu(sim >= threshold, k=1))
             id1, id2 = ids_a[ii], ids_a[jj]
@@ -261,10 +254,12 @@ def embedding_near_dup_pairs(
         for bi in range(n_blocks):
             for bj in range(bi, n_blocks):
                 task = bi * n_blocks + bj
-                rows.append((bi, task, 0))
+                rows.append((bi, task, 0, bj != bi))
                 if bj != bi:
-                    rows.append((bj, task, 1))
-        tasks = spark.createDataFrame(rows, "blk int, task_id int, side int")
+                    rows.append((bj, task, 1, True))
+        tasks = spark.createDataFrame(
+            rows, "blk int, task_id int, side int, cross boolean"
+        )
         replicated = (
             embeddings.select("vec_id", "embedding")
             .withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
@@ -506,7 +501,10 @@ def rademacher_candidate_pairs(
     pruning — k=6/L=24 measures ~0.90 recall at ~3× candidate pruning
     (tests/test_dedup_similarity.py); exact=True is the fallback there.
     """
-    dim = len(embeddings.select("embedding").first()["embedding"])
+    first = embeddings.select("embedding").first()
+    if first is None:  # empty relation: no pairs (and no dim to infer)
+        return embeddings.sparkSession.createDataFrame([], "id_a long, id_b long")
+    dim = len(first["embedding"])
     bucketed = embeddings.select("vec_id", "embedding").mapInPandas(
         rademacher_bucket_udf(dim, n_planes, n_tables, seed),
         schema="vec_id long, table_id int, bucket long",

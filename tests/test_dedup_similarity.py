@@ -259,3 +259,32 @@ def test_streaming_dedup_matches_batch_distinct(spark, tmp_path):
     want = pdf[["event_type", "user_id"]].drop_duplicates()
     assert len(got) == len(want)
     assert set(map(tuple, got.to_numpy())) == set(map(tuple, want.to_numpy()))
+
+
+def test_exact_pairs_sparse_blocks_no_crash_no_dupes(spark):
+    """Blocked GEMM with vec_ids clustered in ONE block (all others
+    empty): cross tasks see a single side — must emit nothing (not
+    crash on the empty side, not re-emit the within-block pairs once
+    per empty partner block)."""
+    from newscrawler_spark.operators.similarity import embedding_near_dup_pairs
+
+    # all ids ≡ 0 (mod 16) -> only block 0 is populated
+    rows = [(i * 16, [1.0, 0.0, 0.0, float(i % 2)]) for i in range(4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.5, exact=True).collect()
+    keys = [(r.id_a, r.id_b) for r in pairs]
+    assert len(keys) == len(set(keys)), f"duplicated pairs: {sorted(keys)}"
+    assert len(keys) > 0  # identical direction vectors clear 0.5
+    # ids ≡ 1 (mod 16): block 1 only; side-0 of cross tasks is empty
+    rows = [(1 + i * 16, [0.0, 1.0, 0.0, 0.0]) for i in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.5, exact=True).collect()
+    keys = [(r.id_a, r.id_b) for r in pairs]
+    assert len(keys) == len(set(keys)) and len(keys) == 3  # C(3,2) identical vecs
+
+
+def test_neardup_lsh_empty_input(spark):
+    from newscrawler_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert embedding_near_dup_pairs(emb, threshold=0.5).count() == 0
