@@ -90,6 +90,14 @@ class CrawlConfig:
     # full bitset — the 10^10-seen shape (a single bloom at 10^10 keys is
     # ~17 GB, SURVEY §7.3).  1 keeps the single broadcast bloom (fine to
     # ~10^8 seen; cheapest at sandbox scale).
+    seen_filter: str = "bloom"  # "bloom" | "cuckoo" — the approximate
+    # seen-set structure (north star: "bloom/cuckoo-filter URL-seen
+    # set").  "cuckoo" always runs the partitioned bucket-store path
+    # (bloom_buckets buckets, ≥1) with 16-bit-fingerprint cuckoo blobs:
+    # same no-false-negative contract (stash + saturate degradation),
+    # better fpp per bit at high load, and DELETION — the re-crawl
+    # policy primitive (operators/seen.remove_partitioned_keys) a bloom
+    # cannot offer without a rebuild.
     respect_robots: bool = True
     broadcast_admitted_max: int = 2_000_000  # rows; 0 → let AQE pick the join
     write_partitions: int = 8  # per-round delta files; ~2-3× executors on a cluster
@@ -261,10 +269,13 @@ class FrontierCrawler:
             .dropDuplicates(["host"])
         )
         self._bloom = None  # cumulative seen bloom, maintained incrementally
-        if config.bloom_buckets > 1:
-            from .operators.seen import BloomBucketStore
+        if config.seen_filter == "cuckoo" or config.bloom_buckets > 1:
+            from .operators.seen import BloomBucketStore, CuckooBucketStore
 
-            self._bloom_store = BloomBucketStore(
+            # the cuckoo option always runs the partitioned path (its
+            # blob protocol IS the bucket store; n_buckets=1 is fine)
+            cls = CuckooBucketStore if config.seen_filter == "cuckoo" else BloomBucketStore
+            self._bloom_store = cls(
                 os.path.join(store.root, "_blobs", "bloom_buckets"),
                 config.bloom_buckets,
                 max(16, config.bloom_expected // config.bloom_buckets),
@@ -286,10 +297,10 @@ class FrontierCrawler:
         if seen is None:
             return
         # rebuild directly at round_id - 1: drop stale files so the
-        # advance pass starts from empty bitsets
+        # advance pass starts from empty filters
         import glob
 
-        for p in glob.glob(os.path.join(self._bloom_store.root, "bloomb*.bin")):
+        for p in glob.glob(os.path.join(self._bloom_store.root, self._bloom_store.file_glob)):
             os.remove(p)
         advance_partitioned_bloom(seen, "url_hash", self._bloom_store, round_id - 1)
 
@@ -388,9 +399,30 @@ class FrontierCrawler:
         """
         root = F.regexp_extract(F.col("page_url"), r"^([a-z][a-z0-9+.-]*://[^/?#]*)", 1)
         root_filter = F.col("page_url") == F.concat(root, F.lit("/robots.txt"))
+
+        def one_per_host(robots_pages: DataFrame) -> DataFrame:
+            # The root anchor stops /sub/robots.txt, but http:// and
+            # https:// robots pages for the SAME host would still emit
+            # two dim rows — and a duplicate dim row fans out the
+            # frontier join (the same URL admitted twice).  Shared spec
+            # with both oracles: the host's robots page is the one with
+            # the MIN canonical URL.  The window shuffles only the
+            # robots set itself (~one row per host — dim-sized).
+            from pyspark.sql import Window
+
+            host = F.regexp_extract(
+                F.col("page_url"), r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1
+            )
+            w = Window.partitionBy(host).orderBy("page_url")
+            return (
+                robots_pages.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+
         if self.config.cache_pages:
             robots_pages = self.pages.filter(root_filter).select("page_url", "html")
-            return robots_pages.mapInPandas(
+            return one_per_host(robots_pages).mapInPandas(
                 robots_dim_map_in_pandas, schema=ROBOTS_DIM_SCHEMA
             )
         raw = self.spark.read.parquet(self.pages_path)
@@ -415,7 +447,7 @@ class FrontierCrawler:
             )
         else:
             robots_pages = self.pages.filter(root_filter).select("page_url", "html")
-        return robots_pages.mapInPandas(
+        return one_per_host(robots_pages).mapInPandas(
             robots_dim_map_in_pandas, schema=ROBOTS_DIM_SCHEMA
         )
 
@@ -427,7 +459,13 @@ class FrontierCrawler:
         With ``url_df``: an arbitrary URL list — the reference's CSV
         batch shape (S1, batch_processor.py:65-93) where the whole list
         is enqueued at priority MEDIUM.
+
+        Seeding starts a NEW crawl: any rounds committed by a previous
+        crawl in this store are purged first (``RoundStore.reset``), so
+        post-crawl readers can never union stale rounds into the fresh
+        crawl's tables.
         """
+        self.store.reset()
         if url_df is not None:
             frontier0 = (
                 with_canonical(url_df, url_col)
@@ -442,16 +480,20 @@ class FrontierCrawler:
             )
         else:
             seeds = self.spark.read.parquet(self.seeds_path)
+            # duplicate base_urls resolve to MIN priority — the oracle's
+            # rule (pending[cu] = min key); a dropDuplicates pick here
+            # would be partition-order-dependent and nondeterministic
             frontier0 = (
                 with_canonical(seeds.filter(F.col("active")), "base_url")
+                .groupBy("canon_url", "url_hash", "host")
+                .agg(F.min(F.col("priority").cast("int")).alias("priority"))
                 .select(
                     "canon_url",
                     "url_hash",
                     "host",
-                    F.col("priority").cast("int").alias("priority"),
+                    "priority",
                     F.lit(0).cast("int").alias("discovered_round"),
                 )
-                .dropDuplicates(["url_hash", "canon_url"])
             )
         from pyspark.sql import Observation
 
@@ -477,7 +519,7 @@ class FrontierCrawler:
         totals = {"fetched": 0, "rounds": 0}
         seq_offset = 0
         for r in range(last + 1):
-            man = self.store.manifest(r) if r >= 0 else {}
+            man = self.store.manifest(r)
             seq_offset += man.get("admitted", 0)
             totals["fetched"] += man.get("extracted", 0) + man.get("short", 0)
             totals["rounds"] += 1
@@ -600,9 +642,16 @@ class FrontierCrawler:
         if cfg.scalable_fetch_order:
             from .operators.politeness import global_fetch_order_scalable
 
+            # no outer persist: the operator already caches the ranged
+            # admitted set (registered in round_caches), and the returned
+            # plan is only a map-lookup + bit-ops projection over those
+            # cached partitions — deterministic per read and cheap to
+            # recompute, so a second admitted-set-sized cache would just
+            # double storage pressure on the exact rounds (bulk) where
+            # the admitted set is largest
             admitted = global_fetch_order_scalable(
                 admitted, seq_offset, cache_registry=round_caches
-            ).persist()
+            )
         else:
             admitted = global_fetch_order(admitted, seq_offset).persist()
 

@@ -34,13 +34,19 @@ def crawl_oracle(pages_path: str, seeds_path: str, config: CrawlConfig = CrawlCo
     web = {canonicalize_url(r["url"]): bytes(r["html"]) for r in pages_tbl}
 
     robots: dict[str, dict] = {}
+    robots_src: dict[str, str] = {}
     for url, html in web.items():
         # robots lives at the HOST ROOT only (spec parity with the
         # engine's anchored filter): /sub/robots.txt is an ordinary page.
+        # One robots page per host — min canonical URL wins (the shared
+        # spec with the engine dim and the SQL oracle), so cross-scheme
+        # duplicates resolve deterministically instead of by scan order.
         scheme = url.split("://", 1)[0]
         host = host_of(url)
         if url == f"{scheme}://{host}/robots.txt":
-            robots[host] = parse_robots(robots_body_of(html))
+            if host not in robots_src or url < robots_src[host]:
+                robots_src[host] = url
+                robots[host] = parse_robots(robots_body_of(html))
 
     def allowed(url: str) -> bool:
         if not config.respect_robots:

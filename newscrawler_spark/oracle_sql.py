@@ -25,11 +25,13 @@ no backreferences; per-tag pairing is what the backreference expressed.
 from __future__ import annotations
 
 from .crawler import CrawlConfig
-from .functions.canonical import CANON_SQL
+from .functions.canonical import CANON_SQL, HASH60_SQL
 
 _BOILER_TAGS = ("script", "style", "nav", "header", "footer", "aside")
 _BOILER = "|".join(rf"<{t}\b.*?</{t}\s*>" for t in _BOILER_TAGS)
-_HASH60 = "CAST(('0x' || substring(md5({col}), 1, 15)) AS BIGINT)"
+# single frozen hash contract (canonical.HASH60_SQL) — no local copy so a
+# contract change cannot silently diverge the oracle from the engine
+_HASH60 = HASH60_SQL
 
 # resolve_link spec (functions/extract.resolve_link) for a trimmed href
 # against an already-canonical base url (scheme/host/cu columns in scope).
@@ -91,7 +93,14 @@ robots_lines AS (
     SELECT host,
       unnest(string_split({_ROBOTS_BODY}, chr(10))) AS ln0,
       unnest(range(1, len(string_split({_ROBOTS_BODY}, chr(10)))+1)) AS pos
-    FROM pagemeta WHERE cu = scheme || '://' || host || '/robots.txt'
+    FROM (
+      -- one robots page per host, min canonical URL (spec shared with
+      -- the engine dim and the Python oracle): cross-scheme duplicates
+      -- (http:// and https:// robots.txt) must not merge or fan out
+      SELECT host, raw FROM pagemeta
+      WHERE cu = scheme || '://' || host || '/robots.txt'
+      QUALIFY row_number() OVER (PARTITION BY host ORDER BY cu) = 1
+    ) rp
   ) z, LATERAL (SELECT trim(split_part(z.ln0, '#', 1)) AS clean) c
   WHERE position(':' IN trim(split_part(z.ln0, '#', 1))) > 0
 ),

@@ -103,6 +103,19 @@ class RoundStore:
             json.dump({"round_id": round_id, **stats}, f)
         os.rename(tmp, final)
 
+    def reset(self) -> None:
+        """Drop ALL round data, manifests and blobs — the start of a new
+        crawl.  ``initialize()`` calls this: without it, a non-resume
+        restart over a store holding committed rounds from an earlier
+        crawl leaves those manifests visible, so ``last_committed_round``
+        / ``read_rounds`` union stale rounds with the new crawl's."""
+        for table in self.TABLES:
+            shutil.rmtree(os.path.join(self.root, table), ignore_errors=True)
+        shutil.rmtree(os.path.join(self.root, "_blobs"), ignore_errors=True)
+        man_dir = os.path.join(self.root, "_manifests")
+        shutil.rmtree(man_dir, ignore_errors=True)
+        os.makedirs(man_dir, exist_ok=True)
+
     def rollback_uncommitted(self, last_good: int) -> None:
         """Drop any round dirs newer than the last committed manifest."""
         for table in self.TABLES:
@@ -134,12 +147,17 @@ class RoundStore:
     def read_rounds(
         self, spark: SparkSession, table: str, upto: int | None = None
     ) -> DataFrame | None:
-        """Union of all committed round partitions of ``table``."""
+        """Union of all committed round partitions of ``table``.
+
+        Starts at round -1: the seed-frontier init commits under that
+        reserved id (``crawler.initialize``), and the generic union must
+        see it — only the frontier table ever has a ``round=-1`` dir, so
+        for the other tables the isdir guard skips it."""
         if upto is None:
             upto = self.last_committed_round()
         paths = [
             self._round_path(table, r)
-            for r in range(upto + 1)
+            for r in range(-1, upto + 1)
             if os.path.isdir(self._round_path(table, r))
         ]
         if not paths:

@@ -66,7 +66,11 @@ def _zipf_counts(n_pages: int, n_hosts: int) -> list[int]:
     weights[0] = sum(weights)  # hot host ≈ half the remaining mass → ~33%+
     total = sum(weights)
     counts = [max(1, int(n_pages * w / total)) for w in weights]
-    counts[0] += n_pages - sum(counts)  # rounding drift onto the hot host
+    # rounding drift onto the hot host; clamp to >=1 — with n_hosts close
+    # to n_pages the per-host floor of 1 can overshoot n_pages and the
+    # drift would drive the hot host negative (empty URL universe →
+    # randrange(0) crash in cross-host link draws)
+    counts[0] = max(1, counts[0] + n_pages - sum(counts))
     return counts
 
 
@@ -215,6 +219,12 @@ def generate_corpus(
     if os.path.exists(marker):
         return paths
     os.makedirs(out_dir, exist_ok=True)
+    # drop markers from other param sets: regenerating into the same dir
+    # overwrites the parquet files, so a surviving old marker would make
+    # a LATER call with the old params silently return this corpus
+    for stale in os.listdir(out_dir):
+        if stale.startswith(".corpus_") and stale != f".corpus_{key}":
+            os.remove(os.path.join(out_dir, stale))
 
     counts = _zipf_counts(n_pages, n_hosts)
     hosts = [f"news{i}.example.com" for i in range(n_hosts)]
