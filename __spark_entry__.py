@@ -233,13 +233,13 @@ def q_f1_whitespace_collapse(spark, sf_dir):
     """F1: the byte-identical whitespace-collapse contract
     (newspaper_scraper/scraper.py:229-247)."""
     docs = _t(spark, sf_dir, "documents")
-    collapsed = F.regexp_replace(F.trim("text"), r"\s+", " ")
+    collapsed = F.regexp_replace(F.trim("text"), r"[ \t\n\r\f\x0b]+", " ")
     return docs.select("doc_id", F.md5(collapsed).alias("clean_hash"), F.length(collapsed).alias("clean_len"))
 
 
 SQL_F1 = """
-SELECT doc_id, md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS clean_hash,
-       length(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS clean_len
+SELECT doc_id, md5(regexp_replace(trim(text), '[ \t\n\r\f\x0b]+', ' ', 'g')) AS clean_hash,
+       length(regexp_replace(trim(text), '[ \t\n\r\f\x0b]+', ' ', 'g')) AS clean_len
 FROM documents
 """
 
@@ -444,7 +444,7 @@ SQL_A7 = r"""
 WITH m AS (
   SELECT doc_id, length(text) AS n_chars,
     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
-    len(regexp_split_to_array(trim(text), '\s+')) AS toks,
+    len(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0b]+')) AS toks,
     len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS stop
   FROM documents)
 SELECT doc_id,
@@ -717,8 +717,8 @@ FROM documents GROUP BY 1
 _SH_SQL = r"""
 sh AS (
   SELECT DISTINCT doc_id, unnest(list_transform(
-    range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 0) + 1),
-    i -> array_to_string(regexp_split_to_array(lower(trim(text)), '\s+')[i:i+2], ' ')
+    range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0b]+')) - 2, 0) + 1),
+    i -> array_to_string(regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0b]+')[i:i+2], ' ')
   )) AS shingle FROM documents)
 """
 
@@ -794,7 +794,7 @@ _SIMHASH_BITS = " + ".join(
 )
 SQL_DEDUP_SIMHASH = rf"""
 WITH tok AS (
-  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0b]+')) AS token
   FROM documents),
 h AS (SELECT doc_id, CAST(('0x' || substring(md5(token), 1, 4)) AS INT) AS h
       FROM tok WHERE token <> '')
@@ -813,7 +813,7 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 
 SQL_DEDUP_SIMHASH_PAIRS = rf"""
 WITH tok AS (
-  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0b]+')) AS token
   FROM documents),
 h AS (SELECT doc_id, CAST(('0x' || substring(md5(token), 1, 4)) AS INT) AS h
       FROM tok WHERE token <> ''),
@@ -860,8 +860,8 @@ def q_text_token_stats(spark, sf_dir):
 SQL_TEXT_TOKENS = r"""
 SELECT doc_id,
   CASE WHEN trim(text) = '' THEN 0
-       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
-  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+       ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0b]+')) END AS ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0b]')) AS bpe_tokens
 FROM documents
 """
 
@@ -874,7 +874,7 @@ def q_text_fingerprint(spark, sf_dir):
 
 
 SQL_TEXT_FP = (
-    r"SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp "
+    r"SELECT doc_id, md5(regexp_replace(lower(trim(text)), '[ \t\n\r\f\x0b]+', ' ', 'g')) AS fp "
     "FROM documents"
 )
 
@@ -968,18 +968,18 @@ WITH enriched AS (
   FROM documents
 ),
 marked AS (
-  SELECT doc_id, regexp_replace(t, '(^|[.!?])(\s*)([A-Z])', '\1\2' || chr(1) || '\3', 'g') AS m
+  SELECT doc_id, regexp_replace(t, '(^|[.!?])([ \t\n\r\f\x0b]*)([A-Z])', '\1\2' || chr(1) || '\3', 'g') AS m
   FROM enriched
 ),
 spans AS (
-  SELECT doc_id, unnest(regexp_extract_all(m, '\x01?[A-Z][a-z]+(\s+[A-Z][a-z]+)*')) AS raw
+  SELECT doc_id, unnest(regexp_extract_all(m, '\x01?[A-Z][a-z]+([ \t\n\r\f\x0b]+[A-Z][a-z]+)*')) AS raw
   FROM marked
 ),
 shed AS (
   SELECT doc_id,
     CASE WHEN raw[1] = chr(1)
-         THEN list_slice(string_split_regex(replace(raw, chr(1), ''), '\s+'), 2, 1000000)
-         ELSE string_split_regex(raw, '\s+') END AS words
+         THEN list_slice(string_split_regex(replace(raw, chr(1), ''), '[ \t\n\r\f\x0b]+'), 2, 1000000)
+         ELSE string_split_regex(raw, '[ \t\n\r\f\x0b]+') END AS words
   FROM spans
 ),
 sp AS (SELECT doc_id, array_to_string(words, ' ') AS span, len(words) AS nw
@@ -1058,7 +1058,7 @@ def _embed_bucket_vec(docs: DataFrame) -> DataFrame:
     shared by q_text_embed_buckets and q_embed_missing so a kernel
     change (dim, hash slice offsets) cannot diverge the two gates."""
     tok = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+        "doc_id", F.explode(F.split(F.lower("text"), r"[ \t\n\r\f\x0b]+")).alias("tok")
     ).filter(F.col("tok") != "")
     h = tok.select(
         "doc_id",
@@ -1082,7 +1082,7 @@ def _embed_bucket_vec(docs: DataFrame) -> DataFrame:
 
 SQL_TEXT_EMBED_BUCKETS = r"""
 WITH tok AS (
-  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0b]+')) AS tok
   FROM documents),
 h AS (
   SELECT doc_id,
@@ -1124,7 +1124,7 @@ WITH d AS (
   WHERE NOT EXISTS (SELECT 1 FROM embeddings e
                     WHERE e.vec_id = documents.doc_id AND e.vec_id % 7 <> 3)),
 tok AS (
-  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok FROM d),
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0b]+')) AS tok FROM d),
 h AS (
   SELECT doc_id,
          CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT) % 64 AS bucket,
@@ -1156,7 +1156,7 @@ SQL_SEARCH_TEXT = """
 WITH hit AS (
   SELECT doc_id, substring(text, 1, 60) AS title, source, lang
   FROM documents
-  WHERE lower(substring(text, 1, 60) || ' ' || text) LIKE '%stream%' AND lang = 'en')
+  WHERE lower(text) LIKE '%stream%' AND lang = 'en')
 SELECT doc_id, title, source, lang,
        (SELECT count(*) FROM hit) AS total_count
 FROM hit ORDER BY doc_id DESC LIMIT 15 OFFSET 15
@@ -1190,7 +1190,9 @@ e AS (
          generate_subscripts(embedding, 1) AS i
   FROM embeddings),
 c AS (
-  SELECT vec_id, sum(ev * qv) / (sqrt(sum(ev * ev)) * (SELECT qq FROM qn)) AS cos
+  SELECT vec_id,
+         CASE WHEN sum(ev * ev) = 0 THEN 0.0
+              ELSE sum(ev * qv) / (sqrt(sum(ev * ev)) * (SELECT qq FROM qn)) END AS cos
   FROM e JOIN q USING (i) GROUP BY vec_id),
 d AS (
   SELECT doc_id, substring(text, 1, 60) AS title,
@@ -1299,7 +1301,7 @@ WITH ch AS (
   FROM documents),
 tok AS (
   SELECT doc_id, chunk_start,
-         unnest(regexp_split_to_array(lower(substring(text, chunk_start + 1, 1000)), '\s+')) AS tok
+         unnest(regexp_split_to_array(lower(substring(text, chunk_start + 1, 1000)), '[ \t\n\r\f\x0b]+')) AS tok
   FROM ch),
 h AS (
   SELECT doc_id, chunk_start,
@@ -1352,7 +1354,7 @@ cl AS (
   FROM ch),
 tok AS (
   SELECT doc_id, chunk_id, chunk_len,
-         unnest(regexp_split_to_array(lower(chunk), '\s+')) AS tok
+         unnest(regexp_split_to_array(lower(chunk), '[ \t\n\r\f\x0b]+')) AS tok
   FROM cl),
 h AS (
   SELECT doc_id, chunk_id, chunk_len,
@@ -1440,9 +1442,9 @@ m AS (
           + CASE WHEN position('Article 2' IN response) > 0
                  OR position('article 2' IN response) > 0 THEN 1 ELSE 0 END)
            AS citation_count,
-         list_distinct(list_filter(regexp_split_to_array(lower(response), '\s+'),
+         list_distinct(list_filter(regexp_split_to_array(lower(response), '[ \t\n\r\f\x0b]+'),
                                    t -> t <> '')) AS rw,
-         list_distinct(list_filter(regexp_split_to_array(lower(ground_truth), '\s+'),
+         list_distinct(list_filter(regexp_split_to_array(lower(ground_truth), '[ \t\n\r\f\x0b]+'),
                                    t -> t <> '')) AS tw
   FROM base),
 s AS (
@@ -2254,17 +2256,17 @@ e AS (
 ),
 x AS (
   SELECT feed_url, bno,
-    regexp_extract(block, '(?is)<link>\s*(https?://[^<\s]+)\s*</link>', 1) AS link0,
+    regexp_extract(block, '(?is)<link>[ \t\n\r\f\x0b]*(https?://[^< \t\n\r\f\x0b]+)[ \t\n\r\f\x0b]*</link>', 1) AS link0,
     regexp_extract(block, '(?is)<title[^>]*>(.*?)</title\s*>', 1) AS title0,
     CASE WHEN regexp_matches(block, '(?is)<pubdate[^>]*>(.*?)</pubdate\s*>')
          THEN trim(regexp_replace(regexp_extract(block, '(?is)<pubdate[^>]*>(.*?)</pubdate\s*>', 1),
-                                  '\s+', ' ', 'g'))
+                                  '[ \t\n\r\f\x0b]+', ' ', 'g'))
     END AS published
   FROM e
 )
 SELECT feed_url,
        CAST(row_number() OVER (PARTITION BY feed_url ORDER BY bno) - 1 AS INT) AS entry_no,
-       trim(regexp_replace(regexp_replace(title0, '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS title,
+       trim(regexp_replace(regexp_replace(title0, '<[^>]+>', ' ', 'g'), '[ \t\n\r\f\x0b]+', ' ', 'g')) AS title,
        trim(link0) AS link,
        published
 FROM x WHERE link0 <> ''
@@ -2345,7 +2347,7 @@ m AS (
   SELECT doc_id, source, length(text) AS n_chars,
     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
     CASE WHEN trim(text) = '' THEN 0
-         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+         ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0b]+')) END AS toks,
     len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS stop
   FROM e),
 q AS (

@@ -10,7 +10,12 @@ expressions only (no UDF — stays inside whole-stage codegen), and
 ``test_canonical.py`` property-tests all three against each other.
 
 Spec (frozen):
-  1. strip surrounding ASCII whitespace
+  1. skip leading ASCII whitespace (``[ \\t\\n\\r\\f\\x0b]``) and
+     truncate at the first ASCII whitespace after it — the class is
+     EXPLICIT because the three engines' ``\\s`` classes disagree
+     (Python re is Unicode-wide, Java includes ``\\x0b``, RE2 does
+     not); non-ASCII whitespace (e.g. NBSP) is treated as an ordinary
+     URL character by all three
   2. lowercase scheme and host
   3. drop the ``#fragment``
   4. drop default ports (``:80`` for http, ``:443`` for https)
@@ -51,18 +56,26 @@ _URL_RE = re.compile(
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
+# ONE whitespace class, spelled identically in all three engines:
+# Python's str.strip()/\s are Unicode-wide, Java's \s includes \x0b,
+# RE2's does not — an implicit class would canonicalize tab- or
+# NBSP-edged URLs differently per engine (different seen-set identity
+# in the oracle vs the engine).
+_WS_CLASS = r" \t\n\r\f\x0b"
+_TRUNC_RE = re.compile(rf"[{_WS_CLASS}]*([^{_WS_CLASS}]*)")
+
 
 def canonicalize_url(url: str) -> str | None:
     """Frozen canonicalization spec. Returns None for non-crawlable URLs.
 
     Internal whitespace is URL-invalid; the spec truncates at the first
-    whitespace character (so the canonical form never contains any,
-    which keeps canonicalization idempotent — hypothesis-found edge).
+    ASCII whitespace character (so the canonical form never contains
+    any, which keeps canonicalization idempotent — hypothesis-found
+    edge).
     """
     if url is None:
         return None
-    url = url.strip()
-    url = url.split()[0] if url.split() else ""
+    url = _TRUNC_RE.match(url).group(1)
     m = _URL_RE.match(url)
     if not m:
         return None
@@ -109,7 +122,10 @@ _QUERY_RE = r"^\s*[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*[^?#]*\?([^#]*).*$"
 
 def canonicalize_expr(url: Column) -> Column:
     """Canonical URL as a Spark column expression (NULL if non-crawlable)."""
-    url = F.regexp_extract(F.trim(url), r"^(\S*)", 1)  # truncate at whitespace
+    # leading-skip + truncate in one pass over the SHARED explicit class
+    url = F.regexp_extract(
+        url, rf"^[{_WS_CLASS}]*([^{_WS_CLASS}]*)", 1
+    )
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
     hostport = F.lower(F.regexp_extract(url, _HOSTPORT_RE, 1))
     host = F.regexp_extract(hostport, r"^([^:]*)(:[0-9]*)?$", 1)
@@ -156,7 +172,12 @@ def with_canonical(df, url_col: str = "url"):
 # {col} is interpolated by the caller; produces the same canonical string.
 # Matches the frozen spec for ports, query strings and the
 # truncate-at-whitespace rule, not just the happy path.
-_SQL_BASE = "regexp_extract(trim({col}), '^(\\S*)', 1)"
+# backslash escapes reach RE2 inside the SQL string literal unprocessed
+# (standard-conforming strings); RE2 interprets \t, \n, \x0b itself —
+# the identical explicit class the Python and Spark twins use
+_SQL_BASE = (
+    "regexp_extract({col}, '^[" + _WS_CLASS + "]*([^" + _WS_CLASS + "]*)', 1)"
+)
 _SQL_SCHEME = f"lower(regexp_extract({_SQL_BASE}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
 _SQL_HOSTPORT = f"lower(regexp_extract({_SQL_BASE}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"
 _SQL_HOST = f"regexp_extract({_SQL_HOSTPORT}, '^([^:]*)', 1)"

@@ -13,6 +13,7 @@ in a model later changes one function body, not the pipeline.
 from __future__ import annotations
 
 import hashlib
+import re
 from typing import Iterator
 
 import numpy as np
@@ -20,11 +21,22 @@ import pandas as pd
 
 DIM = 64
 
+# explicit ASCII whitespace class — the same tri-engine pin as
+# collapse_ws: the integer-kernel twin (q_text_embed_buckets) and its
+# DuckDB oracle tokenize with this class, so the float UDF must too
+_WS_RE = re.compile(r"[ \t\n\r\f\x0b]+")
+
 
 def embed_text(text: str, dim: int = DIM) -> list[float]:
-    """Frozen hashing-trick embedding of whitespace tokens."""
+    """Frozen hashing-trick embedding of whitespace tokens.
+
+    NULL text embeds as the zero vector (the empty-text result), not a
+    task-killing AttributeError — one null row must not abort the
+    embedding job (same guard as extract_batch on null html)."""
     vec = np.zeros(dim, dtype=np.float64)
-    for tok in text.lower().split():
+    for tok in _WS_RE.split((text or "").lower()):
+        if not tok:
+            continue
         h = hashlib.md5(tok.encode("utf-8")).digest()
         bucket = int.from_bytes(h[:4], "big") % dim
         sign = 1.0 if h[4] & 1 else -1.0

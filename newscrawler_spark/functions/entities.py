@@ -17,8 +17,8 @@ from typing import Iterator
 
 import pandas as pd
 
-_SPAN_RE = re.compile(r"(?:[A-Z][a-z]+)(?:\s+[A-Z][a-z]+)*")
-_SENT_START_RE = re.compile(r"(?:^|[.!?])\s*(?=[A-Z])")
+_SPAN_RE = re.compile(r"(?:[A-Z][a-z]+)(?:[ \t\n\r\f\x0b]+[A-Z][a-z]+)*")
+_SENT_START_RE = re.compile(r"(?:^|[.!?])[ \t\n\r\f\x0b]*(?=[A-Z])")
 
 
 def extract_entities(text: str) -> dict[str, list[str]]:

@@ -56,15 +56,18 @@ IMG_SRC_PATTERN = r"""<img\b[^>]*?\bsrc\s*=\s*["']([^"'>]+)["']"""
 _IMG_RE = re.compile(IMG_SRC_PATTERN, re.IGNORECASE)
 # RSS/Atom-style feed entries (ref feed_scraper.py:169-188); capped at 20
 # entries per feed like the reference's max_entries_per_feed
-_FEED_ITEM_RE = re.compile(r"<link>\s*(https?://[^<\s]+)\s*</link>", re.IGNORECASE)
+_FEED_ITEM_RE = re.compile(r"<link>[ \t\n\r\f\x0b]*(https?://[^< \t\n\r\f\x0b]+)[ \t\n\r\f\x0b]*</link>", re.IGNORECASE)
 MAX_FEED_ENTRIES = 20
 # Full feedparser-shaped entry parse (S4): <item> blocks with
 # title/link/pubDate.  Patterns exported so the Spark codegen twin
 # (sources/feeds.py) shares them verbatim.
-FEED_BLOCK_PATTERN = r"(?is)<item\b[^>]*>(.*?)</item\s*>"
-FEED_TITLE_PATTERN = r"(?is)<title[^>]*>(.*?)</title\s*>"
-FEED_LINK_PATTERN = r"(?is)<link>\s*(https?://[^<\s]+)\s*</link>"
-FEED_PUBDATE_PATTERN = r"(?is)<pubdate[^>]*>(.*?)</pubdate\s*>"
+# shared pattern strings, interpreted by THREE regex engines (Python re,
+# Java via Spark exprs, RE2 via the DuckDB oracle) whose \s classes
+# disagree — whitespace is pinned to the explicit ASCII class
+FEED_BLOCK_PATTERN = r"(?is)<item\b[^>]*>(.*?)</item[ \t\n\r\f\x0b]*>"
+FEED_TITLE_PATTERN = r"(?is)<title[^>]*>(.*?)</title[ \t\n\r\f\x0b]*>"
+FEED_LINK_PATTERN = r"(?is)<link>[ \t\n\r\f\x0b]*(https?://[^< \t\n\r\f\x0b]+)[ \t\n\r\f\x0b]*</link>"
+FEED_PUBDATE_PATTERN = r"(?is)<pubdate[^>]*>(.*?)</pubdate[ \t\n\r\f\x0b]*>"
 _FEED_BLOCK_RE = re.compile(FEED_BLOCK_PATTERN)
 _FEED_TITLE_RE = re.compile(FEED_TITLE_PATTERN)
 _FEED_LINK_RE = re.compile(FEED_LINK_PATTERN)
@@ -85,9 +88,19 @@ _META_PUBLISHED_RE = re.compile(
 )
 
 
+_COLLAPSE_WS_RE = re.compile(r"[ \t\n\r\f\x0b]+")
+
+
 def collapse_ws(s: str) -> str:
-    """The reference whitespace-collapse contract (scraper.py:239-247)."""
-    return " ".join(s.split())
+    """The reference whitespace-collapse contract (scraper.py:239-247).
+
+    The class is the EXPLICIT ASCII set ``[ \\t\\n\\r\\f\\x0b]`` — the
+    same pin as the canonicalizer (functions/canonical._WS_CLASS):
+    Python's ``str.split()`` is Unicode-wide while the Spark (Java) and
+    DuckDB (RE2) ``\\s`` twins are ASCII and disagree with each other on
+    ``\\x0b``, so an implicit class would collapse NBSP-bearing titles
+    differently per engine."""
+    return " ".join(t for t in _COLLAPSE_WS_RE.split(s) if t)
 
 
 def _strip_tags(fragment: str) -> str:
@@ -174,7 +187,7 @@ def parse_feed(html_text: str) -> list[dict]:
         entries.append(
             {
                 "title": collapse_ws(_TAG_RE.sub(" ", tm.group(1))) if tm else "",
-                "link": lm.group(1).strip(),
+                "link": lm.group(1).strip(" \t\n\r\f\x0b"),
                 "published": collapse_ws(pm.group(1)) if pm else None,
             }
         )

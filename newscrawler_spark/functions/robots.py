@@ -37,7 +37,6 @@ def parse_robots(body: str) -> dict:
     rules: list[tuple[str, bool]] = []
     delay: float | None = None
     applies = False
-    saw_any_group = False
     for line in body.splitlines():
         line = line.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -47,7 +46,6 @@ def parse_robots(body: str) -> dict:
         val = val.strip()
         if key == "user-agent":
             applies = val == "*"
-            saw_any_group = saw_any_group or applies
             continue
         if not applies:
             continue

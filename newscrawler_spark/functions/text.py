@@ -23,7 +23,9 @@ ES_STOPWORDS = ("el", "la", "de", "que", "y", "los", "un")
 DE_STOPWORDS = ("der", "die", "das", "und", "ist", "ein", "zu")
 
 # BPE-ish token pattern: letter runs, digit runs, single punctuation.
-BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# explicit ASCII whitespace class (the collapse_ws tri-engine pin):
+# Java \s and the DuckDB oracle's RE2 \s disagree on \x0b
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0b]"
 
 
 def _stopword_hits(text: Column, words: tuple[str, ...]) -> Column:
@@ -34,7 +36,11 @@ def _stopword_hits(text: Column, words: tuple[str, ...]) -> Column:
 def ws_token_count(text: Column) -> Column:
     """Whitespace token count (0 for empty/blank text)."""
     t = F.trim(text)
-    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    # explicit ASCII class: Java \s has \x0b, the DuckDB oracle's RE2
+    # \s does not (the collapse_ws tri-engine pin)
+    return F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, r"[ \t\n\r\f\x0b]+"))
+    )
 
 
 def bpe_token_count(text: Column) -> Column:
@@ -99,4 +105,6 @@ def topics(text: Column) -> Column:
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the lowercased,
     whitespace-collapsed text (the normalize-then-hash contract)."""
-    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+    return F.md5(
+        F.regexp_replace(F.lower(F.trim(text)), r"[ \t\n\r\f\x0b]+", " ")
+    )

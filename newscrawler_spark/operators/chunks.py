@@ -147,7 +147,7 @@ def chunk_scores_kernel(
         "doc_id",
         "chunk_id",
         F.length("chunk").alias("chunk_len"),
-        F.explode(F.split(F.lower("chunk"), r"\s+")).alias("tok"),
+        F.explode(F.split(F.lower("chunk"), r"[ \t\n\r\f\x0b]+")).alias("tok"),
     ).filter(F.col("tok") != "")
     h = tok.select(
         "doc_id",

@@ -52,7 +52,7 @@ def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
         )
     )
     return df.select(
-        "doc_id", F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_tk")
+        "doc_id", F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\n\r\f\x0b]+").alias("_tk")
     ).select("doc_id", F.explode(shingles).alias("shingle"))
 
 
@@ -272,7 +272,7 @@ def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     tok = df.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\n\r\f\x0b]+")).alias("token"),
     ).filter(F.col("token") != "")
     h16 = F.conv(F.substring(F.md5("token"), 1, 4), 16, 10).cast("int")
     tok = tok.withColumn("h", h16)

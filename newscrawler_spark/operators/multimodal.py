@@ -96,7 +96,9 @@ def feature_extract_map_in_pandas(it: Iterator[pd.DataFrame]) -> Iterator[pd.Dat
             rows["n_bytes"].append(int(buf.size))
             rows["byte_sum"].append(int(buf.sum()))
             rows["byte_mean"].append(round(float(buf.mean()) if buf.size else 0.0, 4))
-            rows["byte_entropy"].append(round(float(-(nz * np.log2(nz)).sum()), 4))
+            # + 0.0 normalizes IEEE -0.0 (empty / single-bin payloads
+            # negate a 0.0 sum) — '-0.0' and '0.0' hash differently
+            rows["byte_entropy"].append(round(float(-(nz * np.log2(nz)).sum()) + 0.0, 4))
             rows["histogram"].append([int(x) for x in hist])
         yield pd.DataFrame(rows)
 

@@ -149,7 +149,9 @@ def evaluate_responses(
     ]
     citation_count = sum(cited[1:], cited[0])
     words = lambda c: F.array_distinct(  # noqa: E731
-        F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != F.lit(""))
+        F.filter(
+        F.split(F.lower(c), r"[ \t\n\r\f\x0b]+"), lambda t: t != F.lit("")
+    )
     )
     rw, tw = words(resp), words(truth)
     inter = F.size(F.array_intersect(rw, tw))

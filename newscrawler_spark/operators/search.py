@@ -37,22 +37,39 @@ def title_expr(text_col: str = "text"):
     return F.substring(F.col(text_col), 1, TITLE_LEN)
 
 
-def keyword_hits(terms: list[str], *cols: str):
-    """Σ over terms of whole-word hit counts across the given columns —
-    the ts_rank stand-in (monotone in term frequency, deterministic,
-    identical in DuckDB).
+def term_pattern(term: str) -> str:
+    """The frozen whole-word regex for one search term, shared by the
+    engine and any SQL oracle.
 
     Terms are regex-ESCAPED (a raw "c++" is a PatternSyntaxException,
     "a.b" would match 'aXb') and lowercased to match the lowercased
-    haystack (an unlowered "Spark" would never hit)."""
+    haystack.  ``\\b`` is attached PER EDGE, only where the term's edge
+    character is a word character: an unconditional ``\\b...\\b`` makes
+    any term that starts or ends with a non-word char (e.g. "c++")
+    unmatchable — ``\\b`` after '+' demands a word char where the next
+    char is a space.  Conditional boundaries keep "c++" matchable while
+    "ai" still refuses to hit inside "chair"; both Java and RE2 (the
+    DuckDB engine) support ``\\b``, so the pattern is oracle-portable
+    (lookarounds are not — RE2 has none)."""
     import re
 
+    t = term.lower()
+    left = r"\b" if (t[:1].isalnum() or t[:1] == "_") else ""
+    right = r"\b" if (t[-1:].isalnum() or t[-1:] == "_") else ""
+    return f"{left}{re.escape(t)}{right}"
+
+
+def keyword_hits(terms: list[str], *cols: str):
+    """Σ over terms of whole-word hit counts across the given columns —
+    the ts_rank stand-in (monotone in term frequency, deterministic,
+    identical in DuckDB via :func:`term_pattern`)."""
     total = F.lit(0)
     for c in cols:
         for t in terms:
-            pat = rf"\b{re.escape(t.lower())}\b"
             total = total + F.size(
-                F.regexp_extract_all(F.lower(F.col(c)), F.lit(pat), F.lit(0))
+                F.regexp_extract_all(
+                    F.lower(F.col(c)), F.lit(term_pattern(t)), F.lit(0)
+                )
             )
     return total
 
@@ -71,8 +88,12 @@ def text_search(
     recency surrogate of this table) with the pre-slice total_count on
     every row, exactly the paginated-response shape of the reference.
     """
-    hay = F.lower(F.concat_ws(" ", title_expr(), F.col("text")))
-    hit = docs.filter(hay.contains(term.lower()))
+    # title OR content, matched SEPARATELY (the reference's `title ILIKE
+    # OR content ILIKE`): a single concatenated haystack would invent
+    # matches spanning the concat seam for multi-word terms.  Since the
+    # title surrogate is a PREFIX of text, title-only hits cannot exist
+    # and the text side alone is the exact disjunction.
+    hit = docs.filter(F.lower(F.col("text")).contains(term.lower()))
     if source is not None:
         hit = hit.filter(F.col("source") == source)
     if lang is not None:
@@ -112,19 +133,30 @@ def hybrid_search(
     """
     qlit = _array_lit(query_vec)
     qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    if qnorm == 0.0:
+        # a zero query vector would NULL every cosine (0-division) and
+        # silently rank all rows by doc_id; fail loudly at plan time
+        raise ValueError("hybrid_search: query_vec has zero norm")
     joined = docs.join(
         embeddings.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
     )
-    kw = keyword_hits(terms, "text")
-    cos = F.expr(_dot_expr("embedding", qlit)) / (
-        F.expr(_norm_expr("embedding")) * F.lit(qnorm)
-    )
+    # materialize kw_hits ONCE: Catalyst does not eliminate common
+    # subexpressions across the Filter/Project boundary, so inlining the
+    # expression tree in the filter, the projection AND the score would
+    # run every per-term regex scan up to 3× per row
+    joined = joined.withColumn("kw_hits", keyword_hits(terms, "text"))
+    enorm = F.expr(_norm_expr("embedding"))
+    # zero-norm stored embeddings score 0 on the semantic leg instead of
+    # emitting NULL (which would sort last with no signal)
+    cos = F.when(
+        enorm != 0.0, F.expr(_dot_expr("embedding", qlit)) / (enorm * F.lit(qnorm))
+    ).otherwise(F.lit(0.0))
     score = F.round(
         F.lit(semantic_weight) * cos
-        + F.lit(1.0 - semantic_weight) * F.least(kw / 10.0, F.lit(1.0)),
+        + F.lit(1.0 - semantic_weight) * F.least(F.col("kw_hits") / 10.0, F.lit(1.0)),
         4,
     )
-    out = joined.filter(kw > 0)
+    out = joined.filter(F.col("kw_hits") > 0)
     if topic is not None:
         out = out.filter(F.array_contains(topics(F.col("text")), topic))
     if min_relevance is not None:
@@ -133,7 +165,7 @@ def hybrid_search(
         out.select(
             "doc_id",
             title_expr().alias("title"),
-            kw.alias("kw_hits"),
+            "kw_hits",
             score.alias("score"),
         )
         .orderBy(F.desc("score"), "doc_id")

@@ -147,10 +147,10 @@ WITH pagemeta AS (
 ),
 ext AS (
   SELECT cu, host,
-    COALESCE(trim(regexp_replace(regexp_replace(regexp_extract(body, '(?is)<title[^>]*>(.*?)</title\s*>', 1), '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')), '') AS title,
+    COALESCE(trim(regexp_replace(regexp_replace(regexp_extract(body, '(?is)<title[^>]*>(.*?)</title\s*>', 1), '<[^>]+>', ' ', 'g'), '[ \t\n\r\f\x0b]+', ' ', 'g')), '') AS title,
     COALESCE(trim(regexp_replace(array_to_string(list_transform(
         regexp_extract_all(body, '(?is)<p\b[^>]*>(.*?)</p\s*>', 1),
-        x -> regexp_replace(x, '<[^>]+>', ' ', 'g')), ' '), '\s+', ' ', 'g')), '') AS text,
+        x -> regexp_replace(x, '<[^>]+>', ' ', 'g')), ' '), '[ \t\n\r\f\x0b]+', ' ', 'g')), '') AS text,
     len(regexp_extract_all(raw, '(?i)<meta\b[^>]*?\bname\s*=\s*["'']author["''][^>]*?\bcontent\s*=\s*["'']([^"''>]*)["'']', 1)) AS n_authors,
     regexp_matches(raw, '(?i)<meta\b[^>]*?\bproperty\s*=\s*["'']article:published_time["''][^>]*?\bcontent\s*=\s*["'']([^"''>]*)["'']') AS has_published
   FROM pagemeta
@@ -171,7 +171,7 @@ hx AS (
     SELECT cu, scheme, host,
       list_concat(
         regexp_extract_all(body, '(?i)<a\b[^>]*?\bhref\s*=\s*["'']([^"''>]+)["'']', 1),
-        list_slice(regexp_extract_all(body, '(?i)<link>\s*(https?://[^<\s]+)\s*</link>', 1), 1, 20)
+        list_slice(regexp_extract_all(body, '(?i)<link>[ \t\n\r\f\x0b]*(https?://[^< \t\n\r\f\x0b]+)[ \t\n\r\f\x0b]*</link>', 1), 1, 20)
       ) AS hrefs
     FROM pagemeta) hr
 ),

@@ -59,10 +59,14 @@ def feed_entries(
     )
     link = F.regexp_extract("block", FEED_LINK_PATTERN, 1)
     title_raw = F.regexp_extract("block", FEED_TITLE_PATTERN, 1)
-    title = F.trim(F.regexp_replace(F.regexp_replace(title_raw, r"<[^>]+>", " "), r"\s+", " "))
+    # explicit ASCII whitespace class — the collapse_ws tri-engine pin
+    # (functions/extract.collapse_ws): Java \s would also eat \x0b while
+    # the DuckDB oracle's RE2 \s would not, and neither matches NBSP
+    ws = r"[ \t\n\r\f\x0b]+"
+    title = F.trim(F.regexp_replace(F.regexp_replace(title_raw, r"<[^>]+>", " "), ws, " "))
     published = F.when(
         F.col("block").rlike(FEED_PUBDATE_PATTERN),
-        F.trim(F.regexp_replace(F.regexp_extract("block", FEED_PUBDATE_PATTERN, 1), r"\s+", " ")),
+        F.trim(F.regexp_replace(F.regexp_extract("block", FEED_PUBDATE_PATTERN, 1), ws, " ")),
     )
     kept = e.filter(link != "").select(
         "feed_url",

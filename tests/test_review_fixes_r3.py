@@ -264,3 +264,124 @@ def test_zipf_counts_clamped_when_hosts_exceed_pages(tmp_path):
     # the pathological shape must also generate end-to-end
     paths = generate_corpus(str(tmp_path / "tiny"), n_pages=10, n_hosts=20, seed=3)
     assert os.path.exists(paths["pages"])
+
+
+# ---------------------------------------------------------------------------
+# Search fixes: non-word-edged terms, concat-seam false positives,
+# zero-norm guards
+# ---------------------------------------------------------------------------
+
+
+def test_keyword_hits_non_word_edge_terms(spark):
+    from pyspark.sql import functions as F
+
+    from newscrawler_spark.operators.search import keyword_hits, term_pattern
+
+    df = spark.createDataFrame(
+        [(1, "we use c++ here and c++ there"), (2, "the chair is plain"), (3, "ai wins")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", keyword_hits(["c++"], "text").alias("n")).collect()}
+    assert rows == {1: 2, 2: 0, 3: 0}
+    rows = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", keyword_hits(["ai"], "text").alias("n")).collect()}
+    assert rows == {1: 0, 2: 0, 3: 1}  # no hit inside "chair"
+    # the pattern is the shared engine/oracle contract — DuckDB agrees
+    import duckdb
+
+    for term, hay, want in [("c++", "we use c++ here and c++ there", 2), ("ai", "the chair", 0)]:
+        got = duckdb.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [hay, term_pattern(term)]
+        ).fetchone()[0]
+        assert got == want, (term, hay)
+
+
+def test_text_search_no_concat_seam_false_positive(spark):
+    from newscrawler_spark.operators.search import text_search
+
+    # doc text crafted so title-tail + ' ' + text-head would contain the
+    # term if the haystack were the old concatenation
+    text = "x" * 55 + "engin" + " more words follow here"
+    docs = spark.createDataFrame(
+        [(1, text, "s", "en")], "doc_id long, text string, source string, lang string"
+    )
+    # title = text[:60] ends with 'engin'; text starts 'xxxx...' — the
+    # term 'engin x' spans the seam of title||' '||text ONLY
+    out = text_search(docs, term="engin x", page=1, size=10)
+    assert out.count() == 0
+
+
+def test_hybrid_search_zero_query_vec_raises(spark):
+    import pytest as _pytest
+
+    from newscrawler_spark.operators.search import hybrid_search
+
+    docs = spark.createDataFrame([(1, "stream data")], "doc_id long, text string")
+    embs = spark.createDataFrame(
+        [(1, [0.1] * 4)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError):
+        hybrid_search(docs, embs, [0.0] * 4, terms=["stream"])
+
+
+def test_hybrid_search_zero_norm_embedding_scores_keyword_only(spark):
+    from newscrawler_spark.operators.search import hybrid_search
+
+    docs = spark.createDataFrame(
+        [(1, "stream data"), (2, "stream flow")], "doc_id long, text string"
+    )
+    embs = spark.createDataFrame(
+        [(1, [0.0] * 4), (2, [0.5] * 4)], "vec_id long, embedding array<float>"
+    )
+    rows = {r["doc_id"]: r["score"] for r in hybrid_search(
+        docs, embs, [0.5] * 4, terms=["stream"], semantic_weight=0.6, k=10
+    ).collect()}
+    assert rows[1] is not None and abs(rows[1] - 0.04) < 1e-9  # 0.4·(1/10)
+    assert rows[2] is not None and rows[2] > rows[1]  # cosine 1 + kw
+
+
+# ---------------------------------------------------------------------------
+# Whitespace-class pins: collapse_ws / canonical / embed tokenization
+# treat ONLY [ \t\n\r\f\x0b] as whitespace, identically in all engines
+# ---------------------------------------------------------------------------
+
+
+def test_collapse_ws_ascii_class_only():
+    from newscrawler_spark.functions.extract import collapse_ws
+
+    assert collapse_ws("a \t\n b") == "a b"
+    assert collapse_ws("\x0b a \f ") == "a"
+    # NBSP is NOT whitespace under the pinned class (Java/RE2 agree)
+    assert collapse_ws("a\xa0b") == "a\xa0b"
+
+
+def test_embed_text_null_and_nbsp_tokens(spark):
+    from newscrawler_spark.functions.embed import embed_text
+
+    assert embed_text(None) == embed_text("")
+    # NBSP does not split tokens (matches the kernel/oracle class)
+    assert embed_text("a\xa0b") != embed_text("a b")
+
+
+def test_feeds_nbsp_title_engine_matches_python(spark):
+    """A feed title with an NBSP must come out identically from the
+    Spark expression path and the frozen Python parse_feed twin."""
+    from newscrawler_spark.functions.extract import parse_feed
+    from newscrawler_spark.sources.feeds import feed_entries
+
+    xml = (
+        '<rss version="2.0"><channel><title>t</title>\n'
+        "<item><title>Breaking\xa0News  now</title><link>https://h.test/a</link>"
+        "<pubDate>Mon, 01 Jan 2024 00:00:00 +0000</pubDate></item>\n"
+        "</channel></rss>"
+    )
+    want = parse_feed(xml)
+    df = spark.createDataFrame(
+        [("https://h.test/feed.xml", xml.encode())], "page_url string, html binary"
+    )
+    got = feed_entries(df, url_col="page_url", html_col="html").collect()
+    assert len(got) == len(want) == 1
+    assert got[0]["title"] == want[0]["title"]
+    assert got[0]["link"] == want[0]["link"]
+    assert got[0]["published"] == want[0]["published"]
