@@ -1080,20 +1080,46 @@ def _embed_bucket_vec(docs: DataFrame) -> DataFrame:
     )
 
 
-SQL_TEXT_EMBED_BUCKETS = r"""
-WITH tok AS (
+# THE single DuckDB copy of the embedding-kernel scalar contract
+# (mirrors _embed_bucket_vec / functions.embed): md5 hex slices 1-8 →
+# bucket mod 64, slice 9-10 parity → ±1 sign.  Every kernel-bearing
+# oracle (text_embed_buckets, embed_missing, chunk_ann, rag_context)
+# interpolates these fragments — editing a slice offset in one place
+# updates every gate, the same single-copy rule as _embed_bucket_vec
+# on the Spark side.
+_SQL_KBUCKET = (
+    "CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT) % 64 AS BIGINT)"
+)
+_SQL_KSIGN = (
+    "CASE WHEN CAST(('0x' || substring(md5(tok), 9, 2)) AS INT) % 2 = 1 "
+    "THEN 1 ELSE -1 END"
+)
+# 4dp-quantized query vector + its norm (the integer-exact probe side)
+_SQL_KQUERY = """q AS (
+  SELECT CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS qv,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS bucket
+  FROM embeddings WHERE vec_id = 0),
+qn AS (SELECT CAST(sum(qv * qv) AS DOUBLE) AS qq FROM q)"""
+
+
+def _sql_embed_kernel(src: str) -> str:
+    """tok→h→pb→vec CTE chain of the doc-level kernel over relation
+    ``src`` (needs doc_id, text) — shared by text_embed_buckets and
+    embed_missing."""
+    return rf"""tok AS (
   SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0b]+')) AS tok
-  FROM documents),
+  FROM {src}),
 h AS (
-  SELECT doc_id,
-         CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT) % 64 AS bucket,
-         CASE WHEN CAST(('0x' || substring(md5(tok), 9, 2)) AS INT) % 2 = 1
-              THEN 1 ELSE -1 END AS sign
+  SELECT doc_id, {_SQL_KBUCKET} AS bucket, {_SQL_KSIGN} AS sign
   FROM tok WHERE tok <> ''),
 pb AS (SELECT doc_id, bucket, sum(sign) AS cnt FROM h GROUP BY 1, 2),
 vec AS (
   SELECT doc_id, map_from_entries(list(struct_pack(k := bucket, v := cnt))) AS m
-  FROM pb GROUP BY doc_id)
+  FROM pb GROUP BY doc_id)"""
+
+
+SQL_TEXT_EMBED_BUCKETS = f"""
+WITH {_sql_embed_kernel("documents")}
 SELECT d.doc_id,
        array_to_string(list_transform(range(64),
          b -> COALESCE(m[b][1], 0)::VARCHAR), ',') AS raw_vec
@@ -1118,23 +1144,12 @@ def q_embed_missing(spark, sf_dir):
     return _embed_bucket_vec(docs)
 
 
-SQL_EMBED_MISSING = r"""
+SQL_EMBED_MISSING = f"""
 WITH d AS (
   SELECT doc_id, text FROM documents
   WHERE NOT EXISTS (SELECT 1 FROM embeddings e
                     WHERE e.vec_id = documents.doc_id AND e.vec_id % 7 <> 3)),
-tok AS (
-  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0b]+')) AS tok FROM d),
-h AS (
-  SELECT doc_id,
-         CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT) % 64 AS bucket,
-         CASE WHEN CAST(('0x' || substring(md5(tok), 9, 2)) AS INT) % 2 = 1
-              THEN 1 ELSE -1 END AS sign
-  FROM tok WHERE tok <> ''),
-pb AS (SELECT doc_id, bucket, sum(sign) AS cnt FROM h GROUP BY 1, 2),
-vec AS (
-  SELECT doc_id, map_from_entries(list(struct_pack(k := bucket, v := cnt))) AS m
-  FROM pb GROUP BY doc_id)
+{_sql_embed_kernel("d")}
 SELECT d.doc_id,
        array_to_string(list_transform(range(64),
          b -> COALESCE(m[b][1], 0)::VARCHAR), ',') AS raw_vec
@@ -1293,7 +1308,7 @@ def q_chunk_ann(spark, sf_dir):
     return doc_topk_kernel(docs, _query_vec(spark, sf_dir), k=10)
 
 
-SQL_CHUNK_ANN = r"""
+SQL_CHUNK_ANN = f"""
 WITH ch AS (
   SELECT doc_id,
          CAST(unnest(generate_series(0, greatest(length(text) - 201, 0), 800)) AS INT) AS chunk_start,
@@ -1301,20 +1316,13 @@ WITH ch AS (
   FROM documents),
 tok AS (
   SELECT doc_id, chunk_start,
-         unnest(regexp_split_to_array(lower(substring(text, chunk_start + 1, 1000)), '[ \t\n\r\f\x0b]+')) AS tok
+         unnest(regexp_split_to_array(lower(substring(text, chunk_start + 1, 1000)), '[ \\t\\n\\r\\f\\x0b]+')) AS tok
   FROM ch),
 h AS (
-  SELECT doc_id, chunk_start,
-         CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT) % 64 AS BIGINT) AS bucket,
-         CASE WHEN CAST(('0x' || substring(md5(tok), 9, 2)) AS INT) % 2 = 1
-              THEN 1 ELSE -1 END AS sign
+  SELECT doc_id, chunk_start, {_SQL_KBUCKET} AS bucket, {_SQL_KSIGN} AS sign
   FROM tok WHERE tok <> ''),
 pb AS (SELECT doc_id, chunk_start, bucket, sum(sign) AS cnt FROM h GROUP BY 1, 2, 3),
-q AS (
-  SELECT CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS qv,
-         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS bucket
-  FROM embeddings WHERE vec_id = 0),
-qn AS (SELECT CAST(sum(qv * qv) AS DOUBLE) AS qq FROM q),
+{_SQL_KQUERY},
 sc AS (
   SELECT pb.doc_id, pb.chunk_start,
          CAST(sum(CAST(pb.cnt AS BIGINT) * q.qv) AS DOUBLE) AS dot,
@@ -1340,7 +1348,7 @@ def q_rag_context(spark, sf_dir):
     return assemble_context_kernel(docs, _query_vec(spark, sf_dir), k_docs=10, max_tokens=2000)
 
 
-SQL_RAG_CONTEXT = r"""
+SQL_RAG_CONTEXT = f"""
 WITH ch AS (
   SELECT doc_id,
          CAST(unnest(generate_series(0, greatest(length(text) - 201, 0), 800)) AS INT) AS chunk_start,
@@ -1354,20 +1362,13 @@ cl AS (
   FROM ch),
 tok AS (
   SELECT doc_id, chunk_id, chunk_len,
-         unnest(regexp_split_to_array(lower(chunk), '[ \t\n\r\f\x0b]+')) AS tok
+         unnest(regexp_split_to_array(lower(chunk), '[ \\t\\n\\r\\f\\x0b]+')) AS tok
   FROM cl),
 h AS (
-  SELECT doc_id, chunk_id, chunk_len,
-         CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT) % 64 AS BIGINT) AS bucket,
-         CASE WHEN CAST(('0x' || substring(md5(tok), 9, 2)) AS INT) % 2 = 1
-              THEN 1 ELSE -1 END AS sign
+  SELECT doc_id, chunk_id, chunk_len, {_SQL_KBUCKET} AS bucket, {_SQL_KSIGN} AS sign
   FROM tok WHERE tok <> ''),
 pb AS (SELECT doc_id, chunk_id, chunk_len, bucket, sum(sign) AS cnt FROM h GROUP BY 1, 2, 3, 4),
-q AS (
-  SELECT CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS qv,
-         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS bucket
-  FROM embeddings WHERE vec_id = 0),
-qn AS (SELECT CAST(sum(qv * qv) AS DOUBLE) AS qq FROM q),
+{_SQL_KQUERY},
 sc AS (
   SELECT pb.doc_id, pb.chunk_id, pb.chunk_len,
          CAST(sum(CAST(pb.cnt AS BIGINT) * q.qv) AS DOUBLE) AS dot,
@@ -2115,6 +2116,23 @@ _GATE_CORPUS_ARGS = dict(n_pages=1500, n_hosts=12, seed=42)
 _GATE_CRAWL_ARGS = dict(max_rounds=3, round_budget=8, n_salts=4)
 
 
+def _crawl_base(sf_dir: str) -> str:
+    """Persistent crawl-store dir, keyed by sf_dir AND the gate
+    corpus/crawl parameters: resume=True would happily serve a stale
+    store's committed rounds after an edit to _GATE_CRAWL_ARGS /
+    _GATE_CORPUS_ARGS while the DuckDB oracle replays the NEW spec —
+    a spurious gate FAIL on correct code.  Baking the args into the
+    path makes a spec change mint a fresh store (same idea as the
+    streaming stage ids, which encode window/watermark)."""
+    import hashlib
+
+    spec = repr((sorted(_GATE_CORPUS_ARGS.items()), sorted(_GATE_CRAWL_ARGS.items())))
+    tag = hashlib.md5(spec.encode()).hexdigest()[:8]
+    return os.path.join(
+        tempfile.gettempdir(), f"nc_crawl_{_stable_id(sf_dir)}_{tag}"
+    )
+
+
 def _crawl_store(spark, sf_dir):
     from newscrawler_spark.crawler import CrawlConfig, FrontierCrawler
     from newscrawler_spark.plans.storage import RoundStore
@@ -2122,7 +2140,7 @@ def _crawl_store(spark, sf_dir):
 
     if sf_dir in _CRAWL_CACHE:
         return _CRAWL_CACHE[sf_dir]
-    base = os.path.join(tempfile.gettempdir(), f"nc_crawl_{_stable_id(sf_dir)}")
+    base = _crawl_base(sf_dir)
     paths = generate_corpus(os.path.join(base, "corpus"), **_GATE_CORPUS_ARGS)
     store = RoundStore(os.path.join(base, "store"))
     cfg = CrawlConfig(**_GATE_CRAWL_ARGS)
@@ -2219,6 +2237,10 @@ def _corpus_oracle_sql() -> dict[str, str]:
     the sf dir differently."""
     from newscrawler_spark.crawler import CrawlConfig
     from newscrawler_spark.functions.extract import (
+        FEED_BLOCK_PATTERN,
+        FEED_LINK_PATTERN,
+        FEED_PUBDATE_PATTERN,
+        FEED_TITLE_PATTERN,
         MAX_FEED_ENTRIES,
         SPA_MAX_TEXT_RATIO,
         SPA_MIN_SCRIPTS,
@@ -2226,7 +2248,7 @@ def _corpus_oracle_sql() -> dict[str, str]:
     from newscrawler_spark.oracle_sql import crawl_articles_sql, crawl_order_sql
     from newscrawler_spark.sources.corpus import generate_corpus
 
-    base = os.path.join(tempfile.gettempdir(), f"nc_crawl_{_stable_id(_GATE_SF_DIR)}")
+    base = _crawl_base(_GATE_SF_DIR)
     p = generate_corpus(os.path.join(base, "corpus"), **_GATE_CORPUS_ARGS)
     crawl_cfg = CrawlConfig(**_GATE_CRAWL_ARGS)  # same single definition as _crawl_store
 
@@ -2246,7 +2268,7 @@ WITH feeds AS (
 ),
 b AS (
   SELECT feed_url,
-         list_slice(regexp_extract_all(h, '(?is)<item\b[^>]*>(.*?)</item\s*>', 1),
+         list_slice(regexp_extract_all(h, '{FEED_BLOCK_PATTERN}', 1),
                     1, {MAX_FEED_ENTRIES}) AS blocks
   FROM feeds
 ),
@@ -2256,10 +2278,10 @@ e AS (
 ),
 x AS (
   SELECT feed_url, bno,
-    regexp_extract(block, '(?is)<link>[ \t\n\r\f\x0b]*(https?://[^< \t\n\r\f\x0b]+)[ \t\n\r\f\x0b]*</link>', 1) AS link0,
-    regexp_extract(block, '(?is)<title[^>]*>(.*?)</title\s*>', 1) AS title0,
-    CASE WHEN regexp_matches(block, '(?is)<pubdate[^>]*>(.*?)</pubdate\s*>')
-         THEN trim(regexp_replace(regexp_extract(block, '(?is)<pubdate[^>]*>(.*?)</pubdate\s*>', 1),
+    regexp_extract(block, '{FEED_LINK_PATTERN}', 1) AS link0,
+    regexp_extract(block, '{FEED_TITLE_PATTERN}', 1) AS title0,
+    CASE WHEN regexp_matches(block, '{FEED_PUBDATE_PATTERN}')
+         THEN trim(regexp_replace(regexp_extract(block, '{FEED_PUBDATE_PATTERN}', 1),
                                   '[ \t\n\r\f\x0b]+', ' ', 'g'))
     END AS published
   FROM e

@@ -32,10 +32,18 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif df[c].dtype == object:
             import numpy as np
 
+            # unwrap numpy scalars element-wise: under numpy>=2 the str
+            # repr of np.float64 inside a tuple ('(np.float64(0.5),)')
+            # differs from a python float's ('(0.5,)'), so a Spark list
+            # column vs a DuckDB ndarray column would string-compare
+            # unequal even with identical values
+            def _plain(x):
+                return x.item() if isinstance(x, np.generic) else x
+
             df[c] = df[c].apply(
-                lambda v: tuple(v)
+                lambda v: tuple(_plain(x) for x in v)
                 if isinstance(v, (list, tuple, np.ndarray))
-                else v
+                else _plain(v)
             )
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
@@ -94,6 +102,12 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            # a typo'd filter must not report "0 fail" success after
+            # checking nothing
+            sys.exit(f"unknown query name(s): {sorted(unknown)}")
     n_pass = n_fail = n_rows_only = 0
     timings: list[tuple[str, float, float]] = []
     import time
@@ -111,7 +125,8 @@ def main():
             continue
         t_spark = time.time() - t0
         if name not in oracles:
-            ok = len(sdf) >= 0
+            # rows-only by design: the driver records a weaker
+            # rows/schema check; no value comparison is possible
             timings.append((name, t_spark, 0.0))
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{t_spark:.1f}s]")
             n_rows_only += 1

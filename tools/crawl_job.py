@@ -130,9 +130,10 @@ def main() -> None:
         "CRAWL_RESULT "
         + json.dumps(
             {
-                "urls": totals["seq"],
+                "urls": totals["fetched"],
+                "urls_admitted": totals["seq"],
                 "secs": round(wall, 2),
-                "urls_per_sec": round(totals["seq"] / wall, 1),
+                "urls_per_sec": round(totals["fetched"] / wall, 1),
                 "round_secs": per_round,
                 "init_secs": init_secs,
                 "executors": spark.sparkContext.defaultParallelism,

@@ -243,8 +243,9 @@ def run_local_child(cores: int, pages: str, seeds: str, tag: str, n_pages: int =
     totals = crawler.run(resume=True)
     wall = _t.time() - t0
     print("LOCAL_RESULT " + json.dumps(
-        {"cores": cores, "urls": totals["seq"], "secs": round(wall, 2),
-         "urls_per_sec": round(totals["seq"] / wall, 1)}), flush=True)
+        {"cores": cores, "urls": totals["fetched"], "urls_admitted": totals["seq"],
+         "secs": round(wall, 2),
+         "urls_per_sec": round(totals["fetched"] / wall, 1)}), flush=True)
     spark.stop()
 
 
@@ -289,6 +290,16 @@ def main() -> None:
         run_local_child(args._child, args.pages_path, args.seeds_path, args.tag, args.n_pages)
         return
 
+    # cheap cache/flag validation BEFORE the (minutes-long) corpus
+    # generation: a bad --skip-local invocation must fail fast, not
+    # after building a 1M-page corpus it will never use
+    results_path = os.path.join(REPO, "BENCH", "local_results.json")
+    if args.skip_local and not os.path.exists(results_path):
+        sys.exit(
+            f"--skip-local: no cached local results at {results_path}; "
+            "run once without --skip-local first"
+        )
+
     from newscrawler_spark.sources.corpus import generate_corpus
 
     corpus = generate_corpus(
@@ -299,13 +310,7 @@ def main() -> None:
 
     # --- primary: N vs 4N cores in the host's linear window, interleaved
     local = {1: [], 4: []}
-    results_path = os.path.join(REPO, "BENCH", "local_results.json")
     if args.skip_local:
-        if not os.path.exists(results_path):
-            sys.exit(
-                f"--skip-local: no cached local results at {results_path}; "
-                "run once without --skip-local first"
-            )
         with open(results_path) as f:
             saved = json.load(f)
         if "results" not in saved:  # legacy flat format: no metadata to validate
