@@ -31,7 +31,14 @@ from .sources.corpus import robots_body_of
 def crawl_oracle(pages_path: str, seeds_path: str, config: CrawlConfig = CrawlConfig()):
     """Run the reference crawl; returns dict with order/seen/articles."""
     pages_tbl = pq.read_table(pages_path, columns=["url", "html"]).to_pylist()
-    web = {canonicalize_url(r["url"]): bytes(r["html"]) for r in pages_tbl}
+    # skip rows whose URL canonicalizes to None (non-http(s)/malformed)
+    # — the engine's with_canonical filter does the same; a None key
+    # here would crash the robots scan on None.split
+    web = {}
+    for r in pages_tbl:
+        cu = canonicalize_url(r["url"])
+        if cu is not None:
+            web[cu] = bytes(r["html"])
 
     robots: dict[str, dict] = {}
     robots_src: dict[str, str] = {}

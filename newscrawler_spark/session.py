@@ -32,9 +32,13 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
-        # local[N] → N; local[*] → machine cores
-        inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else "*"
-        shuffle_partitions = os.cpu_count() if inner == "*" else int(inner)
+        # local[N] → N; local[*] / local[N,maxFailures] /
+        # local-cluster[...] / non-local masters → machine cores (the
+        # inner token is only a thread count for the plain local[N] form)
+        import re as _re
+
+        m = _re.fullmatch(r"local\[(\d+)\]", master)
+        shuffle_partitions = int(m.group(1)) if m else os.cpu_count()
 
     builder = (
         SparkSession.builder.master(master)

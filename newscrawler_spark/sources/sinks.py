@@ -31,7 +31,13 @@ def write_articles_json(articles: DataFrame, path: str, partitions: int | None =
                     F.col("images"),
                 ).alias("metadata"),
                 F.col("quality_score"),
-            )
+            ),
+            # keep null fields in the output: the reference's serialized
+            # article dict (models/article.py:45-73) has a FIXED key set,
+            # and to_json's default ignoreNullFields would make the
+            # emitted schema vary per row (a null published_date or
+            # authors list drops the key entirely)
+            {"ignoreNullFields": "false"},
         ).alias("value")
     )
     if partitions is not None:

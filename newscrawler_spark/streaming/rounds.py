@@ -10,8 +10,9 @@ continuously-arriving frontiers:
   * ``windowed_event_counts`` — event-time tumbling window aggregation
     with a watermark for late data (T2/T4);
   * ``host_token_bucket_stream`` — ``applyInPandasWithState`` per-host
-    token bucket: admits up to ``budget`` URLs per host per trigger,
-    carrying the token count in state (T3).
+    token bucket: admits up to ``budget`` URLs per host ACROSS the
+    stream's lifetime, carrying the remaining token count in state (T3)
+    — the stateful shape; a per-trigger refill needs no state at all.
 """
 
 from __future__ import annotations
@@ -71,6 +72,13 @@ def _run_pinned(streaming_df: DataFrame, state_partitions: int, start_fn) -> Non
     State partitioning is frozen into the checkpoint at first start, so
     this must be set BEFORE ``start()``; size it to expected STATE
     volume (windows × keys), never to input volume.
+
+    NOT re-entrant: shuffle partitioning is session-global in Spark
+    (a streaming query cannot carry its own), so while the query runs
+    any batch job submitted concurrently on the SAME session plans its
+    shuffles at ``state_partitions`` wide.  Callers driving bounded
+    hermetic streams (tests, the oracle gate) run them to completion
+    before other work — do not start one concurrently with batch jobs.
     """
     spark = streaming_df.sparkSession
     old = spark.conf.get("spark.sql.shuffle.partitions")
@@ -127,14 +135,20 @@ def run_to_file_sink(
         .option("checkpointLocation", checkpoint_dir)
         .start(),
     )
-    try:
-        return spark.read.parquet(sink_dir)
-    except Exception:
-        # zero finalized windows (input span ≤ window + watermark): the
-        # sink dir holds only _spark_metadata and the read cannot infer
-        # a schema — the correct result is the empty relation the
-        # oracle's watermark cut also produces
+    import os
+
+    # zero finalized windows (input span ≤ window + watermark) leaves
+    # only _spark_metadata in the sink dir — the correct result is the
+    # empty relation the oracle's watermark cut also produces.  The
+    # check is explicit (no data files) rather than a bare except: a
+    # bare handler would convert a GENUINE read failure (corrupt part
+    # file, permissions) into a silently-empty result.
+    has_data = os.path.isdir(sink_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(sink_dir)
+    )
+    if not has_data:
         return spark.createDataFrame([], streaming_df.schema)
+    return spark.read.parquet(sink_dir)
 
 
 def dedup_stream(
@@ -191,16 +205,27 @@ def _token_bucket_fn(budget: int):
     ) -> Iterator[pd.DataFrame]:
         (host,) = key
         tokens = state.get[0] if state.exists else budget
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["priority", "url_hash"]).reset_index(drop=True)
-            admit = pdf.iloc[: max(tokens, 0)]
+        # Concatenate ALL of this trigger's chunks BEFORE sorting: the
+        # iterator yields one pandas frame per Arrow batch (maxRecordsPerBatch
+        # rows), and per-chunk sort+admit would consume tokens in
+        # nondeterministic post-shuffle chunk order — a priority-1 URL in
+        # chunk 2 losing to priority-3 URLs in chunk 1.  The admitted set
+        # must be the global (priority, url_hash) prefix of the whole
+        # host group, exactly like the batch politeness window.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            grp = (
+                pd.concat(chunks)
+                .sort_values(["priority", "url_hash"])
+                .reset_index(drop=True)
+            )
+            admit = grp.iloc[: max(tokens, 0)]
             tokens -= len(admit)
             if len(admit):
-                out.append(admit)
+                yield admit.assign(host=host)[
+                    ["host", "canon_url", "url_hash", "priority"]
+                ]
         state.update((tokens,))
-        if out:
-            yield pd.concat(out).assign(host=host)[["host", "canon_url", "url_hash", "priority"]]
 
     return fn
 

@@ -288,3 +288,52 @@ def test_neardup_lsh_empty_input(spark):
 
     emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert embedding_near_dup_pairs(emb, threshold=0.5).count() == 0
+
+
+def test_streaming_token_bucket_chunked_global_order(spark, tmp_path):
+    """Admission must be the GLOBAL (priority, url_hash) prefix of the
+    whole host group even when Arrow batching splits the group across
+    multiple pandas chunks — per-chunk sort+admit would let low-priority
+    rows from an earlier chunk steal tokens (and vary run to run with
+    post-shuffle chunk order)."""
+    import pandas as pd
+
+    from newscrawler_spark.streaming.rounds import host_token_bucket_stream
+
+    n = 50
+    pdf = pd.DataFrame(
+        {
+            "host": ["a.com"] * n,
+            "canon_url": [f"https://x/{i}" for i in range(n)],
+            "url_hash": list(range(n)),
+            # the 5 best (priority 1) rows sit at the END of the file so
+            # naive chunk-ordered admission would spend tokens before
+            # ever seeing them
+            "priority": [9] * (n - 5) + [1] * 5,
+        }
+    )
+    src = str(tmp_path / "frontier_chunked")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10")
+    try:
+        stream = spark.readStream.schema(
+            "host string, canon_url string, url_hash long, priority long"
+        ).parquet(src)
+        out = host_token_bucket_stream(stream, budget=5)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("bucket_chunked")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    res = spark.table("bucket_chunked").toPandas()
+    assert len(res) == 5
+    assert sorted(res["priority"]) == [1, 1, 1, 1, 1]
+    assert sorted(res["url_hash"]) == [45, 46, 47, 48, 49]

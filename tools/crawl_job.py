@@ -59,6 +59,11 @@ def main() -> None:
         "at 10^10-frontier scale",
     )
     args = ap.parse_args()
+    # the warmup trio travels together: a partial set would crash later
+    # with an opaque TypeError (rmtree(None)) / parquet(None)
+    warm = (args.warmup_pages, args.warmup_seeds, args.warmup_store)
+    if any(warm) and not all(warm):
+        ap.error("--warmup-pages, --warmup-seeds and --warmup-store must be given together")
 
     from pyspark.sql import SparkSession
 
