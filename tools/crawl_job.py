@@ -36,6 +36,14 @@ def main() -> None:
         "shape — per-bucket bitsets advanced/applied by executor tasks, "
         "no driver-assembled bitset",
     )
+    ap.add_argument(
+        "--seen-filter",
+        choices=["bloom", "cuckoo"],
+        default="bloom",
+        help="approximate seen-set structure: 'cuckoo' runs the "
+        "partitioned cuckoo-filter blobs (deletable; re-crawl policy) "
+        "through the same bucket-store protocol as the blooms",
+    )
     ap.add_argument("--warmup-pages")
     ap.add_argument("--warmup-seeds")
     ap.add_argument("--warmup-store")
@@ -106,6 +114,7 @@ def main() -> None:
         n_salts=8,
         bloom_expected=args.bloom_expected,
         bloom_buckets=args.bloom_buckets,
+        seen_filter=args.seen_filter,
         cache_pages=not args.bulk,          # bulk scans pages exactly once
         repartition_fetched=not args.bulk,  # bulk keeps the scan partitioning
         # Broadcasting the admitted KEYS (≈60 MB/10^6 urls) beats
