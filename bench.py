@@ -63,11 +63,15 @@ BENCH_QUERIES = [
     "streaming_windowed",
     # round-3 additions: scale-safe streaming sink + RAG surface
     "streaming_append",
+    "streaming_dedup",
     "a4_histogram",
+    "a4_percentiles",
     "rag_context",
     "rag_evaluate",
     "rag_summarize",
+    "rag_eval_metrics",
     "response_cache",
+    "response_cache_stats",
     "embed_missing",
 ]
 
@@ -202,12 +206,22 @@ def main() -> None:
         import __spark_entry__ as entrymod
 
         qmap = entrymod.queries()
+        # best of 2 per query, raw walls disclosed — the same protocol
+        # as the crawl leg: a single cold run bills one-off costs (first
+        # codegen of a plan shape, first read of a parquet footer, OS
+        # page-cache misses) that differ per VM boot by 2-3×, swamping
+        # the plan-level signal the numbers exist to track
+        query_runs: dict[str, list[float]] = {}
         for name in BENCH_QUERIES:
-            t0 = time.time()
-            _materialize(qmap[name](spark, sf_dir))
-            dt = round(time.time() - t0, 3)
-            queries[name] = dt
-            total += dt
+            walls = []
+            for _ in range(2):
+                t0 = time.time()
+                _materialize(qmap[name](spark, sf_dir))
+                walls.append(round(time.time() - t0, 3))
+            query_runs[name] = walls
+            queries[name] = min(walls)
+            total += min(walls)
+        out["query_runs"] = query_runs
 
     out.update(
         {
