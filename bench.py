@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "response_cache",
     "response_cache_stats",
     "embed_missing",
+    "text_quality_gopher",
+    "text_pii_scrub",
 ]
 
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))

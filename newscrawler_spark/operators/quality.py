@@ -1,0 +1,115 @@
+"""Training-corpus quality filters: Gopher-style repetition rules and
+PII scrubbing.
+
+The reference's cleaning stops at whitespace collapse + a weighted
+quality score (``/root/reference/src/scrapers/base_scraper.py:69-117``,
+covered by A7/F8); a corpus destined for LLM training additionally
+needs the Gopher/C4-family *repetition* heuristics (duplicate-word
+fraction, most-frequent-word fraction, word-count and word-length
+bounds — Rae et al. 2021, "Scaling Language Models: ... Gopher",
+table A1) and PII redaction.  Both are implemented here Spark-first:
+
+* ``gopher_stats`` — explode words → two-level aggregate.  One row per
+  document goes in, one comes out; the only shuffle is the
+  (doc_id, word) partial-count exchange, which map-side combines to the
+  per-document *distinct* word list before leaving the mapper (each
+  document is a single input row, so every occurrence of a word is in
+  the same map task).  At 100 TB this is the standard token-stream
+  shuffle, hash-partitioned on (doc_id, word) — near-uniform, no hot
+  keys (doc_id is in the key), AQE-splittable.
+* ``pii_scrub`` — pure ``regexp_replace`` column expressions (JVM
+  codegen, zero Python).  Patterns are RE2-safe (no backrefs or
+  lookaround) so the DuckDB oracle evaluates the identical regexes.
+
+Whitespace is the frozen explicit ASCII class ``[ \\t\\n\\r\\f\\x0b]``
+(see functions/extract.py) — never ``\\s``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Explicit ASCII whitespace (the tri-engine collapse_ws pin).
+_WS = r"[ \t\n\r\f\x0b]+"
+
+# Gopher-style keep thresholds, tuned to be non-vacuous on the
+# synthetic documents table (126/500 keep at sf0.01): real Gopher uses
+# 50..100k words / mwl 3..10 / dup-line fractions; the synthetic docs
+# are single-line, so the repetition rules are word-based.
+GOPHER_MIN_WORDS = 30
+GOPHER_MWL_MIN = 3.0
+GOPHER_MWL_MAX = 10.0
+GOPHER_MAX_DUP_WORD_FRAC = 0.55
+GOPHER_MAX_TOP_WORD_FRAC = 0.12
+
+# PII patterns — identical semantics under Java regex (Spark) and RE2
+# (DuckDB): ASCII classes, bounded quantifiers, \b word boundaries;
+# no lookaround, no backreferences.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def gopher_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher-style repetition/quality statistics.
+
+    Input: one row per document with (doc_id, `text_col`).  Output one
+    row per non-blank document:
+      n_words, mean_word_len, dup_word_frac (1 - distinct/total),
+      top_word_frac (most frequent word / total), keep (all rules hold).
+
+    Ratio columns are rounded to 4 decimals for the cross-engine value
+    hash; the `keep` decision compares the *unrounded* doubles, whose
+    expression trees are bit-identical in Spark and the DuckDB oracle
+    (integer-ratio IEEE754 divisions).
+    """
+    t = F.trim(F.lower(F.col(text_col)))
+    words = docs.where(t != "").select(
+        "doc_id", F.explode(F.split(t, _WS)).alias("word")
+    )
+    wc = words.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+        F.sum(F.length("word") * F.col("cnt")).alias("len_sum"),
+    )
+    n_words = F.col("n_words").cast("double")
+    mwl = F.col("len_sum") / n_words
+    dupf = F.lit(1.0) - F.col("n_distinct") / n_words
+    topf = F.col("top_cnt") / n_words
+    keep = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (mwl >= GOPHER_MWL_MIN)
+        & (mwl <= GOPHER_MWL_MAX)
+        & (dupf <= GOPHER_MAX_DUP_WORD_FRAC)
+        & (topf <= GOPHER_MAX_TOP_WORD_FRAC)
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(mwl, 4).alias("mean_word_len"),
+        F.round(dupf, 4).alias("dup_word_frac"),
+        F.round(topf, 4).alias("top_word_frac"),
+        keep.alias("keep"),
+    )
+
+
+def pii_counts(text: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_phones, n_ips) found in `text` — count before
+    scrubbing so overlapping replacements can't hide a match."""
+    return (
+        F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), F.lit(0))),
+        F.size(F.regexp_extract_all(text, F.lit(PII_PHONE_RE), F.lit(0))),
+        F.size(F.regexp_extract_all(text, F.lit(PII_IPV4_RE), F.lit(0))),
+    )
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact emails → <EMAIL>, then phones → <PHONE>, then IPv4 →
+    <IP>.  Order matters: the email pattern consumes dotted hosts that
+    the IPv4 pattern would otherwise partially match."""
+    scrubbed = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    scrubbed = F.regexp_replace(scrubbed, PII_PHONE_RE, "<PHONE>")
+    return F.regexp_replace(scrubbed, PII_IPV4_RE, "<IP>")
