@@ -1006,6 +1006,77 @@ FROM p
 
 SQL_TEXT_PII_SCRUB = _sql_text_pii_scrub()
 
+# Training-mix sampling rates (basis points per lang stratum) — chosen
+# non-uniform so the gate row actually checks per-stratum behavior.
+SAMPLE_RATES_BP = {"en": 5000, "es": 2500, "de": 2500, "fr": 1000, "zh": 1000}
+_SAMPLE_SALT = "sample:v1"
+
+
+def q_pipeline_sample_stratified(spark, sf_dir):
+    """Deterministic stratified training-mix sampler
+    (operators/quality.stratified_sample): per-lang keep rates via a
+    salted md5 uniform — reproducible under any partitioning/engine,
+    zero shuffle."""
+    from newscrawler_spark.operators.quality import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, SAMPLE_RATES_BP, salt=_SAMPLE_SALT).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def _sql_pipeline_sample_stratified() -> str:
+    rate = "CASE " + " ".join(
+        f"WHEN lang = '{s}' THEN {bp}" for s, bp in SAMPLE_RATES_BP.items()
+    ) + " ELSE 0 END"
+    u = (
+        "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || "
+        f"':{_SAMPLE_SALT}'), 1, 15)) AS BIGINT) % 10000"
+    )
+    return f"SELECT doc_id, lang, source FROM documents WHERE {u} < {rate}"
+
+
+SQL_PIPELINE_SAMPLE = _sql_pipeline_sample_stratified()
+
+# Decontamination split: doc_id % 10 == 0 plays the benchmark/eval set
+# (the real deployment joins against an external benchmark table); 8-word
+# shingles per the standard 8-13-gram decontamination window.
+_DECON_MOD = 10
+_DECON_N = 8
+
+
+def q_decontaminate_ngram(spark, sf_dir):
+    """Benchmark decontamination (operators/quality.decontaminate_ngram):
+    training docs sharing any 8-word shingle with the eval split —
+    broadcast eval shingles, map-side hash join on the corpus."""
+    from newscrawler_spark.operators.quality import decontaminate_ngram
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % _DECON_MOD == 0)
+    tr = docs.where(F.col("doc_id") % _DECON_MOD != 0)
+    out = decontaminate_ngram(tr, ev, n=_DECON_N)
+    return out.select(
+        "doc_id", F.col("n_hits").cast("long").alias("n_hits"), "first_hit"
+    )
+
+
+SQL_DECONTAMINATE = rf"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0b]+') AS w
+  FROM documents),
+raw AS (
+  SELECT doc_id,
+         unnest([array_to_string(w[i:i+{_DECON_N - 1}], ' ')
+                 FOR i IN range(1, len(w) - {_DECON_N - 2})]) AS s
+  FROM d WHERE len(w) >= {_DECON_N}),
+sh AS (SELECT DISTINCT doc_id, s FROM raw),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % {_DECON_MOD} = 0)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, min(s) AS first_hit
+FROM sh JOIN ev USING (s)
+WHERE doc_id % {_DECON_MOD} != 0
+GROUP BY doc_id
+"""
+
 
 def q_text_topics(spark, sf_dir):
     """X8: keyword topic classifier (topics/classifier.py analog).
@@ -2616,6 +2687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_quality_gopher": q_text_quality_gopher,
         "text_pii_scrub": q_text_pii_scrub,
+        "pipeline_sample_stratified": q_pipeline_sample_stratified,
+        "decontaminate_ngram": q_decontaminate_ngram,
         "text_topics": q_text_topics,
         "text_entities": q_text_entities,
         "entity_lookup": q_entity_lookup,
@@ -2681,6 +2754,8 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": SQL_TEXT_FP,
         "text_quality_gopher": SQL_TEXT_QUALITY_GOPHER,
         "text_pii_scrub": SQL_TEXT_PII_SCRUB,
+        "pipeline_sample_stratified": SQL_PIPELINE_SAMPLE,
+        "decontaminate_ngram": SQL_DECONTAMINATE,
         "text_topics": SQL_TEXT_TOPICS,
         "text_entities": SQL_TEXT_ENTITIES,
         "entity_lookup": SQL_ENTITY_LOOKUP,

@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "embed_missing",
     "text_quality_gopher",
     "text_pii_scrub",
+    "pipeline_sample_stratified",
+    "decontaminate_ngram",
 ]
 
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))

@@ -96,6 +96,58 @@ def gopher_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def stratified_sample_hash(doc_id: Column, salt: str) -> Column:
+    """Deterministic per-row uniform in [0, 10000): md5 of the salted
+    doc_id, first 15 hex chars as a 60-bit int, mod 10000.  Unlike
+    ``df.sample``/``sampleBy`` this is reproducible under any
+    partitioning, any engine (the DuckDB oracle computes the identical
+    value), and any subset of the data — the property a training-mix
+    sampler actually needs (re-running on an updated corpus keeps every
+    previously-sampled doc in/out deterministically)."""
+    h = F.md5(F.concat(doc_id.cast("string"), F.lit(":" + salt)))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % 10000
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates_bp: dict[str, int],
+    stratum_col: str = "lang",
+    salt: str = "sample:v1",
+) -> DataFrame:
+    """Keep each row iff hash(doc_id) mod 10000 < its stratum's rate
+    (basis points).  Pure codegen filter — zero shuffle at any scale;
+    strata missing from `rates_bp` drop (rate 0)."""
+    u = stratified_sample_hash(F.col("doc_id"), salt)
+    rate = F.lit(0)
+    for stratum, bp in rates_bp.items():
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(bp)).otherwise(rate)
+    return docs.where(u < rate)
+
+
+def decontaminate_ngram(
+    train: DataFrame, eval_docs: DataFrame, n: int = 8
+) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word
+    `n`-gram with the eval/benchmark set.  Returns one row per
+    contaminated doc: (doc_id, n_hits = distinct shared shingles,
+    first_hit = min shared shingle).
+
+    Scale shape: the eval side is a benchmark suite (thousands of docs,
+    ~MBs of distinct shingles) — broadcast it; the 100 TB training side
+    streams through a map-side hash join, no shuffle of the corpus.
+    The per-doc rollup shuffles only the (rare) contaminated hits.
+    """
+    from newscrawler_spark.operators.dedup import with_shingles
+
+    train_sh = with_shingles(train, n=n)
+    eval_sh = with_shingles(eval_docs, n=n).select("shingle").distinct()
+    hits = train_sh.join(F.broadcast(eval_sh), "shingle")
+    return hits.groupBy("doc_id").agg(
+        F.count("*").alias("n_hits"),
+        F.min("shingle").alias("first_hit"),
+    )
+
+
 def pii_counts(text: Column) -> tuple[Column, Column, Column]:
     """(n_emails, n_phones, n_ips) found in `text` — count before
     scrubbing so overlapping replacements can't hide a match."""

@@ -70,6 +70,46 @@ def test_pii_scrub_and_counts(spark):
     assert out2["s"] == out["s"]
 
 
+def test_stratified_sample_deterministic_and_rated(spark):
+    from newscrawler_spark.operators.quality import stratified_sample
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang="en" if i % 2 == 0 else "zz") for i in range(2000)]
+    )
+    rates = {"en": 5000, "zz": 500}
+    kept = stratified_sample(docs, rates)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # deterministic: identical under a different partitioning
+    ids2 = sorted(r["doc_id"] for r in stratified_sample(docs.repartition(7), rates).collect())
+    assert ids == ids2
+    en = sum(1 for i in ids if i % 2 == 0)
+    zz = len(ids) - en
+    # 1000 docs per stratum at 50% / 5%: ~6-sigma binomial bounds
+    # around the 500 / 50 expectations
+    assert 400 <= en <= 600 and 10 <= zz <= 95
+    # unknown stratum drops
+    extra = spark.createDataFrame([Row(doc_id=1, lang="xx")])
+    assert stratified_sample(extra, rates).count() == 0
+
+
+def test_decontaminate_ngram_exact(spark):
+    from newscrawler_spark.operators.quality import decontaminate_ngram
+
+    shared = "alpha beta gamma delta"
+    ev = spark.createDataFrame([Row(doc_id=0, text=f"pre {shared} post")])
+    tr = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"x y {shared} z"),          # 1 shared 4-gram
+            Row(doc_id=2, text="totally different words here now"),
+            Row(doc_id=3, text=shared),                      # exact overlap
+        ]
+    )
+    out = {r["doc_id"]: r for r in decontaminate_ngram(tr, ev, n=4).collect()}
+    assert set(out) == {1, 3}
+    assert out[3]["n_hits"] == 1 and out[3]["first_hit"] == shared
+    assert out[1]["n_hits"] == 1
+
+
 def test_pii_email_consumes_dotted_host(spark):
     # the dotted mail host must be eaten by <EMAIL>, never left for the
     # IPv4 pattern to half-match
