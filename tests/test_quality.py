@@ -110,6 +110,51 @@ def test_decontaminate_ngram_exact(spark):
     assert out[1]["n_hits"] == 1
 
 
+def test_gopher_matches_python_counter_spec(spark):
+    """Property: gopher_stats == a pure-Python Counter over the frozen
+    ASCII-whitespace split, on a deterministic zoo of texts (hypothesis
+    via explicit examples — one Spark job for the whole batch)."""
+    import random
+    import re
+    from collections import Counter
+
+    texts = [
+        "",
+        " \t ",
+        "a",
+        "a a\tb\nb\x0bc\fd\re",
+        "Tab\tmixed  CASE case",
+    ]
+    rng = random.Random(42)
+    chars = "ab z.\t\n\x0b\f\r-9"
+    texts += [
+        "".join(rng.choice(chars) for _ in range(rng.randint(0, 60)))
+        for _ in range(60)
+    ]
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {r["doc_id"]: r for r in gopher_stats(df).collect()}
+
+    ws_re = re.compile(r"[ \t\n\r\f\x0b]+")
+    for i, t in enumerate(texts):
+        lowered = t.lower().strip(" ")  # Spark trim() strips spaces only
+        if lowered == "":
+            assert i not in got, (i, repr(t))
+            continue
+        words = ws_re.split(lowered)
+        c = Counter(words)
+        n = sum(c.values())
+        r = got[i]
+        assert r["n_words"] == n, (repr(t), r)
+        assert r["dup_word_frac"] == pytest.approx(round(1 - len(c) / n, 4))
+        assert r["top_word_frac"] == pytest.approx(round(max(c.values()) / n, 4))
+        assert r["mean_word_len"] == pytest.approx(
+            round(sum(len(w) * k for w, k in c.items()) / n, 4)
+        )
+
+
 def test_pii_email_consumes_dotted_host(spark):
     # the dotted mail host must be eaten by <EMAIL>, never left for the
     # IPv4 pattern to half-match
