@@ -155,6 +155,65 @@ def test_gopher_matches_python_counter_spec(spark):
         )
 
 
+def test_pii_cross_engine_parity(spark):
+    """Java regex (Spark) and RE2 (DuckDB) must agree on counts AND the
+    scrubbed bytes over an adversarial zoo — the gate only exercises the
+    planted corpus PII; this pins the dialect-sensitive edges (\\b on
+    digit runs, naive octets, ASCII-only classes, pre-scrubbed text)."""
+    import duckdb
+
+    from newscrawler_spark.operators.quality import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+    )
+
+    zoo = [
+        "a@b.co and c.d+e@f-g.h.ij tails",
+        "not-an-email @x.com a@b a@b. a@@b.com",
+        "1234-567-8901 555-123-4567x 555-123-456",  # \b digit edges
+        "999.999.999.999 and 1.2.3.4.5 and 1.2.3",  # naive octets, overlap
+        "<EMAIL> 555-123-4567 10.0.0.1",            # already-scrubbed text
+        "\xa0u@ex.com  10.0.0.2\xa0",          # unicode ws at edges
+        "v4 at 010.000.000.001, ver 1.2.33.444.",
+        "UPPER@CASE.ORG mixed@Case.Net",
+        "١٢٣-456-7890 phone? ٥@x.com",              # non-ASCII digits
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, t=z) for i, z in enumerate(zoo)])
+    from newscrawler_spark.operators.quality import pii_counts, pii_scrub
+
+    ne, np_, ni = pii_counts(F.col("t"))
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", ne.alias("e"), np_.alias("p"), ni.alias("i"),
+            pii_scrub(F.col("t")).alias("s"),
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE zoo(doc_id BIGINT, t VARCHAR)")
+    con.executemany("INSERT INTO zoo VALUES (?, ?)", list(enumerate(zoo)))
+    want = con.execute(
+        f"""
+SELECT doc_id,
+  len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS e,
+  len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS p,
+  len(regexp_extract_all(t, '{PII_IPV4_RE}')) AS i,
+  regexp_replace(regexp_replace(regexp_replace(t,
+      '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+      '{PII_PHONE_RE}', '<PHONE>', 'g'),
+      '{PII_IPV4_RE}', '<IP>', 'g') AS s
+FROM zoo ORDER BY doc_id
+"""
+    ).fetchall()
+    for doc_id, e, p, i, s in want:
+        g = got[doc_id]
+        assert (g["e"], g["p"], g["i"], g["s"]) == (e, p, i, s), (
+            zoo[doc_id], (g["e"], g["p"], g["i"], g["s"]), (e, p, i, s)
+        )
+
+
 def test_pii_email_consumes_dotted_host(spark):
     # the dotted mail host must be eaten by <EMAIL>, never left for the
     # IPv4 pattern to half-match
