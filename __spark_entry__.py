@@ -1078,6 +1078,102 @@ GROUP BY doc_id
 """
 
 
+def q_pipeline_clean_corpus(spark, sf_dir):
+    """The full training-mix build, composed from the individually-
+    oracled hygiene operators: exact dedup (keep-first) → Gopher
+    repetition keep → stratified per-lang sampling → benchmark-split
+    exclusion + n-gram decontamination → per-source corpus stats.
+    Every stage is a semi/anti join on doc_id (the dedup/gopher/decon
+    shuffles are each operator's own documented plan; the composition
+    adds only broadcast-sized key joins at 100 TB)."""
+    from newscrawler_spark.operators.dedup import exact_dedup_groups
+    from newscrawler_spark.operators.quality import (
+        decontaminate_ngram,
+        gopher_stats,
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    keepers = exact_dedup_groups(docs).select(F.col("keeper_id").alias("doc_id"))
+    good = gopher_stats(docs).where("keep").select("doc_id")
+    ev = docs.where(F.col("doc_id") % _DECON_MOD == 0)
+    tr = docs.where(F.col("doc_id") % _DECON_MOD != 0)
+    contaminated = decontaminate_ngram(tr, ev, n=_DECON_N).select("doc_id")
+    final = (
+        stratified_sample(docs, SAMPLE_RATES_BP, salt=_SAMPLE_SALT)
+        .where(F.col("doc_id") % _DECON_MOD != 0)  # benchmark split out
+        .join(keepers, "doc_id", "left_semi")
+        .join(good, "doc_id", "left_semi")
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    return final.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ws_token_count(F.col("text"))).cast("long").alias("total_tokens"),
+    )
+
+
+def _sql_pipeline_clean_corpus() -> str:
+    from newscrawler_spark.operators.quality import (
+        GOPHER_MAX_DUP_WORD_FRAC,
+        GOPHER_MAX_TOP_WORD_FRAC,
+        GOPHER_MIN_WORDS,
+        GOPHER_MWL_MAX,
+        GOPHER_MWL_MIN,
+    )
+
+    ws = r"[ \t\n\r\f\x0b]+"
+    sample_pred = _sql_pipeline_sample_stratified().split("WHERE", 1)[1]
+    return rf"""
+WITH keepers AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+gw AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '{ws}')) AS word
+  FROM documents WHERE trim(text) != ''),
+gwc AS (SELECT doc_id, word, count(*) AS cnt FROM gw GROUP BY doc_id, word),
+gs AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(cnt) AS BIGINT) AS top_cnt,
+         CAST(sum(len(word) * cnt) AS BIGINT) AS len_sum
+  FROM gwc GROUP BY doc_id),
+good AS (
+  SELECT doc_id FROM gs
+  WHERE n_words >= {GOPHER_MIN_WORDS}
+    AND len_sum / CAST(n_words AS DOUBLE) >= {GOPHER_MWL_MIN}
+    AND len_sum / CAST(n_words AS DOUBLE) <= {GOPHER_MWL_MAX}
+    AND 1.0 - n_distinct / CAST(n_words AS DOUBLE) <= {GOPHER_MAX_DUP_WORD_FRAC}
+    AND top_cnt / CAST(n_words AS DOUBLE) <= {GOPHER_MAX_TOP_WORD_FRAC}),
+dw AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '{ws}') AS w
+  FROM documents),
+draw AS (
+  SELECT doc_id,
+         unnest([array_to_string(w[i:i+{_DECON_N - 1}], ' ')
+                 FOR i IN range(1, len(w) - {_DECON_N - 2})]) AS s
+  FROM dw WHERE len(w) >= {_DECON_N}),
+dsh AS (SELECT DISTINCT doc_id, s FROM draw),
+dev AS (SELECT DISTINCT s FROM dsh WHERE doc_id % {_DECON_MOD} = 0),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM dsh JOIN dev USING (s)
+  WHERE doc_id % {_DECON_MOD} != 0),
+final AS (
+  SELECT d.doc_id, d.source, d.text FROM documents d
+  JOIN keepers USING (doc_id)
+  JOIN good USING (doc_id)
+  WHERE d.doc_id % {_DECON_MOD} != 0
+    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    AND {sample_pred})
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN trim(text) = '' THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '{ws}')) END) AS BIGINT)
+    AS total_tokens
+FROM final GROUP BY source
+"""
+
+
+SQL_PIPELINE_CLEAN = _sql_pipeline_clean_corpus()
+
+
 def q_text_topics(spark, sf_dir):
     """X8: keyword topic classifier (topics/classifier.py analog).
     Topics surface as a comma-joined scalar — the driver's value hasher
@@ -2694,6 +2790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": q_text_pii_scrub,
         "pipeline_sample_stratified": q_pipeline_sample_stratified,
         "decontaminate_ngram": q_decontaminate_ngram,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "text_topics": q_text_topics,
         "text_entities": q_text_entities,
         "entity_lookup": q_entity_lookup,
@@ -2761,6 +2858,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_scrub": SQL_TEXT_PII_SCRUB,
         "pipeline_sample_stratified": SQL_PIPELINE_SAMPLE,
         "decontaminate_ngram": SQL_DECONTAMINATE,
+        "pipeline_clean_corpus": SQL_PIPELINE_CLEAN,
         "text_topics": SQL_TEXT_TOPICS,
         "text_entities": SQL_TEXT_ENTITIES,
         "entity_lookup": SQL_ENTITY_LOOKUP,

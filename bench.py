@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "text_pii_scrub",
     "pipeline_sample_stratified",
     "decontaminate_ngram",
+    "pipeline_clean_corpus",
 ]
 
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))
