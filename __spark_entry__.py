@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from newscrawler_spark.functions.rounding import pinned_round  # noqa: E402
 from newscrawler_spark.functions.canonical import (  # noqa: E402
     CANON_SQL,
     HASH60_SQL,
@@ -364,14 +365,14 @@ def q_a1_per_domain_stats(spark, sf_dir):
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            pinned_round(F.avg("n_chars"), 4).alias("avg_chars"),
             F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
         )
     )
 
 
 SQL_A1 = """
-SELECT source, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+SELECT source, count(*) AS n_docs, floor((avg(n_chars)) * 10000.0 + 0.5) / 10000.0 AS avg_chars,
        CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
 FROM documents GROUP BY source
 """
@@ -397,7 +398,7 @@ def q_a5_ewma(spark, sf_dir):
     )
     term = 0.1 * F.pow(F.lit(0.9), F.col("n") - F.col("i")) * F.col("value")
     return ranked.groupBy("user_id").agg(
-        F.round(
+        pinned_round(
             F.first(F.pow(F.lit(0.9), F.col("n")) * 50.0) + F.sum(term), 4
         ).alias("ewma")
     )
@@ -409,7 +410,7 @@ WITH r AS (
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
          count(*) OVER (PARTITION BY user_id) AS n
   FROM events WHERE user_id % 50 = 0)
-SELECT user_id, round(any_value(pow(0.9, n) * 50.0) + sum(0.1 * pow(0.9, n - i) * value), 4) AS ewma
+SELECT user_id, floor((any_value(pow(0.9, n) * 50.0) + sum(0.1 * pow(0.9, n - i) * value)) * 10000.0 + 0.5) / 10000.0 AS ewma
 FROM r GROUP BY user_id
 """
 
@@ -448,9 +449,10 @@ WITH m AS (
     len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS stop
   FROM documents)
 SELECT doc_id,
-  round(0.4 * least(n_chars / 500.0, 1.0)
+  floor((0.4 * least(n_chars / 500.0, 1.0)
       + 0.3 * (CASE WHEN n_chars > 0 THEN n_alpha * 1.0 / n_chars ELSE 0.0 END)
-      + 0.3 * (CASE WHEN toks > 0 THEN least(stop * 8.0 / toks, 1.0) ELSE 0.0 END), 4)
+      + 0.3 * (CASE WHEN toks > 0 THEN least(stop * 8.0 / toks, 1.0) ELSE 0.0 END))
+      * 10000.0 + 0.5) / 10000.0
   AS quality
 FROM m
 """
@@ -548,9 +550,9 @@ def q_a4_percentiles(spark, sf_dir):
     )
     return r.groupBy("event_type").agg(
         F.max("n").alias("n_samples"),
-        F.round(F.min(F.when(F.col("rn") * 100 >= F.col("n") * 50, F.col("value"))), 4).alias("p50"),
-        F.round(F.min(F.when(F.col("rn") * 100 >= F.col("n") * 90, F.col("value"))), 4).alias("p90"),
-        F.round(F.min(F.when(F.col("rn") * 100 >= F.col("n") * 99, F.col("value"))), 4).alias("p99"),
+        pinned_round(F.min(F.when(F.col("rn") * 100 >= F.col("n") * 50, F.col("value"))), 4).alias("p50"),
+        pinned_round(F.min(F.when(F.col("rn") * 100 >= F.col("n") * 90, F.col("value"))), 4).alias("p90"),
+        pinned_round(F.min(F.when(F.col("rn") * 100 >= F.col("n") * 99, F.col("value"))), 4).alias("p99"),
     )
 
 
@@ -562,9 +564,9 @@ WITH r AS (
   FROM events)
 SELECT event_type,
        CAST(max(n) AS BIGINT) AS n_samples,
-       round(min(CASE WHEN rn * 100 >= n * 50 THEN value END), 4) AS p50,
-       round(min(CASE WHEN rn * 100 >= n * 90 THEN value END), 4) AS p90,
-       round(min(CASE WHEN rn * 100 >= n * 99 THEN value END), 4) AS p99
+       floor((min(CASE WHEN rn * 100 >= n * 50 THEN value END)) * 10000.0 + 0.5) / 10000.0 AS p50,
+       floor((min(CASE WHEN rn * 100 >= n * 90 THEN value END)) * 10000.0 + 0.5) / 10000.0 AS p90,
+       floor((min(CASE WHEN rn * 100 >= n * 99 THEN value END)) * 10000.0 + 0.5) / 10000.0 AS p99
 FROM r GROUP BY event_type
 """
 
@@ -667,15 +669,21 @@ def q_t4_straggler_rollover(spark, sf_dir):
     running ``value`` seconds completes at ``ts+value``; if that crosses
     its hour-round's deadline the row is a straggler and ROLLS into the
     completion round — the batch analog of the streaming watermark
-    (T1/T4).  Window arithmetic is done on epoch doubles so both
-    engines floor identically."""
+    (T1/T4).  Window arithmetic is exact integer MICROseconds on both
+    engines (unix_micros ↔ epoch_us): the earlier epoch-seconds form
+    silently truncated sub-second ts in Spark (unix_timestamp) but not
+    DuckDB (epoch), flipping hour-boundary events at sf0.1."""
     ev = _t(spark, sf_dir, "events")
-    comp_epoch = F.unix_timestamp("ts").cast("double") + F.col("value")
-    comp_win = (F.floor(comp_epoch / 3600) * 3600).cast("long")
-    sched_win = (F.floor(F.unix_timestamp("ts").cast("double") / 3600) * 3600).cast("long")
+    hour_us = F.lit(3_600_000_000)
+    # ts is TIMESTAMP_NTZ; the cast to TIMESTAMP is shift-free under the
+    # session's pinned UTC zone (session.py)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    comp_us = us + F.round(F.col("value") * 1e6).cast("long")
+    comp_win = comp_us - comp_us % hour_us
+    sched_win = us - us % hour_us
     return (
         ev.select(
-            F.timestamp_seconds(comp_win).alias("win_start"),
+            F.timestamp_micros(comp_win).alias("win_start"),
             F.when(comp_win > sched_win, 1).otherwise(0).alias("straggler"),
         )
         .groupBy("win_start")
@@ -688,12 +696,16 @@ def q_t4_straggler_rollover(spark, sf_dir):
 
 SQL_T4 = """
 WITH j AS (
-  SELECT make_timestamp(CAST(floor((epoch(ts) + value) / 3600) * 3600 AS BIGINT) * 1000000) AS win_start,
-         CASE WHEN floor((epoch(ts) + value) / 3600) > floor(epoch(ts) / 3600)
-              THEN 1 ELSE 0 END AS straggler
-  FROM events)
-SELECT win_start, count(*) AS n_done, CAST(sum(straggler) AS BIGINT) AS n_rolled_in
-FROM j GROUP BY 1
+  SELECT epoch_us(ts) + CAST(round(value * 1000000.0) AS BIGINT) AS comp_us,
+         epoch_us(ts) AS us
+  FROM events),
+k AS (
+  SELECT comp_us - comp_us % 3600000000 AS comp_win,
+         us - us % 3600000000 AS sched_win
+  FROM j)
+SELECT make_timestamp(comp_win) AS win_start, count(*) AS n_done,
+       CAST(sum(CASE WHEN comp_win > sched_win THEN 1 ELSE 0 END) AS BIGINT) AS n_rolled_in
+FROM k GROUP BY 1
 """
 
 
@@ -737,9 +749,9 @@ shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
   FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
 SELECT doc_a, doc_b, shared, sa.n_sh AS na, sb.n_sh AS nb,
-       round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+       floor((shared * 1.0 / (sa.n_sh + sb.n_sh - shared)) * 10000.0 + 0.5) / 10000.0 AS jaccard
 FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) >= 0.5
+WHERE floor((shared * 1.0 / (sa.n_sh + sb.n_sh - shared)) * 10000.0 + 0.5) / 10000.0 >= 0.5
 """
 
 
@@ -773,10 +785,10 @@ shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
   FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
 SELECT c.doc_a, c.doc_b,
-       round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+       floor((shared * 1.0 / (sa.n_sh + sb.n_sh - shared)) * 10000.0 + 0.5) / 10000.0 AS jaccard
 FROM cand c JOIN shared s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
 JOIN sizes sa ON sa.doc_id = c.doc_a JOIN sizes sb ON sb.doc_id = c.doc_b
-WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) >= 0.5
+WHERE floor((shared * 1.0 / (sa.n_sh + sb.n_sh - shared)) * 10000.0 + 0.5) / 10000.0 >= 0.5
 """
 
 
@@ -913,9 +925,9 @@ WITH w AS (
          CAST(sum(len(word) * cnt) AS BIGINT) AS len_sum
   FROM wc GROUP BY doc_id)
 SELECT doc_id, n_words,
-  round(len_sum / CAST(n_words AS DOUBLE), 4) AS mean_word_len,
-  round(1.0 - n_distinct / CAST(n_words AS DOUBLE), 4) AS dup_word_frac,
-  round(top_cnt / CAST(n_words AS DOUBLE), 4) AS top_word_frac,
+  floor((len_sum / CAST(n_words AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS mean_word_len,
+  floor((1.0 - n_distinct / CAST(n_words AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS dup_word_frac,
+  floor((top_cnt / CAST(n_words AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS top_word_frac,
   (n_words >= {GOPHER_MIN_WORDS}
    AND len_sum / CAST(n_words AS DOUBLE) >= {GOPHER_MWL_MIN}
    AND len_sum / CAST(n_words AS DOUBLE) <= {GOPHER_MWL_MAX}
@@ -1332,7 +1344,7 @@ def q_text_embed(spark, sf_dir):
     )
     return emb.select(
         "doc_id",
-        F.round(dot, 4).alias("sq_norm"),
+        pinned_round(dot, 4).alias("sq_norm"),
         F.expr("array_position(embedding, array_max(embedding))").alias("argmax_bucket"),
     )
 
@@ -1510,7 +1522,7 @@ d AS (
        + len(regexp_extract_all(lower(text), '\bquery\b')) AS kw_hits
   FROM documents)
 SELECT d.doc_id, d.title, d.kw_hits,
-       round(0.6 * c.cos + 0.4 * least(d.kw_hits / 10.0, 1.0), 4) AS score
+       floor((0.6 * c.cos + 0.4 * least(d.kw_hits / 10.0, 1.0)) * 10000.0 + 0.5) / 10000.0 AS score
 FROM d JOIN c ON c.vec_id = d.doc_id
 WHERE d.kw_hits > 0
 ORDER BY score DESC, d.doc_id LIMIT 20
@@ -1631,7 +1643,7 @@ sc AS (
 dm AS (
   SELECT doc_id, max(dot / sqrt(nn * (SELECT qq FROM qn))) AS c
   FROM sc WHERE nn > 0 GROUP BY 1)
-SELECT doc_id, round(c, 4) AS cosine FROM dm ORDER BY cosine DESC, doc_id LIMIT 10
+SELECT doc_id, floor((c) * 10000.0 + 0.5) / 10000.0 AS cosine FROM dm ORDER BY cosine DESC, doc_id LIMIT 10
 """
 
 
@@ -1689,7 +1701,7 @@ packed AS (
          sum(token_est) OVER (ORDER BY c DESC, doc_id, chunk_id
                               ROWS UNBOUNDED PRECEDING) AS cum_tokens
   FROM cand)
-SELECT doc_id, chunk_id, round(c, 4) AS cosine, token_est,
+SELECT doc_id, chunk_id, floor((c) * 10000.0 + 0.5) / 10000.0 AS cosine, token_est,
        CAST(cum_tokens AS BIGINT) AS cum_tokens
 FROM packed WHERE cum_tokens <= 2000
 """
@@ -1864,7 +1876,7 @@ d AS (
 cn AS (SELECT cache_id, sum(cv * cv) AS cc FROM c GROUP BY 1),
 s AS (
   SELECT query_id, cache_id,
-         round(dot / (sqrt(qq) * sqrt(cc)), 4) AS cosine
+         floor((dot / (sqrt(qq) * sqrt(cc))) * 10000.0 + 0.5) / 10000.0 AS cosine
   FROM d JOIN cn USING (cache_id)),
 best AS (
   SELECT query_id, cache_id, cosine,
@@ -1923,7 +1935,7 @@ def q_j3_strategy_join(spark, sf_dir):
     return (
         docs.join(F.broadcast(dim), "source")
         .groupBy("strategy")
-        .agg(F.count("*").alias("n_docs"), F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+        .agg(F.count("*").alias("n_docs"), pinned_round(F.avg("n_chars"), 4).alias("avg_chars"))
     )
 
 
@@ -1933,7 +1945,7 @@ WITH dim AS (
          CASE CAST(substring(source, 4) AS INT) % 3
            WHEN 0 THEN 'newspaper' WHEN 1 THEN 'feed' ELSE 'puppeteer' END AS strategy
   FROM (SELECT DISTINCT source FROM documents))
-SELECT strategy, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+SELECT strategy, count(*) AS n_docs, floor((avg(n_chars)) * 10000.0 + 0.5) / 10000.0 AS avg_chars
 FROM documents JOIN dim USING (source) GROUP BY strategy
 """
 
@@ -2028,7 +2040,7 @@ d AS (
   SELECT vec_id, sum(ev * qv) AS dot, sum(ev * ev) AS nn
   FROM e JOIN q USING (i) GROUP BY vec_id),
 qn AS (SELECT sum(qv * qv) AS qq FROM q)
-SELECT vec_id, round(dot / (sqrt(nn) * sqrt((SELECT qq FROM qn))), 4) AS cosine
+SELECT vec_id, floor((dot / (sqrt(nn) * sqrt((SELECT qq FROM qn)))) * 10000.0 + 0.5) / 10000.0 AS cosine
 FROM d ORDER BY cosine DESC, vec_id LIMIT 20
 """
 
@@ -2061,7 +2073,7 @@ cn AS (SELECT cid, sqrt(sum(v * v)) AS nrm FROM ce GROUP BY 1),
 en AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
 s AS (
   SELECT e.vec_id, ce.cid,
-         round(sum(e.v * ce.v) / (en.nrm * cn.nrm), 4) AS sim
+         floor((sum(e.v * ce.v) / (en.nrm * cn.nrm)) * 10000.0 + 0.5) / 10000.0 AS sim
   FROM e JOIN ce USING (i)
   JOIN en ON en.vec_id = e.vec_id JOIN cn ON cn.cid = ce.cid
   GROUP BY e.vec_id, ce.cid, en.nrm, cn.nrm),
@@ -2078,7 +2090,7 @@ d AS (
   WHERE e.vec_id IN (SELECT a.vec_id FROM assign a JOIN probe USING (cid))
   GROUP BY 1),
 qn AS (SELECT sum(qv * qv) AS qq FROM q)
-SELECT vec_id, round(dot / (sqrt(nn) * sqrt((SELECT qq FROM qn))), 4) AS cosine
+SELECT vec_id, floor((dot / (sqrt(nn) * sqrt((SELECT qq FROM qn)))) * 10000.0 + 0.5) / 10000.0 AS cosine
 FROM d ORDER BY cosine DESC, vec_id LIMIT 20
 """
 
@@ -2103,8 +2115,8 @@ p AS (
          sum(a.v * b.v) AS dot, sum(a.v * a.v) AS na, sum(b.v * b.v) AS nb
   FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
   GROUP BY 1, 2)
-SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cosine
-FROM p WHERE round(dot / (sqrt(na) * sqrt(nb)), 4) >= 0.45
+SELECT id_a, id_b, floor((dot / (sqrt(na) * sqrt(nb))) * 10000.0 + 0.5) / 10000.0 AS cosine
+FROM p WHERE floor((dot / (sqrt(na) * sqrt(nb))) * 10000.0 + 0.5) / 10000.0 >= 0.45
 """
 
 
@@ -2156,8 +2168,8 @@ p2 AS (
   FROM cand JOIN e ea ON ea.vec_id = cand.id_a
             JOIN e eb ON eb.vec_id = cand.id_b AND eb.i = ea.i
   GROUP BY 1, 2)
-SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cosine
-FROM p2 WHERE round(dot / (sqrt(na) * sqrt(nb)), 4) >= 0.45
+SELECT id_a, id_b, floor((dot / (sqrt(na) * sqrt(nb))) * 10000.0 + 0.5) / 10000.0 AS cosine
+FROM p2 WHERE floor((dot / (sqrt(na) * sqrt(nb))) * 10000.0 + 0.5) / 10000.0 >= 0.45
 """
 
 
@@ -2224,7 +2236,7 @@ d AS (
   WHERE ev.vec_id IN (SELECT vec_id FROM cand)
   GROUP BY 1),
 qn AS (SELECT sum(qv * qv) AS qq FROM q)
-SELECT vec_id, round(dot / (sqrt(nn) * sqrt((SELECT qq FROM qn))), 4) AS cosine
+SELECT vec_id, floor((dot / (sqrt(nn) * sqrt((SELECT qq FROM qn)))) * 10000.0 + 0.5) / 10000.0 AS cosine
 FROM d ORDER BY cosine DESC, vec_id LIMIT 20
 """
 
@@ -2249,14 +2261,14 @@ def q_mm_media_features(spark, sf_dir):
         F.col("n_bytes") > 0
     )
     entropy = F.expr(
-        "round(-aggregate(filter(histogram, x -> x > 0), cast(0.0 as double), "
-        "(a, x) -> a + (x / cast(n_bytes as double)) * log2(x / cast(n_bytes as double))), 4)"
+        "floor((-aggregate(filter(histogram, x -> x > 0), cast(0.0 as double), "
+        "(a, x) -> a + (x / cast(n_bytes as double)) * log2(x / cast(n_bytes as double)))) * 10000.0 + 0.5) / 10000.0"
     )
     return feats.select(
         "media_id",
         "n_bytes",
         "byte_sum",
-        F.round(F.col("byte_sum") / F.col("n_bytes"), 4).alias("byte_mean"),
+        pinned_round(F.col("byte_sum") / F.col("n_bytes"), 4).alias("byte_mean"),
         entropy.alias("byte_entropy"),
         F.concat_ws(",", F.col("histogram").cast("array<string>")).alias("histogram"),
     )
@@ -2284,9 +2296,9 @@ h AS (
   FROM agg
 )
 SELECT doc_id AS media_id, n_bytes, byte_sum,
-       round(byte_sum / CAST(n_bytes AS DOUBLE), 4) AS byte_mean,
-       round(-list_sum(list_transform(list_filter(hist, x -> x > 0),
-             x -> (x / CAST(n_bytes AS DOUBLE)) * log2(x / CAST(n_bytes AS DOUBLE)))), 4) AS byte_entropy,
+       floor((byte_sum / CAST(n_bytes AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS byte_mean,
+       floor((-list_sum(list_transform(list_filter(hist, x -> x > 0),
+             x -> (x / CAST(n_bytes AS DOUBLE)) * log2(x / CAST(n_bytes AS DOUBLE))))) * 10000.0 + 0.5) / 10000.0 AS byte_entropy,
        array_to_string(list_transform(hist, x -> x::VARCHAR), ',') AS histogram
 FROM h
 WHERE n_bytes > 0
@@ -2674,9 +2686,10 @@ m AS (
   FROM e),
 q AS (
   SELECT doc_id, source, toks,
-    round(0.4 * least(n_chars / 500.0, 1.0)
+    floor((0.4 * least(n_chars / 500.0, 1.0)
         + 0.3 * (CASE WHEN n_chars > 0 THEN n_alpha * 1.0 / n_chars ELSE 0.0 END)
-        + 0.3 * (CASE WHEN toks > 0 THEN least(stop * 8.0 / toks, 1.0) ELSE 0.0 END), 4) AS quality
+        + 0.3 * (CASE WHEN toks > 0 THEN least(stop * 8.0 / toks, 1.0) ELSE 0.0 END))
+        * 10000.0 + 0.5) / 10000.0 AS quality
   FROM m)
 SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
        CAST(sum(toks) AS BIGINT) AS total_tokens,
@@ -2710,7 +2723,7 @@ def entry(spark: SparkSession) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.countDistinct("fp").alias("n_unique"),
-            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            pinned_round(F.avg("quality"), 4).alias("avg_quality"),
             F.sum("ws_tokens").alias("total_tokens"),
             F.sum(F.when(F.col("lang_pred") == F.col("lang"), 1).otherwise(0)).alias(
                 "lang_id_hits"

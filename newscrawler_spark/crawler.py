@@ -764,7 +764,11 @@ class FrontierCrawler:
         title_s = F.least(F.length("title") / 50.0, F.lit(1.0)) * title_w
         img_w = F.when(F.size("images") > 0, F.lit(0.2)).otherwise(F.lit(0.0))
         img_s = F.least(F.size("images") / 3.0, F.lit(1.0)) * img_w
-        quality = F.round(
+        # pinned 6dp (functions/rounding): round(x, d) diverges from the
+        # DuckDB crawl oracle at half boundaries
+        from newscrawler_spark.functions.rounding import pinned_round
+
+        quality = pinned_round(
             (content_s + meta_s + title_s + img_s)
             / (content_w + meta_w + title_w + img_w),
             6,

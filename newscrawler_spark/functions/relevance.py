@@ -70,7 +70,9 @@ def relevance_score(text: Column, n_topics: Column | None = None) -> Column:
         + F.lit(0.3) * F.least(paras / F.lit(3.0), F.lit(1.0))
         + F.lit(0.3) * F.least(sents / F.lit(10.0), F.lit(1.0))
     )
-    return F.round(
+    from .rounding import pinned_round
+
+    return pinned_round(
         F.least(F.lit(0.1) + topic_score + entity_score + content_score, F.lit(1.0)), 4
     )
 
@@ -83,7 +85,7 @@ def is_relevant(text: Column, n_topics: Column | None = None) -> Column:
 # {col} = the text column; {topics} = an expression for n_topics.
 
 RELEVANCE_SQL = (
-    "round(least(0.1"
+    "floor((least(0.1"
     " + least({topics} * 0.1, 0.4)"
     " + least("
     f"     least(len(list_distinct(regexp_extract_all({{col}}, '{_COUNTRY_RE}'))) * 0.05, 0.15)"
@@ -93,5 +95,5 @@ RELEVANCE_SQL = (
     " + 0.2 * (0.4 * least(length({col}) / 1000.0, 1.0)"
     "        + 0.3 * least(len(regexp_split_to_array({col}, '\\n\\n')) / 3.0, 1.0)"
     f"       + 0.3 * least(len(regexp_extract_all({{col}}, '{_SENT_RE}')) / 10.0, 1.0))"
-    ", 1.0), 4)"
+    ", 1.0)) * 10000.0 + 0.5) / 10000.0"
 )

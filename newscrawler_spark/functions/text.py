@@ -64,8 +64,11 @@ def lang_id(text: Column) -> Column:
 
 def quality_score(text: Column) -> Column:
     """Composite quality in [0,1]: 40% length band, 30% alpha ratio,
-    30% stopword density band. Rounded to 4dp so the score is stable
-    across engines."""
+    30% stopword density band. Pinned 4dp rounding (functions/rounding:
+    plain round(x, 4) diverged from DuckDB at half boundaries —
+    6/5000 docs at sf0.1)."""
+    from .rounding import pinned_round
+
     n_chars = F.length(text)
     n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
     toks = ws_token_count(text)
@@ -75,7 +78,7 @@ def quality_score(text: Column) -> Column:
     stop_density = F.when(toks > 0, F.least(stop * F.lit(8.0) / toks, F.lit(1.0))).otherwise(
         F.lit(0.0)
     )
-    return F.round(0.4 * len_band + 0.3 * alpha_ratio + 0.3 * stop_density, 4)
+    return pinned_round(0.4 * len_band + 0.3 * alpha_ratio + 0.3 * stop_density, 4)
 
 
 # Topic keyword banks (reference X8: keyword classifier,

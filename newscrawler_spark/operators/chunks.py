@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from newscrawler_spark.functions.rounding import pinned_round
+
 CHUNK_SIZE = 1000
 CHUNK_OVERLAP = 200
 # chunk_id domain for the composite (doc_id·span + chunk_id) ride-through
@@ -189,7 +191,7 @@ def doc_topk_kernel(
     return (
         scored.select("doc_id", F.col("cosine_raw").alias("c"))
         .groupBy("doc_id")
-        .agg(F.round(F.max("c"), 4).alias("cosine"))
+        .agg(pinned_round(F.max("c"), 4).alias("cosine"))
         .orderBy(F.desc("cosine"), "doc_id")
         .limit(k)
     )
@@ -212,7 +214,7 @@ def doc_topk_from_chunks(
     return (
         chunk_emb.select("doc_id", cos.alias("chunk_cos"))
         .groupBy("doc_id")
-        .agg(F.round(F.max("chunk_cos"), 4).alias("cosine"))
+        .agg(pinned_round(F.max("chunk_cos"), 4).alias("cosine"))
         .orderBy(F.desc("cosine"), "doc_id")
         .limit(k)
     )

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from newscrawler_spark.functions.rounding import pinned_round
+
 # --- shingling ---------------------------------------------------------
 
 
@@ -106,7 +108,7 @@ def jaccard_candidates(
         .join(sb, "doc_b")
         .withColumn(
             "jaccard",
-            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4),
+            pinned_round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "shared", "na", "nb", "jaccard")
@@ -251,7 +253,7 @@ def minhash_near_dups(
         .join(sb, "doc_b")
         .withColumn(
             "jaccard",
-            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4),
+            pinned_round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

@@ -86,12 +86,14 @@ def gopher_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         & (dupf <= GOPHER_MAX_DUP_WORD_FRAC)
         & (topf <= GOPHER_MAX_TOP_WORD_FRAC)
     )
+    from newscrawler_spark.functions.rounding import pinned_round
+
     return agg.select(
         "doc_id",
         F.col("n_words").cast("long").alias("n_words"),
-        F.round(mwl, 4).alias("mean_word_len"),
-        F.round(dupf, 4).alias("dup_word_frac"),
-        F.round(topf, 4).alias("top_word_frac"),
+        pinned_round(mwl, 4).alias("mean_word_len"),
+        pinned_round(dupf, 4).alias("dup_word_frac"),
+        pinned_round(topf, 4).alias("top_word_frac"),
         keep.alias("keep"),
     )
 

@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from newscrawler_spark.functions.rounding import pinned_round
+
 from .chunks import chunk_scores_kernel
 
 # chars-per-token heuristic: the reference estimates tokens as
@@ -93,7 +95,7 @@ def assemble_context_kernel(
         .select(
             "doc_id",
             "chunk_id",
-            F.round("cosine_raw", 4).alias("cosine"),
+            pinned_round(F.col("cosine_raw"), 4).alias("cosine"),
             "token_est",
             "cum_tokens",
         )
@@ -294,7 +296,7 @@ def semantic_cache_lookup(
     )
     c = cache.select(F.col(cache_id), F.col(vec_col).alias("__cv"))
     # single copy of the cosine contract (similarity._dot_expr/_norm_expr)
-    cos = F.round(
+    cos = pinned_round(
         F.expr(_dot_expr("__qv", "__cv"))
         / (F.expr(_norm_expr("__qv")) * F.expr(_norm_expr("__cv"))),
         4,

@@ -24,6 +24,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from newscrawler_spark.functions.rounding import pinned_round
+
 from ..functions.relevance import relevance_score
 from ..functions.text import topics
 from .similarity import _array_lit, _dot_expr, _norm_expr
@@ -151,7 +153,7 @@ def hybrid_search(
     cos = F.when(
         enorm != 0.0, F.expr(_dot_expr("embedding", qlit)) / (enorm * F.lit(qnorm))
     ).otherwise(F.lit(0.0))
-    score = F.round(
+    score = pinned_round(
         F.lit(semantic_weight) * cos
         + F.lit(1.0 - semantic_weight) * F.least(F.col("kw_hits") / 10.0, F.lit(1.0)),
         4,

@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from newscrawler_spark.functions.rounding import pinned_round
+
 
 def _dot_expr(vec_col: str, qlit: str) -> str:
     """SQL expr: Σ vec[i]*q[i] in double, sequential left fold."""
@@ -67,7 +69,7 @@ def cosine_topk(
     qnorm = math.sqrt(sum(float(x) * float(x) for x in query))
     sim = F.expr(_dot_expr(vec_col, qlit)) / (F.expr(_norm_expr(vec_col)) * F.lit(qnorm))
     return (
-        embeddings.select(F.col(id_col), F.round(sim, 4).alias("cosine"))
+        embeddings.select(F.col(id_col), pinned_round(sim, 4).alias("cosine"))
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
@@ -280,7 +282,7 @@ def embedding_near_dup_pairs(
     pairs = cand.join(a, "id_a").join(b, "id_b")
     dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)")
     return (
-        pairs.withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 4))
+        pairs.withColumn("cosine", pinned_round(dot / (F.col("na") * F.col("nb")), 4))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -341,7 +343,7 @@ def ivf_assign_expr(centroids: list[tuple[int, list[float]]], vec_col: str = "em
     for cid, cvec in centroids:
         qlit = _array_lit(cvec)
         cnorm = math.sqrt(sum(x * x for x in cvec))
-        sim = F.round(
+        sim = pinned_round(
             F.expr(_dot_expr(vec_col, qlit)) / (F.expr(_norm_expr(vec_col)) * F.lit(cnorm)),
             4,
         )

@@ -302,12 +302,13 @@ w AS (
     CASE WHEN n_images > 0 THEN 0.2 ELSE 0.0 END AS img_w
   FROM a)
 SELECT url, url_hash, source_domain, title,
-  round((least(length(text) / 2000.0, 1.0) * content_w
+  floor(((least(length(text) / 2000.0, 1.0) * content_w
        + 0.3 * (0.25 * (CASE WHEN n_authors > 0 THEN 1.0 ELSE 0.0 END)
               + 0.25 * (CASE WHEN has_published THEN 1.0 ELSE 0.0 END))
        + least(length(title) / 50.0, 1.0) * title_w
        + least(n_images / 3.0, 1.0) * img_w)
-      / (content_w + 0.3 + title_w + img_w), 6) AS quality_score,
+      / (content_w + 0.3 + title_w + img_w)) * 1000000.0 + 0.5) / 1000000.0
+    AS quality_score,
   round_id, fetch_seq
 FROM w
 """
