@@ -1185,6 +1185,157 @@ FROM final GROUP BY source
 
 SQL_PIPELINE_CLEAN = _sql_pipeline_clean_corpus()
 
+# Paragraph-dedup boilerplate plants: the synthetic documents are
+# single-line with no repeated spans, so (exactly like the PII query's
+# planted addresses) the query appends deterministic boilerplate
+# paragraphs — two shared footers hitting ~n/3 and ~n/5 docs (dropped
+# at min_docs=5) and one doc-unique footer (must survive).
+_PARA_BOILER_A = "subscribe to our newsletter for daily updates"
+_PARA_BOILER_B = "all rights reserved contact the editor"
+_PARA_MIN_DOCS = 5
+
+
+def _planted_paragraph_docs(docs):
+    t = F.col("text")
+    t = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(t, F.lit("\n\n" + _PARA_BOILER_A))
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(t, F.lit("\n\n" + _PARA_BOILER_B))
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(t, F.lit("\n\nfooter id "), F.col("doc_id").cast("string")),
+    ).otherwise(t)
+    return docs.select("doc_id", t.alias("text"))
+
+
+def q_dedup_paragraphs(spark, sf_dir):
+    """CCNet-style cross-corpus paragraph/boilerplate dedup
+    (operators/dedup.paragraph_dedup): paragraphs appearing in >= 5
+    distinct docs are dropped; per-doc counts + md5 of the rebuilt
+    text gate the reassembly order too."""
+    from newscrawler_spark.operators.dedup import paragraph_dedup
+
+    docs = _planted_paragraph_docs(_t(spark, sf_dir, "documents"))
+    return paragraph_dedup(docs, min_docs=_PARA_MIN_DOCS)
+
+
+SQL_DEDUP_PARAGRAPHS = rf"""
+WITH planted AS (
+  SELECT doc_id,
+    text
+      || CASE WHEN doc_id % 3 = 0 THEN e'\n\n{_PARA_BOILER_A}' ELSE '' END
+      || CASE WHEN doc_id % 5 = 0 THEN e'\n\n{_PARA_BOILER_B}' ELSE '' END
+      || CASE WHEN doc_id % 7 = 0
+              THEN e'\n\nfooter id ' || CAST(doc_id AS VARCHAR) ELSE '' END
+      AS text
+  FROM documents),
+arr AS (
+  SELECT doc_id, regexp_split_to_array(text, '\n\n') AS a FROM planted),
+raw AS (
+  SELECT doc_id,
+         unnest([{{'pos': i, 'para': a[i]}} FOR i IN range(1, len(a) + 1)]) AS u
+  FROM arr),
+paras AS (
+  SELECT doc_id, u.pos AS pos, u.para AS para, md5(trim(u.para)) AS h
+  FROM raw WHERE trim(u.para) != ''),
+boiler AS (
+  SELECT h FROM paras GROUP BY h
+  HAVING count(DISTINCT doc_id) >= {_PARA_MIN_DOCS}),
+marked AS (
+  SELECT p.*, (b.h IS NULL) AS keep
+  FROM paras p LEFT JOIN boiler b USING (h))
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_paras,
+  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+  CAST(coalesce(sum(CASE WHEN keep THEN len(para) END), 0) AS BIGINT)
+    AS kept_chars,
+  md5(coalesce(string_agg(para, e'\n\n' ORDER BY pos)
+               FILTER (WHERE keep), '')) AS cleaned_md5
+FROM marked GROUP BY doc_id
+"""
+
+
+# 512-token blocks in the gate query (not the operator's 2048 default):
+# a gate-SF shard holds ~1.4k tokens, so 2048 would leave every shard in
+# block 0 and the row would prove nothing about the chunking arithmetic.
+_PACK_GATE_BLOCK = 512
+
+
+def q_pipeline_pack_sequences(spark, sf_dir):
+    """GPT-style concat-then-chunk sequence packing per source shard
+    (operators/packing.pack_sequences): exclusive running token sum →
+    fixed-size block ids; per-shard windows, no global sort."""
+    from newscrawler_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), block_tokens=_PACK_GATE_BLOCK
+    )
+
+
+def _sql_pipeline_pack_sequences() -> str:
+    PACK_BLOCK_TOKENS = _PACK_GATE_BLOCK
+    ws = r"[ \t\n\r\f\x0b]+"
+    return rf"""
+WITH t AS (
+  SELECT source AS shard, doc_id AS doc,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '{ws}')) END AS toks
+  FROM documents),
+laid AS (
+  SELECT shard, doc, toks,
+         sum(toks) OVER (PARTITION BY shard ORDER BY doc) - toks AS start
+  FROM t)
+SELECT shard, CAST(floor(start / {PACK_BLOCK_TOKENS}) AS BIGINT) AS block_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS n_tokens,
+       min(doc) AS first_doc, max(doc) AS last_doc
+FROM laid GROUP BY 1, 2
+"""
+
+
+SQL_PIPELINE_PACK = _sql_pipeline_pack_sequences()
+
+
+def q_pipeline_domain_mix(spark, sf_dir):
+    """Temperature-flattened (alpha=0.5, mT5 §3.1) domain sampling
+    weights (operators/packing.domain_mix); the smoothing normalizer is
+    an order-free integer sum so both engines agree bit-for-bit."""
+    from newscrawler_spark.operators.packing import domain_mix
+
+    return domain_mix(_t(spark, sf_dir, "documents"))
+
+
+def _sql_pipeline_domain_mix() -> str:
+    from newscrawler_spark.functions.rounding import pinned_round_sql
+    from newscrawler_spark.operators.packing import MIX_ALPHA_SCALE
+
+    ws = r"[ \t\n\r\f\x0b]+"
+    return rf"""
+WITH per AS (
+  SELECT source AS domain,
+         CAST(sum(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '{ws}')) END) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY 1),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM per),
+wq AS (
+  SELECT domain, n_tokens, total,
+         CAST(floor(sqrt(n_tokens / CAST(total AS DOUBLE)) * {float(MIX_ALPHA_SCALE)})
+              AS BIGINT) AS q
+  FROM per, tot),
+zt AS (SELECT CAST(sum(q) AS BIGINT) AS z FROM wq)
+SELECT domain, n_tokens,
+  {pinned_round_sql("n_tokens / CAST(total AS DOUBLE)", 6)} AS p,
+  {pinned_round_sql("q / CAST(z AS DOUBLE)", 6)} AS share,
+  {pinned_round_sql("(q / CAST(z AS DOUBLE)) / (n_tokens / CAST(total AS DOUBLE))", 4)} AS weight
+FROM wq, zt
+"""
+
+
+SQL_PIPELINE_MIX = _sql_pipeline_domain_mix()
+
 
 def q_text_topics(spark, sf_dir):
     """X8: keyword topic classifier (topics/classifier.py analog).
@@ -2804,6 +2955,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_sample_stratified": q_pipeline_sample_stratified,
         "decontaminate_ngram": q_decontaminate_ngram,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "pipeline_pack_sequences": q_pipeline_pack_sequences,
+        "pipeline_domain_mix": q_pipeline_domain_mix,
         "text_topics": q_text_topics,
         "text_entities": q_text_entities,
         "entity_lookup": q_entity_lookup,
@@ -2872,6 +3026,9 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_sample_stratified": SQL_PIPELINE_SAMPLE,
         "decontaminate_ngram": SQL_DECONTAMINATE,
         "pipeline_clean_corpus": SQL_PIPELINE_CLEAN,
+        "dedup_paragraphs": SQL_DEDUP_PARAGRAPHS,
+        "pipeline_pack_sequences": SQL_PIPELINE_PACK,
+        "pipeline_domain_mix": SQL_PIPELINE_MIX,
         "text_topics": SQL_TEXT_TOPICS,
         "text_entities": SQL_TEXT_ENTITIES,
         "entity_lookup": SQL_ENTITY_LOOKUP,

@@ -78,6 +78,9 @@ BENCH_QUERIES = [
     "pipeline_sample_stratified",
     "decontaminate_ngram",
     "pipeline_clean_corpus",
+    "dedup_paragraphs",
+    "pipeline_pack_sequences",
+    "pipeline_domain_mix",
 ]
 
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))

@@ -324,3 +324,63 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text", max_hamming: int = 
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# --- paragraph-level boilerplate dedup ---------------------------------
+
+
+def paragraph_dedup(
+    docs: DataFrame, text_col: str = "text", min_docs: int = 5
+) -> DataFrame:
+    """CCNet-style cross-corpus paragraph dedup: drop every paragraph
+    (``\\n\\n``-separated span) whose hash appears in >= `min_docs`
+    distinct documents — the classic boilerplate signature (nav bars,
+    subscribe footers, licence blurbs).  Returns one row per document:
+    (doc_id, n_paras, n_dropped, kept_chars, cleaned_md5) where
+    cleaned_md5 hashes the surviving paragraphs re-joined with
+    ``\\n\\n`` in original order.
+
+    Scale shape (the CCNet plan): one shuffle keyed on the paragraph
+    hash builds the document-frequency table with map-side combine; the
+    boilerplate set (only hashes crossing `min_docs`) is tiny by
+    construction — a web corpus has few paragraphs repeated across many
+    documents relative to distinct paragraphs — so it broadcasts, and
+    the corpus streams through a map-side hash anti-probe.  The rebuild
+    is a single groupBy(doc_id) whose payload is the document itself
+    (same volume as the scan).  No driver-side state.
+    """
+    paras = (
+        docs.select(
+            "doc_id", F.posexplode(F.split(F.col(text_col), r"\n\n")).alias("pos", "para")
+        )
+        .where(F.trim("para") != "")
+        .withColumn("h", F.md5(F.trim(F.col("para"))))
+    )
+    boiler = (
+        paras.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("h", F.lit(True).alias("is_boiler"))
+    )
+    marked = paras.join(F.broadcast(boiler), "h", "left")
+    keep = F.col("is_boiler").isNull()
+    kept_struct = F.when(keep, F.struct("pos", "para"))
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum(F.when(keep, 0).otherwise(1)).cast("long").alias("n_dropped"),
+        F.coalesce(F.sum(F.when(keep, F.length("para"))), F.lit(0))
+        .cast("long")
+        .alias("kept_chars"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    # collect_list skips the NULLs the when() leaves for
+                    # dropped paragraphs; array_sort on (pos, para)
+                    # restores document order post-shuffle
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["para"],
+                ),
+                "\n\n",
+            )
+        ).alias("cleaned_md5"),
+    )

@@ -1,0 +1,122 @@
+"""Sequence packing, domain mix (operators/packing.py) and
+paragraph-level boilerplate dedup (operators/dedup.paragraph_dedup)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Row
+
+from newscrawler_spark.operators.dedup import paragraph_dedup
+from newscrawler_spark.operators.packing import domain_mix, pack_sequences
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+# --- paragraph_dedup ----------------------------------------------------
+
+
+def _para_rows(spark, texts):
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    return {r["doc_id"]: r for r in paragraph_dedup(df, min_docs=2).collect()}
+
+
+def test_paragraph_dedup_drops_boilerplate_keeps_unique(spark):
+    boiler = "subscribe now"
+    texts = [
+        f"unique body {i}\n\n{boiler}" if i < 2 else f"unique body {i}\n\nown footer {i}"
+        for i in range(4)
+    ]
+    out = _para_rows(spark, texts)
+    for i in (0, 1):  # boilerplate appears in 2 docs >= min_docs=2
+        assert out[i]["n_paras"] == 2 and out[i]["n_dropped"] == 1
+        assert out[i]["cleaned_md5"] == _md5(f"unique body {i}")
+    for i in (2, 3):  # own footer is doc-unique — survives
+        assert out[i]["n_dropped"] == 0
+        assert out[i]["cleaned_md5"] == _md5(f"unique body {i}\n\nown footer {i}")
+
+
+def test_paragraph_dedup_order_and_all_dropped(spark):
+    # reassembly preserves original paragraph order even when a middle
+    # paragraph is dropped; a fully-boilerplate doc hashes ''
+    texts = ["a\n\nshared\n\nz", "shared", "shared\n\nshared"]
+    out = _para_rows(spark, texts)
+    assert out[0]["cleaned_md5"] == _md5("a\n\nz")
+    assert out[1]["cleaned_md5"] == _md5("") and out[1]["kept_chars"] == 0
+    # duplicate paragraph twice in one doc: counted per occurrence
+    assert out[2]["n_paras"] == 2 and out[2]["n_dropped"] == 2
+
+
+def test_paragraph_dedup_blank_paragraphs_skipped(spark):
+    out = _para_rows(spark, ["a\n\n\n\nb", "c"])
+    assert out[0]["n_paras"] == 2  # the empty middle span never counts
+
+
+# --- pack_sequences -----------------------------------------------------
+
+
+def test_pack_sequences_blocks_and_straddle(spark):
+    # tokens: doc0=3, doc1=4, doc2=2 in one shard, block=5:
+    # starts 0,3,7 -> blocks 0,0,1 (doc1 straddles but belongs to its
+    # start block)
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, source="s", text="a b c"),
+            Row(doc_id=1, source="s", text="d e f g"),
+            Row(doc_id=2, source="s", text="h i"),
+            Row(doc_id=3, source="t", text="x"),
+        ]
+    )
+    rows = {
+        (r["shard"], r["block_id"]): r
+        for r in pack_sequences(df, block_tokens=5).collect()
+    }
+    b0 = rows[("s", 0)]
+    assert b0["n_docs"] == 2 and b0["n_tokens"] == 7
+    assert b0["first_doc"] == 0 and b0["last_doc"] == 1
+    b1 = rows[("s", 1)]
+    assert b1["n_docs"] == 1 and b1["first_doc"] == 2
+    assert rows[("t", 0)]["n_tokens"] == 1
+
+
+def test_pack_sequences_shards_independent(spark):
+    # identical doc sets in two shards pack identically
+    rows = [
+        Row(doc_id=i + off, source=s, text="w " * 10)
+        for s, off in (("a", 0), ("b", 100))
+        for i in range(6)
+    ]
+    out = pack_sequences(
+        spark.createDataFrame(rows), block_tokens=25
+    ).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append((r["block_id"], r["n_docs"], r["n_tokens"]))
+    assert sorted(by_shard["a"]) == sorted(by_shard["b"])
+
+
+# --- domain_mix ---------------------------------------------------------
+
+
+def test_domain_mix_flattens_toward_tail(spark):
+    rows = [Row(doc_id=i, source="big", text="w " * 99) for i in range(9)]
+    rows += [Row(doc_id=100, source="small", text="w " * 99)]
+    out = {r["domain"]: r for r in domain_mix(spark.createDataFrame(rows)).collect()}
+    assert out["big"]["weight"] < 1.0 < out["small"]["weight"]
+    # alpha=0.5 exact: p=0.9/0.1 -> shares proportional to sqrt
+    sb, ss = math.sqrt(0.9), math.sqrt(0.1)
+    assert abs(out["big"]["share"] - sb / (sb + ss)) < 1e-4
+    assert abs(out["small"]["share"] - ss / (sb + ss)) < 1e-4
+    assert abs(out["big"]["share"] + out["small"]["share"] - 1.0) < 1e-4
+
+
+def test_domain_mix_uniform_is_identity(spark):
+    rows = [
+        Row(doc_id=i, source=f"s{i % 4}", text="a b c d e") for i in range(8)
+    ]
+    out = domain_mix(spark.createDataFrame(rows)).collect()
+    assert all(abs(r["weight"] - 1.0) < 1e-3 for r in out)
+    assert all(r["n_tokens"] == 10 for r in out)
