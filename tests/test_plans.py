@@ -278,3 +278,27 @@ def test_budget_round_broadcast0_missing_antijoin_unhinted(spark, tmp_path):
     # kind may be injected (Catalyst/AQE then owns the strategy)
     logical = df._jdf.queryExecution().logical().toString()
     assert "hint" not in logical.lower(), logical
+
+
+def test_paragraph_dedup_distinct_agg_is_skew_safe(spark):
+    """paragraph_dedup's document-frequency count must plan as Spark's
+    two-stage distinct-agg rewrite: the FIRST aggregate keys on
+    (h, doc_id) — doc_id in the grouping key means a boilerplate
+    paragraph shared by 10^9 docs still spreads across all reducers —
+    and the count-per-hash stage map-side combines.  A plan that
+    grouped straight on h with an exact distinct set per key would
+    funnel every occurrence of the hottest paragraph into one task."""
+    from newscrawler_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"body {i}\n\nshared footer") for i in range(30)],
+        "doc_id long, text string",
+    )
+    plan = _plan(paragraph_dedup(docs, min_docs=2), "simple")
+    import re
+
+    keys = re.findall(r"HashAggregate\(keys=\[([^\]]*)\]", plan)
+    # the (h, doc_id) pre-dedup stage must exist...
+    assert any("h#" in k and "doc_id#" in k for k in keys), keys
+    # ...and feed a partial (map-side) distinct count keyed on h alone
+    assert "partial_count(distinct doc_id" in plan
