@@ -1337,6 +1337,157 @@ FROM wq, zt
 SQL_PIPELINE_MIX = _sql_pipeline_domain_mix()
 
 
+def q_text_gopher_ngrams(spark, sf_dir):
+    """Gopher table-A1 n-gram repetition rules
+    (operators/quality.gopher_ngram_stats): top-2-gram and duplicated
+    2-/3-gram character fractions + keep verdict."""
+    from newscrawler_spark.operators.quality import gopher_ngram_stats
+
+    return gopher_ngram_stats(_t(spark, sf_dir, "documents"))
+
+
+def _sql_text_gopher_ngrams() -> str:
+    from newscrawler_spark.functions.rounding import pinned_round_sql
+    from newscrawler_spark.operators.quality import (
+        GOPHER_NG_MAX_DUP2,
+        GOPHER_NG_MAX_DUP3,
+        GOPHER_NG_MAX_TOP2,
+    )
+
+    ws = r"[ \t\n\r\f\x0b]+"
+    return rf"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '{ws}') AS w
+  FROM documents WHERE trim(text) != ''),
+base AS (
+  SELECT doc_id, len(array_to_string(w, ' ')) AS total_chars, w FROM d),
+grams AS (
+  SELECT doc_id, total_chars, 2 AS n,
+         unnest([array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]) AS g
+  FROM base WHERE len(w) >= 2
+  UNION ALL
+  SELECT doc_id, total_chars, 3 AS n,
+         unnest([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS g
+  FROM base WHERE len(w) >= 3),
+c AS (
+  SELECT doc_id, n, g, count(*) AS cnt, max(total_chars) AS total_chars
+  FROM grams GROUP BY 1, 2, 3),
+per AS (
+  SELECT doc_id, n,
+         max(cnt * len(g)) AS top_chars,
+         coalesce(sum(CASE WHEN cnt >= 2 THEN cnt * len(g) END), 0) AS dup_chars,
+         max(total_chars) AS total_chars
+  FROM c GROUP BY 1, 2),
+a AS (
+  SELECT doc_id,
+    max(CASE WHEN n = 2 THEN top_chars / CAST(total_chars AS DOUBLE) END) AS t2,
+    max(CASE WHEN n = 2
+        THEN least(dup_chars / CAST(total_chars AS DOUBLE), 1.0) END) AS d2,
+    coalesce(max(CASE WHEN n = 3
+        THEN least(dup_chars / CAST(total_chars AS DOUBLE), 1.0) END), 0.0) AS d3
+  FROM per GROUP BY 1)
+SELECT doc_id,
+  {pinned_round_sql("t2", 4)} AS top2_frac,
+  {pinned_round_sql("d2", 4)} AS dup2_frac,
+  {pinned_round_sql("d3", 4)} AS dup3_frac,
+  (t2 <= {GOPHER_NG_MAX_TOP2} AND d2 <= {GOPHER_NG_MAX_DUP2}
+   AND d3 <= {GOPHER_NG_MAX_DUP3}) AS keep
+FROM a
+"""
+
+
+SQL_TEXT_GOPHER_NGRAMS = _sql_text_gopher_ngrams()
+
+# URL-filter blocklist plant: every 6th source host is "on the UT1
+# list"; paths reuse the p1 paywall segment.
+_URL_BLOCK_MOD = 6
+
+
+def q_pipeline_url_filter(spark, sf_dir):
+    """RefinedWeb-style stage-1 URL triage
+    (operators/quality.url_filter): broadcast host blocklist probe +
+    banned-path regex, verdict per URL."""
+    from newscrawler_spark.operators.quality import url_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    urls = _doc_urls(docs)
+    blocked = (
+        docs.select(F.col("source")).distinct()
+        .where(F.substring("source", 4, 10).cast("int") % _URL_BLOCK_MOD == 0)
+        .select(F.concat("source", F.lit(".example.com")).alias("host"))
+    )
+    return url_filter(urls, blocked)
+
+
+def _sql_pipeline_url_filter() -> str:
+    from newscrawler_spark.operators.quality import URL_BANNED_PATH_RE
+
+    return f"""
+WITH u AS (SELECT doc_id, {_DOC_URL_SQL} AS url FROM documents),
+h AS (SELECT doc_id, url, regexp_extract(url, '^https?://([^/]+)/', 1) AS host FROM u),
+blocked AS (
+  SELECT DISTINCT source || '.example.com' AS host FROM documents
+  WHERE CAST(substring(source, 4) AS INT) % {_URL_BLOCK_MOD} = 0)
+SELECT doc_id, url, h.host,
+  CASE WHEN b.host IS NOT NULL THEN 'blocked_host'
+       WHEN regexp_matches(url, '{URL_BANNED_PATH_RE}') THEN 'blocked_path'
+       ELSE 'kept' END AS verdict
+FROM h LEFT JOIN blocked b ON b.host = h.host
+"""
+
+
+SQL_PIPELINE_URL_FILTER = _sql_pipeline_url_filter()
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup clustering (operators/graph.
+    connected_components) over the simhash Hamming<=1 pair graph:
+    keep-one-per-component, component = min reachable doc_id.  The
+    DuckDB oracle replays the closure with a recursive CTE — agreement
+    proves the log-round pointer-jumping propagation reaches the exact
+    fixpoint."""
+    from newscrawler_spark.operators.dedup import simhash_near_dups
+    from newscrawler_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_near_dups(docs, max_hamming=1)
+    comp = connected_components(
+        pairs, nodes=docs.select(F.col("doc_id").alias("id"))
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("component"),
+        (F.col("id") == F.col("comp")).alias("keep"),
+    )
+
+
+def _sql_dedup_clusters() -> str:
+    # reuse the simhash-pairs CTE chain verbatim (single source of truth
+    # for the signature arithmetic), then close it transitively
+    body = SQL_DEDUP_SIMHASH_PAIRS.strip()
+    assert body.startswith("WITH ")
+    ctes, select = body[5:].split("\nSELECT", 1)
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS (SELECT{select}),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+         FROM reach GROUP BY a)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS component,
+       (coalesce(c.component, d.doc_id) = d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
+
+SQL_DEDUP_CLUSTERS = _sql_dedup_clusters()
+
+
 def q_text_topics(spark, sf_dir):
     """X8: keyword topic classifier (topics/classifier.py analog).
     Topics surface as a comma-joined scalar — the driver's value hasher
@@ -2958,6 +3109,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": q_dedup_paragraphs,
         "pipeline_pack_sequences": q_pipeline_pack_sequences,
         "pipeline_domain_mix": q_pipeline_domain_mix,
+        "text_gopher_ngrams": q_text_gopher_ngrams,
+        "pipeline_url_filter": q_pipeline_url_filter,
+        "dedup_clusters": q_dedup_clusters,
         "text_topics": q_text_topics,
         "text_entities": q_text_entities,
         "entity_lookup": q_entity_lookup,
@@ -3029,6 +3183,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_paragraphs": SQL_DEDUP_PARAGRAPHS,
         "pipeline_pack_sequences": SQL_PIPELINE_PACK,
         "pipeline_domain_mix": SQL_PIPELINE_MIX,
+        "text_gopher_ngrams": SQL_TEXT_GOPHER_NGRAMS,
+        "pipeline_url_filter": SQL_PIPELINE_URL_FILTER,
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "text_topics": SQL_TEXT_TOPICS,
         "text_entities": SQL_TEXT_ENTITIES,
         "entity_lookup": SQL_ENTITY_LOOKUP,

@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     "dedup_paragraphs",
     "pipeline_pack_sequences",
     "pipeline_domain_mix",
+    "text_gopher_ngrams",
+    "pipeline_url_filter",
+    "dedup_clusters",
 ]
 
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))

@@ -90,7 +90,10 @@ def domain_mix(
     # agg-and-join-back form planned 4 independent corpus scans —
     # Catalyst does not reuse the identical aggregate subtrees).  The
     # single-partition window holds #domains rows, not corpus rows.
-    wall = Window.partitionBy()
+    # constant partition key = same single-partition shape as an empty
+    # spec, without WindowExec's all-data-to-one-partition warning (the
+    # input here is the per-domain aggregate, not the corpus)
+    wall = Window.partitionBy(F.lit(0))
     scaled = per.withColumn(
         "total", F.sum("n_tokens").over(wall).cast("long")
     ).withColumn(

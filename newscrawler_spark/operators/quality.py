@@ -167,3 +167,118 @@ def pii_scrub(text: Column) -> Column:
     scrubbed = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
     scrubbed = F.regexp_replace(scrubbed, PII_PHONE_RE, "<PHONE>")
     return F.regexp_replace(scrubbed, PII_IPV4_RE, "<IP>")
+
+
+# Gopher table-A1 n-gram repetition thresholds, tuned non-vacuous for
+# the synthetic docs (published Gopher: top-2-gram 0.20, dup-5-gram
+# 0.15..0.30 over much longer documents).
+GOPHER_NG_MAX_TOP2 = 0.12
+GOPHER_NG_MAX_DUP2 = 0.22
+GOPHER_NG_MAX_DUP3 = 0.05
+
+
+def gopher_ngram_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-family *n-gram* repetition stats (the word-level
+    complement lives in :func:`gopher_stats`): per document with >= 2
+    words,
+      top2_frac — chars of the most frequent 2-gram × its count over
+                  the whitespace-normalized doc length,
+      dup2_frac / dup3_frac — chars covered by n-grams occurring >= 2
+                  times (count × gram length, clamped to 1.0),
+      keep — all three under their thresholds (compared unrounded).
+
+    Plan shape: same token-stream plan as gopher_stats, from ONE corpus
+    scan — n ∈ {2, 3} is exploded as a column (a union of per-n
+    branches re-scans the corpus once per n), each doc is a single
+    input row so the (doc_id, n, gram) partial count finalizes
+    map-side, and the per-doc rollups shuffle only doc-sized rows.
+    """
+    from newscrawler_spark.functions.rounding import pinned_round
+
+    t = F.trim(F.lower(F.col(text_col)))
+    base = docs.where(t != "").select(
+        "doc_id", F.split(t, _WS).alias("w")
+    ).withColumn("total_chars", F.length(F.array_join("w", " ")))
+    fanned = base.select(
+        "doc_id",
+        "total_chars",
+        "w",
+        F.explode(F.array(F.lit(2), F.lit(3))).alias("n"),
+    ).where(F.size("w") >= F.col("n"))
+    grams = fanned.select(
+        "doc_id",
+        "total_chars",
+        "n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - F.col("n")),
+                lambda i: F.array_join(F.slice("w", i + 1, F.col("n")), " "),
+            )
+        ).alias("g"),
+    )
+    counts = grams.groupBy("doc_id", "n", "g").agg(
+        F.count("*").alias("cnt"), F.max("total_chars").alias("total_chars")
+    )
+    chars = F.col("cnt") * F.length("g")
+    per = counts.groupBy("doc_id", "n").agg(
+        F.max(chars).alias("top_chars"),
+        F.coalesce(F.sum(F.when(F.col("cnt") >= 2, chars)), F.lit(0)).alias("dup_chars"),
+        F.max("total_chars").alias("total_chars"),
+    )
+    tot = F.col("total_chars").cast("double")
+    top2 = F.max(F.when(F.col("n") == 2, F.col("top_chars") / tot))
+    dup2 = F.max(F.when(F.col("n") == 2, F.least(F.col("dup_chars") / tot, F.lit(1.0))))
+    dup3 = F.coalesce(
+        F.max(F.when(F.col("n") == 3, F.least(F.col("dup_chars") / tot, F.lit(1.0)))),
+        F.lit(0.0),
+    )
+    agg = per.groupBy("doc_id").agg(
+        top2.alias("_top2"), dup2.alias("_dup2"), dup3.alias("_dup3")
+    )
+    keep = (
+        (F.col("_top2") <= GOPHER_NG_MAX_TOP2)
+        & (F.col("_dup2") <= GOPHER_NG_MAX_DUP2)
+        & (F.col("_dup3") <= GOPHER_NG_MAX_DUP3)
+    )
+    return agg.select(
+        "doc_id",
+        pinned_round(F.col("_top2"), 4).alias("top2_frac"),
+        pinned_round(F.col("_dup2"), 4).alias("dup2_frac"),
+        pinned_round(F.col("_dup3"), 4).alias("dup3_frac"),
+        keep.alias("keep"),
+    )
+
+
+# RefinedWeb-style stage-1 URL filtering: a blocklist of hosts plus a
+# banned-path pattern, applied before any fetch/extraction spend.
+URL_BANNED_PATH_RE = "/(premium|subscriber|member)/"
+
+
+def url_filter(
+    urls: DataFrame,
+    blocked_hosts: DataFrame,
+    banned_path_re: str = URL_BANNED_PATH_RE,
+) -> DataFrame:
+    """Stage-1 URL triage (RefinedWeb §3.1 / UT1-blocklist style):
+    verdict per row — 'blocked_host' (host in the blocklist, checked
+    first), 'blocked_path' (url matches `banned_path_re`), else 'kept'.
+
+    `blocked_hosts` must have a single `host` column; it is a curated
+    blocklist (UT1 is ~4M lines ≈ tens of MB) so it broadcasts — the
+    100 TB frontier streams through a map-side hash probe, zero
+    shuffle.  Host extraction is a shared-regex contract (`^https?://
+    ([^/]+)/`, identical under Java regex and RE2) rather than
+    parse_url, which has no DuckDB twin.
+    """
+    host = F.regexp_extract(F.col("url"), r"^https?://([^/]+)/", 1)
+    marked = urls.withColumn("host", host).join(
+        F.broadcast(blocked_hosts.select("host").withColumn("_blk", F.lit(True))),
+        "host",
+        "left",
+    )
+    verdict = (
+        F.when(F.col("_blk").isNotNull(), "blocked_host")
+        .when(F.col("url").rlike(banned_path_re), "blocked_path")
+        .otherwise("kept")
+    )
+    return marked.select("doc_id", "url", "host", verdict.alias("verdict"))

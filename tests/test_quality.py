@@ -220,3 +220,62 @@ def test_pii_email_consumes_dotted_host(spark):
     df = spark.createDataFrame([Row(t="u@10.0.0.7x.example.com end")])
     out = df.select(pii_scrub(F.col("t")).alias("s")).first()
     assert out["s"] == "<EMAIL> end"
+
+
+def test_gopher_ngram_fractions_exact(spark):
+    from newscrawler_spark.operators.quality import gopher_ngram_stats
+
+    # "a b a b c": 2-grams = [a b, b a, a b, b c] -> 'a b' x2 (3 chars),
+    # total_chars = 9; top2 = 2*3/9; dup2 = 2*3/9; 3-grams all unique.
+    df = spark.createDataFrame([Row(doc_id=0, text="a b a b c")])
+    r = gopher_ngram_stats(df).collect()[0]
+    assert abs(r["top2_frac"] - 6 / 9) < 1e-4
+    assert abs(r["dup2_frac"] - 6 / 9) < 1e-4
+    assert r["dup3_frac"] == 0.0 and not r["keep"]
+
+
+def test_gopher_ngram_dup3_and_keep(spark):
+    from newscrawler_spark.operators.quality import gopher_ngram_stats
+
+    # long unique doc keeps; heavy 3-gram repetition fails dup3
+    uniq = " ".join(f"w{i}" for i in range(80))
+    rep = "x y z " * 10 + "tail"
+    rows = {r["doc_id"]: r for r in gopher_ngram_stats(
+        spark.createDataFrame(
+            [Row(doc_id=0, text=uniq), Row(doc_id=1, text=rep)]
+        )
+    ).collect()}
+    assert rows[0]["keep"] and rows[0]["dup2_frac"] == 0.0
+    assert rows[1]["dup3_frac"] > 0.5 and not rows[1]["keep"]
+
+
+def test_gopher_ngram_short_docs_excluded(spark):
+    from newscrawler_spark.operators.quality import gopher_ngram_stats
+
+    out = gopher_ngram_stats(
+        spark.createDataFrame(
+            [Row(doc_id=0, text="solo"), Row(doc_id=1, text="two words")]
+        )
+    ).collect()
+    assert [r["doc_id"] for r in out] == [1]  # <2 words has no 2-gram
+
+
+def test_url_filter_verdict_precedence(spark):
+    from newscrawler_spark.operators.quality import url_filter
+
+    urls = spark.createDataFrame(
+        [
+            Row(doc_id=0, url="https://bad.com/premium/x"),  # host beats path
+            Row(doc_id=1, url="https://ok.com/premium/x"),
+            Row(doc_id=2, url="https://ok.com/news/x"),
+            Row(doc_id=3, url="http://bad.com/news/x"),  # http scheme too
+        ]
+    )
+    blocked = spark.createDataFrame([Row(host="bad.com")])
+    out = {r["doc_id"]: r["verdict"] for r in url_filter(urls, blocked).collect()}
+    assert out == {
+        0: "blocked_host",
+        1: "blocked_path",
+        2: "kept",
+        3: "blocked_host",
+    }
