@@ -1487,6 +1487,110 @@ FROM documents d LEFT JOIN comp c USING (doc_id)
 
 SQL_DEDUP_CLUSTERS = _sql_dedup_clusters()
 
+# DSIR target split: every 7th doc plays the curated target sample (a
+# real deployment fits against an external corpus, e.g. Wikipedia).
+_DSIR_MOD = 7
+
+
+def q_pipeline_dsir_weights(spark, sf_dir):
+    """DSIR importance-resampling weights (operators/selection.
+    dsir_weights): hashed unigram+bigram log-likelihood ratio of each
+    raw-pool doc against the target split — fit pass reduces to a
+    64-bucket dim, score pass broadcast-probes it."""
+    from newscrawler_spark.operators.selection import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(docs, F.col("doc_id") % _DSIR_MOD == 0)
+
+
+def _sql_pipeline_dsir_weights() -> str:
+    from newscrawler_spark.functions.rounding import pinned_round_sql
+    from newscrawler_spark.operators.selection import DSIR_BUCKETS
+
+    ws = r"[ \t\n\r\f\x0b]+"
+    nb = DSIR_BUCKETS
+    return rf"""
+WITH d AS (
+  SELECT doc_id, (doc_id % {_DSIR_MOD} = 0) AS tgt,
+         regexp_split_to_array(trim(lower(text)), '{ws}') AS w
+  FROM documents WHERE trim(lower(text)) != ''),
+grams AS (
+  SELECT doc_id, tgt, unnest(w) AS g FROM d
+  UNION ALL
+  SELECT doc_id, tgt,
+         unnest([array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]) AS g
+  FROM d WHERE len(w) >= 2),
+gb AS (
+  SELECT doc_id, tgt,
+         CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) % {nb} AS b
+  FROM grams),
+cnt AS (
+  SELECT b, coalesce(sum(CASE WHEN tgt THEN 1 END), 0) AS ct,
+         coalesce(sum(CASE WHEN NOT tgt THEN 1 END), 0) AS cr
+  FROM gb GROUP BY b),
+dense AS (
+  SELECT r.range AS b, coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+  FROM range({nb}) r LEFT JOIN cnt ON cnt.b = r.range),
+dim AS (
+  SELECT b, ln(ct + 1) - ln(cr + 1)
+         - ln(sum(ct) OVER () + {nb}) + ln(sum(cr) OVER () + {nb}) AS llr
+  FROM dense),
+per AS (SELECT doc_id, b, count(*) AS c FROM gb WHERE NOT tgt GROUP BY 1, 2),
+s AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         {pinned_round_sql("sum(c * llr)", 4)} AS logw
+  FROM per JOIN dim USING (b) GROUP BY doc_id)
+SELECT doc_id, n_grams, logw, logw > 0 AS keep FROM s
+"""
+
+
+SQL_PIPELINE_DSIR = _sql_pipeline_dsir_weights()
+
+
+def q_dedup_substrings(spark, sf_dir):
+    """Duplicated-substring exposure (operators/dedup.
+    substring_dup_stats): fraction of each doc's 8-word-gram positions
+    whose gram appears in >= 2 documents; broadcast boilerplate-gram
+    probe."""
+    from newscrawler_spark.operators.dedup import substring_dup_stats
+
+    return substring_dup_stats(_t(spark, sf_dir, "documents"))
+
+
+def _sql_dedup_substrings() -> str:
+    from newscrawler_spark.functions.rounding import pinned_round_sql
+    from newscrawler_spark.operators.dedup import (
+        SUBSTR_DUP_MAX_FRAC,
+        SUBSTR_DUP_N,
+    )
+
+    ws = r"[ \t\n\r\f\x0b]+"
+    n = SUBSTR_DUP_N
+    dup_c = "coalesce(sum(CASE WHEN is_dup THEN c END), 0)"
+    frac = f"{dup_c} / CAST(sum(c) AS DOUBLE)"
+    return rf"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '{ws}') AS w
+  FROM documents),
+pos AS (
+  SELECT doc_id,
+         unnest([array_to_string(w[i:i+{n - 1}], ' ')
+                 FOR i IN range(1, len(w) - {n - 2})]) AS g
+  FROM d WHERE len(w) >= {n}),
+per AS (SELECT doc_id, g, count(*) AS c FROM pos GROUP BY 1, 2),
+dup AS (SELECT g FROM per GROUP BY g HAVING count(*) >= 2),
+m AS (SELECT per.doc_id, per.c, (dup.g IS NOT NULL) AS is_dup
+      FROM per LEFT JOIN dup ON per.g = dup.g)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+       CAST({dup_c} AS BIGINT) AS dup_grams,
+       {pinned_round_sql(frac, 4)} AS dup_frac,
+       {frac} <= {SUBSTR_DUP_MAX_FRAC} AS keep
+FROM m GROUP BY doc_id
+"""
+
+
+SQL_DEDUP_SUBSTRINGS = _sql_dedup_substrings()
+
 
 def q_text_topics(spark, sf_dir):
     """X8: keyword topic classifier (topics/classifier.py analog).
@@ -3112,6 +3216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_ngrams": q_text_gopher_ngrams,
         "pipeline_url_filter": q_pipeline_url_filter,
         "dedup_clusters": q_dedup_clusters,
+        "pipeline_dsir_weights": q_pipeline_dsir_weights,
+        "dedup_substrings": q_dedup_substrings,
         "text_topics": q_text_topics,
         "text_entities": q_text_entities,
         "entity_lookup": q_entity_lookup,
@@ -3186,6 +3292,8 @@ def oracle_sql() -> dict[str, str]:
         "text_gopher_ngrams": SQL_TEXT_GOPHER_NGRAMS,
         "pipeline_url_filter": SQL_PIPELINE_URL_FILTER,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
+        "pipeline_dsir_weights": SQL_PIPELINE_DSIR,
+        "dedup_substrings": SQL_DEDUP_SUBSTRINGS,
         "text_topics": SQL_TEXT_TOPICS,
         "text_entities": SQL_TEXT_ENTITIES,
         "entity_lookup": SQL_ENTITY_LOOKUP,

@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "text_gopher_ngrams",
     "pipeline_url_filter",
     "dedup_clusters",
+    "pipeline_dsir_weights",
+    "dedup_substrings",
 ]
 
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))

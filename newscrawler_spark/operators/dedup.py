@@ -384,3 +384,64 @@ def paragraph_dedup(
             )
         ).alias("cleaned_md5"),
     )
+
+
+# --- duplicated-substring fraction --------------------------------------
+
+SUBSTR_DUP_N = 8
+SUBSTR_DUP_MAX_FRAC = 0.2
+
+
+def substring_dup_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = SUBSTR_DUP_N,
+    min_docs: int = 2,
+    max_frac: float = SUBSTR_DUP_MAX_FRAC,
+) -> DataFrame:
+    """Per-document duplicated-substring exposure (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", the
+    NearDup complement to their suffix-array ExactSubstr): the fraction
+    of a document's word `n`-gram POSITIONS whose gram also appears in
+    >= `min_docs` distinct documents.  Output one row per document with
+    >= n words: (doc_id, n_grams, dup_grams, dup_frac 4dp, keep =
+    frac <= max_frac).
+
+    Scale shape (two deliberate passes, like paragraph_dedup): pass 1
+    reduces the gram-position stream to the cross-document gram set —
+    (doc_id, gram) occurrence counts partial-aggregate map-side (every
+    position of a gram within one document is in the same input row),
+    then a gram-keyed count; only grams crossing `min_docs` survive,
+    which is the boilerplate set — small by construction — so it
+    broadcasts.  Pass 2 streams the corpus through the broadcast hash
+    probe and rolls up per document.  No driver-side state; both
+    shuffles are hash-partitioned on high-cardinality keys.
+    """
+    grams_expr = ", ".join(f"element_at(_tk, i + {k})" for k in range(n))
+    positions = F.expr(
+        f"transform(filter(sequence(1, size(_tk)), i -> i <= size(_tk) - {n - 1}), "
+        f"i -> concat_ws(' ', {grams_expr}))"
+    )
+    pos = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\n\r\f\x0b]+").alias("_tk"),
+    ).select("doc_id", F.explode(positions).alias("g"))
+    per_dg = pos.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    dup = (
+        per_dg.groupBy("g")
+        .agg(F.count("*").alias("nd"))  # per_dg is distinct per doc
+        .where(F.col("nd") >= min_docs)
+        .select("g", F.lit(True).alias("is_dup"))
+    )
+    marked = per_dg.join(F.broadcast(dup), "g", "left")
+    total = F.sum("c")
+    dup_c = F.coalesce(F.sum(F.when(F.col("is_dup"), F.col("c"))), F.lit(0))
+    frac = dup_c / total.cast("double")
+    from newscrawler_spark.functions.rounding import pinned_round
+
+    return marked.groupBy("doc_id").agg(
+        total.cast("long").alias("n_grams"),
+        dup_c.cast("long").alias("dup_grams"),
+        pinned_round(frac, 4).alias("dup_frac"),
+        (frac <= max_frac).alias("keep"),
+    )

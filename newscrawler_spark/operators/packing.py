@@ -90,9 +90,10 @@ def domain_mix(
     # agg-and-join-back form planned 4 independent corpus scans —
     # Catalyst does not reuse the identical aggregate subtrees).  The
     # single-partition window holds #domains rows, not corpus rows.
-    # constant partition key = same single-partition shape as an empty
-    # spec, without WindowExec's all-data-to-one-partition warning (the
-    # input here is the per-domain aggregate, not the corpus)
+    # whole-frame window; WindowExec's all-to-one-partition warning is
+    # expected and benign here — the input is the per-domain aggregate
+    # (#domains rows), not the corpus (a foldable partition key is
+    # pruned by Catalyst, so lit(0) cannot suppress the warning)
     wall = Window.partitionBy(F.lit(0))
     scaled = per.withColumn(
         "total", F.sum("n_tokens").over(wall).cast("long")
