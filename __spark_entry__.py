@@ -1591,6 +1591,62 @@ FROM m GROUP BY doc_id
 
 SQL_DEDUP_SUBSTRINGS = _sql_dedup_substrings()
 
+# BM25 query terms: mixed document frequencies in the synthetic corpus.
+_BM25_TERMS = ["stream", "merge", "spark"]
+_BM25_K = 25
+
+
+def q_search_bm25(spark, sf_dir):
+    """Okapi BM25 top-k keyword ranking (operators/search.bm25_rank):
+    codegen per-doc tf/dl projections, one-row broadcast stats dim,
+    TakeOrderedAndProject."""
+    from newscrawler_spark.operators.search import bm25_rank
+
+    return bm25_rank(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=_BM25_K)
+
+
+def _sql_search_bm25() -> str:
+    from newscrawler_spark.functions.rounding import pinned_round_sql
+    from newscrawler_spark.operators.search import BM25_B, BM25_K1, term_pattern
+
+    ws = r"[ \t\n\r\f\x0b]+"
+    idx = range(len(_BM25_TERMS))
+    tf_defs = ",\n         ".join(
+        f"len(regexp_extract_all(lower(text), '{term_pattern(t)}')) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_defs = ",\n         ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}" for i in idx
+    )
+    # identical operation order and float literals as the Spark side
+    avgdl = "(CAST(sum_dl AS DOUBLE) / n_docs)"
+    score = "\n       + ".join(
+        f"ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * (tf_{i} * {BM25_K1 + 1.0!r})"
+        f" / (tf_{i} + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * (dl / {avgdl})))"
+        for i in idx
+    )
+    n_hits = " + ".join(f"tf_{i}" for i in idx)
+    return rf"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '{ws}')) END AS dl,
+         {tf_defs}
+  FROM documents),
+s AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+         {df_defs}
+  FROM p),
+sc AS (SELECT doc_id, {n_hits} AS n_hits, {score} AS sc FROM p, s)
+SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+       {pinned_round_sql("sc", 4)} AS score_bm25
+FROM sc WHERE n_hits > 0 ORDER BY sc DESC, doc_id LIMIT {_BM25_K}
+"""
+
+
+SQL_SEARCH_BM25 = _sql_search_bm25()
+
 
 def q_text_topics(spark, sf_dir):
     """X8: keyword topic classifier (topics/classifier.py analog).
@@ -3218,6 +3274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "pipeline_dsir_weights": q_pipeline_dsir_weights,
         "dedup_substrings": q_dedup_substrings,
+        "search_bm25": q_search_bm25,
         "text_topics": q_text_topics,
         "text_entities": q_text_entities,
         "entity_lookup": q_entity_lookup,
@@ -3294,6 +3351,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "pipeline_dsir_weights": SQL_PIPELINE_DSIR,
         "dedup_substrings": SQL_DEDUP_SUBSTRINGS,
+        "search_bm25": SQL_SEARCH_BM25,
         "text_topics": SQL_TEXT_TOPICS,
         "text_entities": SQL_TEXT_ENTITIES,
         "entity_lookup": SQL_ENTITY_LOOKUP,

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "pipeline_dsir_weights",
     "dedup_substrings",
+    "search_bm25",
 ]
 
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from newscrawler_spark.functions.rounding import pinned_round
 
 from ..functions.relevance import relevance_score
-from ..functions.text import topics
+from ..functions.text import topics, ws_token_count
 from .similarity import _array_lit, _dot_expr, _norm_expr
 
 # Title surrogate: the documents table has no title column; the frozen
@@ -172,4 +172,78 @@ def hybrid_search(
         )
         .orderBy(F.desc("score"), "doc_id")
         .limit(k)
+    )
+
+
+# --- BM25 ----------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_rank(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    k: int = 20,
+) -> DataFrame:
+    """Okapi BM25 top-k over whitespace-tokenized documents — the
+    standard keyword ranker the reference's ts_rank path approximates
+    (``src/api/routers/search.py:247-296`` blends ts_rank/10; BM25 is
+    its public-knowledge upgrade with documented constants k1=1.2,
+    b=0.75 and the Lucene idf form ln(1 + (N - df + 0.5)/(df + 0.5))).
+
+    Plan shape (fit-then-score, two deliberate corpus scans like
+    selection.dsir_weights): per-document term frequencies and length
+    are pure codegen regex/split projections (terms are a fixed literal
+    list — no explode, no token shuffle); the corpus statistics
+    (N, Σdl, per-term df) reduce to ONE broadcast row, and scoring is a
+    broadcast cross join + TakeOrderedAndProject — at 100 TB nothing
+    shuffles except the single-row stats dim and the k survivors.
+
+    All score arithmetic is written in the identical operation order as
+    the SQL oracle (same Python float literals interpolated into both),
+    ordered (score DESC, doc_id) with doc_id as the deterministic tie
+    break; the emitted score is pinned to 4dp.
+    """
+    dl = ws_token_count(F.col(text_col))
+    tf_cols = [
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(term_pattern(t)), F.lit(0)
+            )
+        ).alias(f"tf_{i}")
+        for i, t in enumerate(terms)
+    ]
+    perdoc = docs.select("doc_id", dl.alias("dl"), *tf_cols)
+    stats = perdoc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("int")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = perdoc.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    score = F.lit(0.0)
+    n_hits = F.lit(0)
+    for i in range(len(terms)):
+        tf, df = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        idf = F.log(F.lit(1.0) + (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5)))
+        denom = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl))
+        score = score + idf * (tf * F.lit(k1 + 1.0)) / denom
+        n_hits = n_hits + tf
+    return (
+        scored.select(
+            "doc_id",
+            n_hits.cast("long").alias("n_hits"),
+            score.alias("_s"),
+        )
+        .where(F.col("n_hits") > 0)
+        .orderBy(F.desc("_s"), "doc_id")
+        .limit(k)
+        .select("doc_id", "n_hits", pinned_round(F.col("_s"), 4).alias("score_bm25"))
     )

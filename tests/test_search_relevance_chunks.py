@@ -249,3 +249,46 @@ def test_rag_eval_metrics_last_n(spark):
     assert row["avg_citation_count_bp"] == 15000
     assert row["avg_word_overlap_bp"] == 7500
     assert row["avg_quality_ppm"] == 600000
+
+
+def test_bm25_hand_computed_and_ranked(spark):
+    import math
+
+    from pyspark.sql import Row
+    from newscrawler_spark.operators.search import BM25_B, BM25_K1, bm25_rank
+
+    texts = {
+        0: "cat cat cat dog",   # tf(cat)=3, dl=4
+        1: "cat mouse mouse",   # tf(cat)=1, dl=3
+        2: "mouse mouse mouse", # no hit -> excluded
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in texts.items()]
+    )
+    out = bm25_rank(df, ["cat"], k=10).collect()
+    assert [r["doc_id"] for r in out] == [0, 1]  # tf-ordered
+
+    n, dfreq, avgdl = 3, 2, 10 / 3
+    idf = math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+
+    def score(tf, dl):
+        return idf * (tf * (BM25_K1 + 1.0)) / (
+            tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * (dl / avgdl))
+        )
+
+    assert abs(out[0]["score_bm25"] - score(3, 4)) < 1e-3
+    assert abs(out[1]["score_bm25"] - score(1, 3)) < 1e-3
+    assert out[0]["n_hits"] == 3
+
+
+def test_bm25_rare_term_outweighs_common(spark):
+    from pyspark.sql import Row
+    from newscrawler_spark.operators.search import bm25_rank
+
+    # "rare" hits 1 doc, "common" hits all: equal tf, the rare-term doc
+    # must rank first (idf dominance)
+    rows = [Row(doc_id=i, text="common filler words here") for i in range(9)]
+    rows.append(Row(doc_id=9, text="rare filler words here"))
+    df = spark.createDataFrame(rows)
+    out = bm25_rank(df, ["rare", "common"], k=3).collect()
+    assert out[0]["doc_id"] == 9
