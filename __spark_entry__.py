@@ -1648,6 +1648,61 @@ FROM sc WHERE n_hits > 0 ORDER BY sc DESC, doc_id LIMIT {_BM25_K}
 SQL_SEARCH_BM25 = _sql_search_bm25()
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Gap sessionization over the event stream (operators/events.
+    sessionize): 30-min-gap sessions per user, gaps-and-islands plan —
+    one user-keyed shuffle, rollup reuses the window partitioning."""
+    from newscrawler_spark.operators.events import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"))
+
+
+def _sql_events_sessionize() -> str:
+    from newscrawler_spark.operators.events import SESSION_GAP_US
+
+    return f"""
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+      FROM e),
+b AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > {SESSION_GAP_US}
+                     THEN 1 ELSE 0 END AS brk FROM l),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM b)
+SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       make_timestamp(CAST(min(us) AS BIGINT)) AS start_ts,
+       make_timestamp(CAST(max(us) AS BIGINT)) AS end_ts,
+       CAST(max(us) - min(us) AS BIGINT) AS duration_us,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors
+FROM s GROUP BY user_id, sid
+"""
+
+
+SQL_EVENTS_SESSIONIZE = _sql_events_sessionize()
+
+
+def q_events_asof(spark, sf_dir):
+    """As-of join (operators/events.asof_join): every non-error event
+    annotated with the user's latest error at or before it — union-tag
+    + last(ignorenulls) window, one key shuffle, no range explosion.
+    The DuckDB oracle uses its native ASOF LEFT JOIN."""
+    from newscrawler_spark.operators.events import last_error_asof
+
+    return last_error_asof(_t(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_ASOF = """
+WITH b AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+st AS (SELECT user_id, us, max(event_id) AS state_event_id
+       FROM b WHERE event_type = 'error' GROUP BY 1, 2),
+ev AS (SELECT * FROM b WHERE event_type != 'error')
+SELECT ev.event_id, ev.user_id, ev.event_type,
+       st.state_event_id, CAST(ev.us - st.us AS BIGINT) AS age_us
+FROM ev ASOF LEFT JOIN st ON ev.user_id = st.user_id AND ev.us >= st.us
+"""
+
+
 def q_text_topics(spark, sf_dir):
     """X8: keyword topic classifier (topics/classifier.py analog).
     Topics surface as a comma-joined scalar — the driver's value hasher
@@ -3275,6 +3330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_dsir_weights": q_pipeline_dsir_weights,
         "dedup_substrings": q_dedup_substrings,
         "search_bm25": q_search_bm25,
+        "events_sessionize": q_events_sessionize,
+        "events_asof": q_events_asof,
         "text_topics": q_text_topics,
         "text_entities": q_text_entities,
         "entity_lookup": q_entity_lookup,
@@ -3352,6 +3409,8 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_dsir_weights": SQL_PIPELINE_DSIR,
         "dedup_substrings": SQL_DEDUP_SUBSTRINGS,
         "search_bm25": SQL_SEARCH_BM25,
+        "events_sessionize": SQL_EVENTS_SESSIONIZE,
+        "events_asof": SQL_EVENTS_ASOF,
         "text_topics": SQL_TEXT_TOPICS,
         "text_entities": SQL_TEXT_ENTITIES,
         "entity_lookup": SQL_ENTITY_LOOKUP,

@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "pipeline_dsir_weights",
     "dedup_substrings",
     "search_bm25",
+    "events_sessionize",
+    "events_asof",
 ]
 
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))

@@ -1,0 +1,75 @@
+"""Sessionization and as-of join (operators/events.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from newscrawler_spark.operators.events import (
+    SESSION_GAP_US,
+    last_error_asof,
+    sessionize,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            Row(
+                event_id=i,
+                ts=T0 + dt.timedelta(microseconds=us),
+                user_id=u,
+                event_type=t,
+            )
+            for i, (u, us, t) in enumerate(rows)
+        ]
+    )
+
+
+def test_sessionize_gap_boundary_is_strict(spark):
+    # second event exactly GAP later -> same session; GAP+1 -> new one
+    rows = [
+        (1, 0, "view"),
+        (1, SESSION_GAP_US, "view"),
+        (1, 2 * SESSION_GAP_US + 1, "click"),
+    ]
+    out = sessionize(_ev(spark, rows)).orderBy("session_idx").collect()
+    assert [(r["session_idx"], r["n_events"]) for r in out] == [(1, 2), (2, 1)]
+    assert out[0]["duration_us"] == SESSION_GAP_US
+    assert out[1]["duration_us"] == 0
+
+
+def test_sessionize_users_independent_and_error_count(spark):
+    rows = [(1, 0, "view"), (2, 1, "error"), (2, 2, "view"), (1, 5, "error")]
+    out = {
+        (r["user_id"], r["session_idx"]): r
+        for r in sessionize(_ev(spark, rows)).collect()
+    }
+    assert out[(1, 1)]["n_events"] == 2 and out[(1, 1)]["n_errors"] == 1
+    assert out[(2, 1)]["n_events"] == 2 and out[(2, 1)]["n_errors"] == 1
+
+
+def test_asof_picks_latest_prior_error_per_user(spark):
+    rows = [
+        (1, 0, "error"),     # id 0
+        (1, 10, "error"),    # id 1
+        (1, 20, "view"),     # id 2 -> error id 1, age 10
+        (1, 5, "click"),     # id 3 -> error id 0, age 5
+        (2, 50, "view"),     # id 4 -> no prior error
+        (2, 60, "error"),    # id 5
+        (2, 60, "click"),    # id 6 -> same-us error visible, age 0
+    ]
+    out = {r["event_id"]: r for r in last_error_asof(_ev(spark, rows)).collect()}
+    assert (out[2]["state_event_id"], out[2]["age_us"]) == (1, 10)
+    assert (out[3]["state_event_id"], out[3]["age_us"]) == (0, 5)
+    assert out[4]["state_event_id"] is None and out[4]["age_us"] is None
+    assert (out[6]["state_event_id"], out[6]["age_us"]) == (5, 0)
+
+
+def test_asof_equal_ts_errors_tiebreak_max_id(spark):
+    rows = [(1, 0, "error"), (1, 0, "error"), (1, 1, "view")]
+    out = last_error_asof(_ev(spark, rows)).collect()
+    assert out[0]["state_event_id"] == 1  # max event_id at the tied us
