@@ -99,7 +99,9 @@ def dsir_weights(
     dim = (
         spark.range(n_buckets)
         .select(F.col("id").alias("b"))
-        .join(counts, "b", "left")
+        # counts is <= n_buckets rows post-aggregate; hint it so the
+        # densify join never sort-merges under a disabled auto-broadcast
+        .join(F.broadcast(counts), "b", "left")
         .fillna(0, subset=["ct", "cr"])
     )
     # whole-frame window over n_buckets rows, never corpus rows (the

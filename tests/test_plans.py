@@ -302,3 +302,75 @@ def test_paragraph_dedup_distinct_agg_is_skew_safe(spark):
     assert any("h#" in k and "doc_id#" in k for k in keys), keys
     # ...and feed a partial (map-side) distinct count keyed on h alone
     assert "partial_count(distinct doc_id" in plan
+
+
+def test_bm25_single_broadcast_no_corpus_shuffle(spark, no_auto_broadcast):
+    """BM25's only join is the one-row stats dim broadcast onto the
+    per-doc projection: no Exchange keyed on corpus rows, no sort-merge
+    — at 100 TB the corpus must stream through two scans and a top-k."""
+    from newscrawler_spark.operators.search import bm25_rank
+
+    docs = spark.createDataFrame(
+        [(i, f"cat dog doc {i}") for i in range(50)], "doc_id long, text string"
+    )
+    plan = _plan(bm25_rank(docs, ["cat", "dog"], k=5), "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    # hashpartitioning exchanges would mean the corpus shuffles
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_url_filter_broadcasts_blocklist(spark, no_auto_broadcast):
+    from newscrawler_spark.operators.quality import url_filter
+
+    urls = spark.createDataFrame(
+        [(i, f"https://h{i}.com/x") for i in range(50)], "doc_id long, url string"
+    )
+    blocked = spark.createDataFrame([("h1.com",)], "host string")
+    plan = _plan(url_filter(urls, blocked))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_dsir_scoring_join_is_broadcast(spark, no_auto_broadcast):
+    """The 64-row llr dim must broadcast onto the (doc, bucket) counts;
+    the corpus side shuffles only for its own partial aggregations."""
+    from newscrawler_spark.operators.selection import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i}") for i in range(40)], "doc_id long, text string"
+    )
+    plan = _plan(dsir_weights(docs, F.col("doc_id") % 2 == 0))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_sessionize_single_user_exchange(spark):
+    """Gaps-and-islands must shuffle ONCE on the session key: the
+    rollup's (user_id, sid) grouping is satisfied by the window's
+    hashpartitioning(user_id) — a second exchange would double the
+    corpus shuffle at scale."""
+    from newscrawler_spark.operators.events import sessionize
+
+    ev = spark.createDataFrame(
+        [(i, "2024-01-01 00:00:00", i % 5, "view") for i in range(50)],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    plan = _plan(sessionize(ev), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_asof_join_no_row_expansion_join(spark, no_auto_broadcast):
+    """The as-of plan is union + window — there must be NO join operator
+    at all (a band/range join would explode per key)."""
+    from newscrawler_spark.operators.events import last_error_asof
+
+    ev = spark.createDataFrame(
+        [(i, "2024-01-01 00:00:00", i % 5, "error" if i % 3 == 0 else "view")
+         for i in range(60)],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    plan = _plan(last_error_asof(ev))
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
