@@ -3216,6 +3216,229 @@ GROUP BY source
 """
 
 
+# --- C4 line rules / Gopher line repetition / BPE / SemDeDup -------------
+
+# Line-structure plant shared by q_pipeline_c4_clean and
+# q_text_gopher_lines: the synthetic docs are single-line word soup, so
+# deterministic lines are derived from the doc's own text + literals —
+# %4 plants a javascript line, %6 a within-doc duplicate line, %11 a
+# lorem-ipsum page marker, %13 a '{' page marker.  The SQL twin below
+# spells the identical expression.
+
+
+def _planted_line_docs(docs):
+    t = F.coalesce(F.col("text"), F.lit(""))
+    l1 = F.concat(F.substring(t, 1, 120), F.lit(" end of story."))
+    l3 = F.when(
+        F.col("doc_id") % 4 == 0, F.lit("Please enable JavaScript to continue.")
+    ).otherwise(F.concat(F.substring(t, 121, 80), F.lit(" more text here!")))
+    l5 = F.when(F.col("doc_id") % 6 == 0, l1).otherwise(
+        F.lit("Read the full article online.")
+    )
+    text = F.concat_ws(
+        "\n", l1, F.lit("too short"), l3, F.lit("Sign up for our newsletter today."), l5
+    )
+    text = F.concat(
+        text,
+        F.when(F.col("doc_id") % 11 == 0, F.lit("\nWe use lorem ipsum filler text."))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("\nvar cfg = { mode: 1 };"))
+        .otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", text.alias("text"))
+
+
+_LINE_PLANT_SQL = r"""
+planted AS (
+  SELECT doc_id,
+    substring(coalesce(text, ''), 1, 120) || ' end of story.'
+    || chr(10) || 'too short'
+    || chr(10) || CASE WHEN doc_id % 4 = 0 THEN 'Please enable JavaScript to continue.'
+                       ELSE substring(coalesce(text, ''), 121, 80) || ' more text here!' END
+    || chr(10) || 'Sign up for our newsletter today.'
+    || chr(10) || CASE WHEN doc_id % 6 = 0
+                       THEN substring(coalesce(text, ''), 1, 120) || ' end of story.'
+                       ELSE 'Read the full article online.' END
+    || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'We use lorem ipsum filler text.' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'var cfg = { mode: 1 };' ELSE '' END
+    AS text
+  FROM documents)
+"""
+
+# DuckDB twin of quality._doc_lines: split on \n, edge-trim with the
+# frozen explicit class, drop blanks — order-preserving list ops.
+_SQL_DOC_LINES = (
+    r"list_filter(list_transform(str_split(text, chr(10)),"
+    r" y -> regexp_replace(y, '^[ \t\n\r\f\x0b]+|[ \t\n\r\f\x0b]+$', '')),"
+    r" x -> x != '')"
+)
+
+
+def q_pipeline_c4_clean(spark, sf_dir):
+    """C4 line+page cleaning (operators/quality.c4_line_filter):
+    terminal-punct / min-words / javascript line rules, lorem-ipsum +
+    brace page rules; zero-shuffle map over the corpus."""
+    from newscrawler_spark.operators.quality import c4_line_filter
+
+    return c4_line_filter(_planted_line_docs(_t(spark, sf_dir, "documents")))
+
+
+def _sql_pipeline_c4_clean() -> str:
+    from newscrawler_spark.operators.quality import (
+        C4_MIN_KEPT_LINES,
+        C4_MIN_LINE_WORDS,
+    )
+
+    lower = "translate(l, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"
+    kept = rf"""list_filter({_SQL_DOC_LINES}, l ->
+      substring(l, length(l), 1) IN ('.', '!', '?', '"')
+      AND len(list_filter(regexp_split_to_array(l, '[ \t\n\r\f\x0b]+'), w -> w != '')) >= {C4_MIN_LINE_WORDS}
+      AND NOT contains({lower}, 'javascript'))"""
+    raw_lower = "translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"
+    return rf"""
+WITH {_LINE_PLANT_SQL.strip()},
+base AS (
+  SELECT doc_id, text, {_SQL_DOC_LINES} AS lines, {kept} AS kept
+  FROM planted)
+SELECT doc_id,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(len(kept) AS BIGINT) AS n_kept,
+  CAST(coalesce(list_sum(list_transform(kept, l -> length(l))), 0) AS BIGINT) AS kept_chars,
+  contains({raw_lower}, 'lorem ipsum') AS has_lorem,
+  contains(text, '{{') AS has_brace,
+  (len(kept) >= {C4_MIN_KEPT_LINES}
+   AND NOT contains({raw_lower}, 'lorem ipsum')
+   AND NOT contains(text, '{{')) AS keep,
+  md5(array_to_string(kept, chr(10))) AS cleaned_md5
+FROM base
+"""
+
+
+SQL_PIPELINE_C4_CLEAN = _sql_pipeline_c4_clean()
+
+
+def q_text_gopher_lines(spark, sf_dir):
+    """Gopher within-document duplicate-line rules
+    (operators/quality.gopher_line_stats): dup-line and dup-line-char
+    fractions + keep verdict; zero-shuffle array expressions."""
+    from newscrawler_spark.operators.quality import gopher_line_stats
+
+    return gopher_line_stats(_planted_line_docs(_t(spark, sf_dir, "documents")))
+
+
+def _sql_text_gopher_lines() -> str:
+    from newscrawler_spark.functions.rounding import pinned_round_sql
+    from newscrawler_spark.operators.quality import (
+        GOPHER_MAX_DUP_LINE_CHAR_FRAC,
+        GOPHER_MAX_DUP_LINE_FRAC,
+    )
+
+    return rf"""
+WITH {_LINE_PLANT_SQL.strip()},
+base AS (
+  SELECT doc_id, {_SQL_DOC_LINES} AS lines FROM planted),
+s AS (
+  SELECT doc_id,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(list_distinct(lines)) AS BIGINT) AS n_distinct,
+    CAST(coalesce(list_sum(list_transform(lines, l -> length(l))), 0) AS BIGINT) AS total_chars,
+    CAST(coalesce(list_sum(list_transform(list_distinct(lines), l -> length(l))), 0) AS BIGINT) AS dist_chars
+  FROM base WHERE len(lines) > 0),
+f AS (
+  SELECT *, (n_lines - n_distinct) / CAST(n_lines AS DOUBLE) AS dupf,
+         (total_chars - dist_chars) / CAST(total_chars AS DOUBLE) AS dupc
+  FROM s)
+SELECT doc_id, n_lines, n_distinct, total_chars,
+  {pinned_round_sql("dupf", 4)} AS dup_line_frac,
+  {pinned_round_sql("dupc", 4)} AS dup_char_frac,
+  (dupf <= {GOPHER_MAX_DUP_LINE_FRAC} AND dupc <= {GOPHER_MAX_DUP_LINE_CHAR_FRAC}) AS keep
+FROM f
+"""
+
+
+SQL_TEXT_GOPHER_LINES = _sql_text_gopher_lines()
+
+
+def q_tokenizer_bpe_pairs(spark, sf_dir):
+    """BPE merge-candidate counts (operators/tokenizer.bpe_pair_counts):
+    corpus word-count reduction, then symbol-pair explosion over the
+    DISTINCT vocabulary only; top-50 with full deterministic tiebreak."""
+    from newscrawler_spark.operators.tokenizer import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"))
+
+
+def _sql_tokenizer_bpe_pairs() -> str:
+    from newscrawler_spark.operators.tokenizer import BPE_EOW, BPE_TOPK
+
+    return rf"""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(coalesce(text, ''), '[ \t\n\r\f\x0b]+')) AS w
+  FROM documents),
+wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM w WHERE w != '' GROUP BY 1),
+p AS (
+  SELECT cnt,
+    unnest([{{'a': substring(w, i, 1),
+              'b': CASE WHEN i = length(w) THEN '{BPE_EOW}'
+                        ELSE substring(w, i + 1, 1) END}}
+            FOR i IN range(1, length(w) + 1)]) AS u
+  FROM wc)
+SELECT u.a AS left_sym, u.b AS right_sym, CAST(sum(cnt) AS BIGINT) AS pair_count
+FROM p GROUP BY 1, 2
+ORDER BY pair_count DESC, left_sym, right_sym LIMIT {BPE_TOPK}
+"""
+
+
+SQL_TOKENIZER_BPE_PAIRS = _sql_tokenizer_bpe_pairs()
+
+_SEMDEDUP_EPS = 0.30
+_SEMDEDUP_C = 16
+
+
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup (operators/similarity.semantic_dedup): stride-codebook
+    cluster assignment (pure codegen) + per-cluster GEMM dedup in one
+    applyInPandas pass; keeper = min (centroid_sim, vec_id)."""
+    from newscrawler_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), eps=_SEMDEDUP_EPS, n_centroids=_SEMDEDUP_C
+    )
+
+
+SQL_DEDUP_SEMANTIC = f"""
+WITH e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+cent AS (SELECT vec_id % {_SEMDEDUP_C} AS cid, min(vec_id) AS cvid
+         FROM embeddings GROUP BY 1),
+cv AS (SELECT cent.cid, e.i, e.v AS cv FROM cent JOIN e ON e.vec_id = cent.cvid),
+s AS (
+  SELECT e.vec_id, cv.cid,
+         floor((sum(e.v * cv.cv) / (sqrt(sum(e.v * e.v)) * sqrt(sum(cv.cv * cv.cv)))) * 10000.0 + 0.5) / 10000.0 AS sim
+  FROM e JOIN cv USING (i) GROUP BY 1, 2),
+assign AS (SELECT vec_id, cid, sim FROM (
+  SELECT vec_id, cid, sim,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+  FROM s) WHERE rn = 1),
+pc AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, a.sim AS sa, b.sim AS sb,
+         floor((sum(ea.v * eb.v) / (sqrt(sum(ea.v * ea.v)) * sqrt(sum(eb.v * eb.v)))) * 10000.0 + 0.5) / 10000.0 AS cos
+  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id AND eb.i = ea.i
+  GROUP BY 1, 2, 3, 4),
+dropped AS (
+  SELECT DISTINCT ib AS vec_id FROM pc
+  WHERE cos >= {_SEMDEDUP_EPS}
+    AND (sa < sb OR (sa = sb AND ia < ib)))
+SELECT a.vec_id, CAST(a.cid AS INT) AS cid, a.sim AS csim,
+       (d.vec_id IS NULL) AS keep
+FROM assign a LEFT JOIN dropped d USING (vec_id)
+"""
+
+
 # =========================================================================
 # driver contract
 # =========================================================================
@@ -3325,6 +3548,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_pack_sequences": q_pipeline_pack_sequences,
         "pipeline_domain_mix": q_pipeline_domain_mix,
         "text_gopher_ngrams": q_text_gopher_ngrams,
+        "text_gopher_lines": q_text_gopher_lines,
+        "pipeline_c4_clean": q_pipeline_c4_clean,
+        "tokenizer_bpe_pairs": q_tokenizer_bpe_pairs,
+        "dedup_semantic": q_dedup_semantic,
         "pipeline_url_filter": q_pipeline_url_filter,
         "dedup_clusters": q_dedup_clusters,
         "pipeline_dsir_weights": q_pipeline_dsir_weights,
@@ -3404,6 +3631,10 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_pack_sequences": SQL_PIPELINE_PACK,
         "pipeline_domain_mix": SQL_PIPELINE_MIX,
         "text_gopher_ngrams": SQL_TEXT_GOPHER_NGRAMS,
+        "text_gopher_lines": SQL_TEXT_GOPHER_LINES,
+        "pipeline_c4_clean": SQL_PIPELINE_C4_CLEAN,
+        "tokenizer_bpe_pairs": SQL_TOKENIZER_BPE_PAIRS,
+        "dedup_semantic": SQL_DEDUP_SEMANTIC,
         "pipeline_url_filter": SQL_PIPELINE_URL_FILTER,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "pipeline_dsir_weights": SQL_PIPELINE_DSIR,

@@ -282,3 +282,134 @@ def url_filter(
         .otherwise("kept")
     )
     return marked.select("doc_id", "url", "host", verdict.alias("verdict"))
+
+
+# --- C4 line-level cleaning (Raffel et al. 2020 §2.2) --------------------
+
+# C4's published line/page heuristics, re-expressed over an explicit
+# terminal-punctuation set and the frozen ASCII whitespace class.  The
+# thresholds are C4's own except MIN_KEPT_LINES (C4 uses 5 sentences;
+# the synthetic gate docs carry ~5 planted lines, so 4 keeps the rule
+# non-vacuous in BOTH directions at sf0.01).
+C4_TERMINAL_PUNCT = (".", "!", "?", '"')
+C4_MIN_LINE_WORDS = 3
+C4_MIN_KEPT_LINES = 4
+
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+# Edge-trim twin of the frozen collapse class — spelled identically in
+# the DuckDB oracle (see CLAUDE.md: never \s / trim()).
+WS_EDGE_RE = r"^[ \t\n\r\f\x0b]+|[ \t\n\r\f\x0b]+$"
+
+
+def _ascii_lower(col: Column) -> Column:
+    """ASCII-only lowercase via translate — byte-identical in Spark and
+    DuckDB (locale-free), unlike lower(), whose Unicode case folding
+    differs across engines on chars like U+212A KELVIN SIGN."""
+    return F.translate(col, _ASCII_UPPER, _ASCII_LOWER)
+
+
+def _doc_lines(text: Column) -> Column:
+    """Non-blank, edge-trimmed lines of a document, order-preserving."""
+    return F.filter(
+        F.transform(
+            F.split(F.coalesce(text, F.lit("")), "\n"),
+            lambda x: F.regexp_replace(x, WS_EDGE_RE, ""),
+        ),
+        lambda x: x != F.lit(""),
+    )
+
+
+def _line_word_count(line: Column) -> Column:
+    return F.size(F.filter(F.split(line, _WS), lambda w: w != F.lit("")))
+
+
+def c4_line_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4 cleaning (Raffel et al. 2020 §2.2), one row per document.
+
+    Line rules (a line survives iff ALL hold):
+      * ends in terminal punctuation (``. ! ? "``),
+      * has >= ``C4_MIN_LINE_WORDS`` words,
+      * does not contain 'javascript' (ASCII case-insensitive).
+    Page rules: keep iff >= ``C4_MIN_KEPT_LINES`` lines survive AND the
+    raw text contains neither 'lorem ipsum' (ASCII-ci) nor '{'.
+
+    Everything is array higher-order expressions over the one input row
+    — whole-stage codegen, ZERO shuffle: at 100 TB this is a pure map
+    over the corpus scan, trivially partition-parallel.  ``cleaned_md5``
+    hashes the kept lines joined by newline, gating the reassembly
+    order cross-engine.
+    """
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    lines = _doc_lines(F.col(text_col))
+
+    def kept_line(l: Column) -> Column:
+        terminal = l.substr(F.length(l), F.lit(1)).isin(*C4_TERMINAL_PUNCT)
+        return (
+            terminal
+            & (_line_word_count(l) >= C4_MIN_LINE_WORDS)
+            & ~_ascii_lower(l).contains("javascript")
+        )
+
+    kept = F.filter(lines, kept_line)
+    has_lorem = _ascii_lower(raw).contains("lorem ipsum")
+    has_brace = raw.contains("{")
+    n_kept = F.size(kept)
+    keep = (n_kept >= C4_MIN_KEPT_LINES) & ~has_lorem & ~has_brace
+    kept_chars = F.aggregate(
+        kept, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+    )
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept"),
+        kept_chars.alias("kept_chars"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        keep.alias("keep"),
+        F.md5(F.array_join(kept, "\n")).alias("cleaned_md5"),
+    )
+
+
+# Gopher table-A1 within-document line-repetition thresholds.
+GOPHER_MAX_DUP_LINE_FRAC = 0.30
+GOPHER_MAX_DUP_LINE_CHAR_FRAC = 0.20
+
+
+def gopher_line_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher's WITHIN-document duplicate-line rules (Rae et al. 2021
+    table A1) — the in-doc complement of the cross-corpus
+    ``paragraph_dedup``:
+
+      dup_line_frac       = (n_lines - n_distinct) / n_lines
+      dup_line_char_frac  = chars in repeat occurrences / total chars
+      keep                = both fractions under the Gopher thresholds.
+
+    Pure array expressions per row (array_distinct + aggregate), zero
+    shuffle — a map-only pass at any scale.  Ratios are pinned-rounded
+    for the value hash; `keep` compares the unrounded integer-ratio
+    divisions, bit-identical across engines.
+    """
+    lines = _doc_lines(F.col(text_col))
+    dist = F.array_distinct(lines)
+    chars = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+    )
+    n = F.size(lines).cast("long")
+    nd = F.size(dist).cast("long")
+    total_c = chars(lines)
+    dist_c = chars(dist)
+    dupf = (n - nd) / n.cast("double")
+    dupc = (total_c - dist_c) / total_c.cast("double")
+    keep = (dupf <= GOPHER_MAX_DUP_LINE_FRAC) & (dupc <= GOPHER_MAX_DUP_LINE_CHAR_FRAC)
+    from newscrawler_spark.functions.rounding import pinned_round
+
+    return docs.where(F.size(lines) > 0).select(
+        "doc_id",
+        n.alias("n_lines"),
+        nd.alias("n_distinct"),
+        total_c.alias("total_chars"),
+        pinned_round(dupf, 4).alias("dup_line_frac"),
+        pinned_round(dupc, 4).alias("dup_char_frac"),
+        keep.alias("keep"),
+    )

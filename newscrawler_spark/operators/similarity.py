@@ -332,13 +332,10 @@ def _round4_half_away(x: float) -> float:
     return s * math.floor(abs(x) * 10000 + 0.5) / 10000
 
 
-def ivf_assign_expr(centroids: list[tuple[int, list[float]]], vec_col: str = "embedding"):
-    """Column expr: the centroid id each vector is assigned to —
-    argmax over C codegen'd cosine expressions (ties → smallest cid via
-    struct max on (sim, -cid)).  Pure JVM expressions: at scale the
-    assignment runs once at WRITE time and becomes the table's
-    partition column (``partitionBy(cid)``), so a query scans only its
-    probed lists."""
+def _ivf_best_struct(centroids: list[tuple[int, list[float]]], vec_col: str = "embedding"):
+    """struct(s=best pinned cosine, nc=-cid of that centroid): argmax
+    over C codegen'd cosine expressions, ties → smallest cid via struct
+    max on (sim, -cid)."""
     structs = []
     for cid, cvec in centroids:
         qlit = _array_lit(cvec)
@@ -348,7 +345,17 @@ def ivf_assign_expr(centroids: list[tuple[int, list[float]]], vec_col: str = "em
             4,
         )
         structs.append(F.struct(sim.alias("s"), F.lit(-cid).alias("nc")))
-    return (-F.array_max(F.array(*structs)).getField("nc")).cast("int")
+    return F.array_max(F.array(*structs))
+
+
+def ivf_assign_expr(centroids: list[tuple[int, list[float]]], vec_col: str = "embedding"):
+    """Column expr: the centroid id each vector is assigned to —
+    argmax over C codegen'd cosine expressions (ties → smallest cid via
+    struct max on (sim, -cid)).  Pure JVM expressions: at scale the
+    assignment runs once at WRITE time and becomes the table's
+    partition column (``partitionBy(cid)``), so a query scans only its
+    probed lists."""
+    return (-_ivf_best_struct(centroids, vec_col).getField("nc")).cast("int")
 
 
 def ivf_topk(
@@ -518,4 +525,70 @@ def rademacher_candidate_pairs(
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
         .distinct()
+    )
+
+
+# --- SemDeDup: semantic deduplication over embedding clusters -------------
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    eps: float = 0.30,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then inside each cluster drop every item that has
+    a semantic duplicate (pinned 4dp cosine >= ``eps``) ranked before
+    it — the keeper of a duplicate pair is the item with the LOWER
+    (centroid_sim, id), the paper's "keep the example farthest from the
+    centroid" rule made deterministic.
+
+    Drop rule (exactly what the DuckDB oracle's EXISTS evaluates):
+    drop b iff EXISTS a in the same cluster with
+    ``cos(a, b) >= eps AND (a.csim, a.id) < (b.csim, b.id)``.
+
+    Scale shape (the paper's own): the pair problem is confined to
+    clusters — one hash shuffle on cid, then one numpy GEMM per cluster
+    inside ``applyInPandas`` (the whole group arrives as one frame).
+    Cluster count C grows with the corpus so cluster size stays
+    worker-bounded (SemDeDup used k=50k-110k at 1.7B docs); the stride
+    codebook here is the deterministic stand-in for its k-means — a
+    tuned codebook drops into :func:`ivf_centroids` without touching
+    this query path.  Assignment is pure JVM codegen and at write time
+    becomes a partition column, making the shuffle free on re-runs.
+
+    Output: (vec_id, cid, csim, keep).
+    """
+    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    best = _ivf_best_struct(cents, vec_col)
+    assigned = embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        (-best.getField("nc")).cast("int").alias("cid"),
+        best.getField("s").alias("csim"),
+    )
+
+    def dedup_cluster(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["csim", "vec_id"]).reset_index(drop=True)
+        m = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((m * m).sum(axis=1))
+        nrm[nrm == 0.0] = 1.0
+        g = (m @ m.T) / np.outer(nrm, nrm)
+        # the pinned-round floor form (functions/rounding), NOT banker's
+        g = np.floor(g * 10000.0 + 0.5) / 10000.0
+        # in (csim, vec_id) order, b is dropped iff any earlier a hits eps
+        dom = np.tril(g >= eps, k=-1).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cid": pdf["cid"],
+                "csim": pdf["csim"],
+                "keep": ~dom,
+            }
+        )
+
+    return assigned.groupBy("cid").applyInPandas(
+        dedup_cluster, "vec_id long, cid int, csim double, keep boolean"
     )
