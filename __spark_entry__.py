@@ -3439,6 +3439,66 @@ FROM assign a LEFT JOIN dropped d USING (vec_id)
 """
 
 
+def q_pipeline_ccnet_buckets(spark, sf_dir):
+    """CCNet perplexity terciles (operators/selection.ccnet_perplexity):
+    hashed-bigram LM fit on the target split, mean-NLL scoring of the
+    raw pool, exact per-lang CDF head/middle/tail buckets."""
+    from newscrawler_spark.operators.selection import ccnet_perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    return ccnet_perplexity(docs, F.col("doc_id") % _DSIR_MOD == 0)
+
+
+def _sql_pipeline_ccnet_buckets() -> str:
+    from newscrawler_spark.functions.rounding import pinned_round_sql
+    from newscrawler_spark.operators.selection import DSIR_BUCKETS
+
+    ws = r"[ \t\n\r\f\x0b]+"
+    nb = DSIR_BUCKETS
+    return rf"""
+WITH d AS (
+  SELECT doc_id, lang, (doc_id % {_DSIR_MOD} = 0) AS tgt,
+         regexp_split_to_array(trim(lower(text)), '{ws}') AS w
+  FROM documents WHERE trim(lower(text)) != ''),
+grams AS (
+  SELECT doc_id, lang, tgt,
+         unnest([array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]) AS g
+  FROM d WHERE len(w) >= 2),
+gb AS (
+  SELECT doc_id, lang, tgt,
+         CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) % {nb} AS b
+  FROM grams),
+cnt AS (SELECT b, count(*) AS cb FROM gb WHERE tgt GROUP BY b),
+dense AS (
+  SELECT r.range AS b, coalesce(cb, 0) AS cb
+  FROM range({nb}) r LEFT JOIN cnt ON cnt.b = r.range),
+dim AS (SELECT b, ln(cb + 1) - ln(sum(cb) OVER () + {nb}) AS logp FROM dense),
+per AS (SELECT doc_id, lang, b, count(*) AS c FROM gb WHERE NOT tgt GROUP BY 1, 2, 3),
+s AS (
+  SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_grams,
+         {pinned_round_sql("-sum(c * logp) / sum(c)", 4)} AS nll
+  FROM per JOIN dim USING (b) GROUP BY 1, 2),
+vals AS (
+  SELECT lang, nll,
+         sum(count(*)) OVER (PARTITION BY lang ORDER BY nll
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(count(*)) OVER (PARTITION BY lang) AS n_lang
+  FROM s GROUP BY lang, nll),
+bk AS (
+  SELECT lang, nll,
+         CASE WHEN cum * 3 <= n_lang THEN 'head'
+              WHEN cum * 3 <= n_lang * 2 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM vals)
+SELECT s.doc_id, s.lang, s.n_grams, s.nll, bk.bucket,
+       (bk.bucket != 'tail') AS keep
+FROM s JOIN bk USING (lang, nll)
+"""
+
+
+SQL_PIPELINE_CCNET = _sql_pipeline_ccnet_buckets()
+
+
 # =========================================================================
 # driver contract
 # =========================================================================
@@ -3552,6 +3612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_c4_clean": q_pipeline_c4_clean,
         "tokenizer_bpe_pairs": q_tokenizer_bpe_pairs,
         "dedup_semantic": q_dedup_semantic,
+        "pipeline_ccnet_buckets": q_pipeline_ccnet_buckets,
         "pipeline_url_filter": q_pipeline_url_filter,
         "dedup_clusters": q_dedup_clusters,
         "pipeline_dsir_weights": q_pipeline_dsir_weights,
@@ -3635,6 +3696,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_c4_clean": SQL_PIPELINE_C4_CLEAN,
         "tokenizer_bpe_pairs": SQL_TOKENIZER_BPE_PAIRS,
         "dedup_semantic": SQL_DEDUP_SEMANTIC,
+        "pipeline_ccnet_buckets": SQL_PIPELINE_CCNET,
         "pipeline_url_filter": SQL_PIPELINE_URL_FILTER,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "pipeline_dsir_weights": SQL_PIPELINE_DSIR,

@@ -89,6 +89,11 @@ BENCH_QUERIES = [
     "search_bm25",
     "events_sessionize",
     "events_asof",
+    "pipeline_c4_clean",
+    "text_gopher_lines",
+    "tokenizer_bpe_pairs",
+    "dedup_semantic",
+    "pipeline_ccnet_buckets",
 ]
 
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))

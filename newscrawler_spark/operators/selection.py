@@ -48,20 +48,27 @@ _WS = r"[ \t\n\r\f\x0b]+"
 DSIR_BUCKETS = 64
 
 
-def _gram_buckets(docs: DataFrame, text_col: str, n_buckets: int) -> DataFrame:
-    """(doc_id, tgt, b): one row per unigram/bigram OCCURRENCE, hashed
-    into `n_buckets` md5 buckets.  `docs` must carry a boolean `tgt`."""
+def _gram_buckets(
+    docs: DataFrame,
+    text_col: str,
+    n_buckets: int,
+    ns: tuple[int, ...] = (1, 2),
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id, tgt, *carry, b): one row per n-gram OCCURRENCE (n in
+    `ns`), hashed into `n_buckets` md5 buckets.  `docs` must carry a
+    boolean `tgt`; `carry` lists extra doc-level columns to thread
+    through the explosion (cheaper than re-joining the corpus later)."""
     t = F.trim(F.lower(F.col(text_col)))
-    base = docs.where(t != "").select("doc_id", "tgt", F.split(t, _WS).alias("w"))
+    keep = ["doc_id", "tgt", *carry]
+    base = docs.where(t != "").select(*keep, F.split(t, _WS).alias("w"))
     fanned = base.select(
-        "doc_id",
-        "tgt",
+        *keep,
         "w",
-        F.explode(F.array(F.lit(1), F.lit(2))).alias("n"),
+        F.explode(F.array(*[F.lit(n) for n in ns])).alias("n"),
     ).where(F.size("w") >= F.col("n"))
     grams = fanned.select(
-        "doc_id",
-        "tgt",
+        *keep,
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.size("w") - F.col("n")),
@@ -70,7 +77,7 @@ def _gram_buckets(docs: DataFrame, text_col: str, n_buckets: int) -> DataFrame:
         ).alias("g"),
     )
     b = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long") % n_buckets
-    return grams.select("doc_id", "tgt", b.alias("b"))
+    return grams.select(*keep, b.alias("b"))
 
 
 def dsir_weights(
@@ -128,4 +135,103 @@ def dsir_weights(
     )
     return scored.select(
         "doc_id", "n_grams", "logw", (F.col("logw") > 0).alias("keep")
+    )
+
+
+# --- CCNet perplexity buckets ---------------------------------------------
+
+#: tercile labels in CDF order.
+CCNET_HEAD, CCNET_MIDDLE, CCNET_TAIL = "head", "middle", "tail"
+
+
+def ccnet_perplexity(
+    docs: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): fit a
+    hashed-bigram LM on the `target` split, score every raw-pool doc
+    with its mean negative log-likelihood, and split each language into
+    head/middle/tail perplexity terciles.
+
+    Differences from the paper, made deterministic and engine-exact:
+    the 5-gram KenLM becomes an add-one-smoothed hashed-bigram LM (the
+    DSIR feature space); "perplexity" is reported in log space (`nll`,
+    pinned 4dp — exp() adds nothing but cross-engine float risk); the
+    tercile cutoffs are the EXACT per-language CDF, not sampled
+    quantiles, computed integer-only: a doc is `head` while
+    3·(docs at or below its nll) <= n_lang, `middle` while <= 2·n_lang.
+
+    Scale shape: the two corpus passes of DSIR (fit → 64-row broadcast
+    dim, score → one (doc, bucket) shuffle), then the tercile CDF runs
+    over the per-(lang, nll) VALUE table — thousands of rows, never
+    corpus rows — and broadcast-joins back.  No global sort, no
+    per-lang row-scaled window anywhere.
+
+    Output: (doc_id, lang, n_grams, nll, bucket, keep) for raw-pool
+    docs with >= 1 bigram; keep = not tail (CCNet's usual cut).
+    """
+    spark = docs.sparkSession
+    flagged = docs.withColumn("tgt", target)
+    gb = _gram_buckets(flagged, text_col, n_buckets, ns=(2,), carry=(lang_col,))
+
+    # fit: add-one hashed-bigram LM over the target split
+    counts = gb.where(F.col("tgt")).groupBy("b").agg(F.count("*").alias("cb"))
+    dim = (
+        spark.range(n_buckets)
+        .select(F.col("id").alias("b"))
+        .join(F.broadcast(counts), "b", "left")
+        .fillna(0, subset=["cb"])
+    )
+    w0 = Window.partitionBy(F.lit(0))
+    dim = dim.withColumn("tb", F.sum("cb").over(w0))
+    logp = F.log(F.col("cb") + 1) - F.log(F.col("tb") + n_buckets)
+    dim = dim.select("b", logp.alias("logp"))
+
+    # score the raw pool
+    per = (
+        gb.where(~F.col("tgt"))
+        .groupBy("doc_id", lang_col, "b")
+        .agg(F.count("*").alias("c"))
+    )
+    scored = (
+        per.join(F.broadcast(dim), "b")
+        .groupBy("doc_id", lang_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            pinned_round(-F.sum(F.col("c") * F.col("logp")) / F.sum("c"), 4).alias(
+                "nll"
+            ),
+        )
+    )
+
+    # exact per-lang CDF over DISTINCT pinned nll values (tiny table)
+    vals = scored.groupBy(lang_col, "nll").agg(F.count("*").alias("cv"))
+    wl = (
+        Window.partitionBy(lang_col)
+        .orderBy("nll")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(lang_col)
+    vals = vals.select(
+        lang_col,
+        "nll",
+        F.sum("cv").over(wl).alias("cum"),
+        F.sum("cv").over(wn).alias("n_lang"),
+    )
+    bucket = (
+        F.when(F.col("cum") * 3 <= F.col("n_lang"), CCNET_HEAD)
+        .when(F.col("cum") * 3 <= F.col("n_lang") * 2, CCNET_MIDDLE)
+        .otherwise(CCNET_TAIL)
+    )
+    buckets = vals.select(lang_col, "nll", bucket.alias("bucket"))
+    return scored.join(F.broadcast(buckets), [lang_col, "nll"]).select(
+        "doc_id",
+        F.col(lang_col).alias("lang"),
+        "n_grams",
+        "nll",
+        "bucket",
+        (F.col("bucket") != CCNET_TAIL).alias("keep"),
     )

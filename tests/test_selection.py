@@ -112,3 +112,109 @@ def test_substring_dup_flags_heavy_overlap(spark):
     # 31 words -> 24 positions; grams not touching the tail (23) dupe
     assert out[0]["n_grams"] == 24 and out[0]["dup_grams"] == 23
     assert not out[0]["keep"]
+
+
+# --- CCNet perplexity buckets ---------------------------------------------
+
+
+def _ccnet(spark, rows, mod=2):
+    from newscrawler_spark.operators.selection import ccnet_perplexity
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, lang=lang, text=t) for i, lang, t in rows]
+    )
+    out = ccnet_perplexity(df, F.col("doc_id") % mod == 0)
+    return {r["doc_id"]: r for r in out.collect()}
+
+
+def test_ccnet_nll_matches_hand_formula(spark):
+    """One raw doc scored against a one-doc target LM: mean NLL of its
+    hashed bigrams under add-one smoothing, recomputed in Python from
+    the identical md5 bucket grid."""
+    import hashlib
+
+    from newscrawler_spark.operators.selection import DSIR_BUCKETS as B
+
+    rows = [(0, "en", "zzz zzz zzz qqq"), (1, "en", "zzz zzz qqq zzz")]
+    got = _ccnet(spark, rows)
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    tgt_bigrams = ["zzz zzz", "zzz zzz", "zzz qqq"]
+    raw_bigrams = ["zzz zzz", "zzz qqq", "qqq zzz"]
+    cb = {}
+    for g in tgt_bigrams:
+        cb[bucket(g)] = cb.get(bucket(g), 0) + 1
+    tb = len(tgt_bigrams)
+    nll = -sum(
+        math.log((cb.get(bucket(g), 0) + 1) / (tb + B)) for g in raw_bigrams
+    ) / len(raw_bigrams)
+    assert got[1]["n_grams"] == 3
+    assert abs(got[1]["nll"] - nll) < 1e-3
+    assert 0 not in got, "target docs are not scored"
+
+
+def test_ccnet_terciles_follow_integer_cdf_rule(spark):
+    """Buckets must equal the integer rule 3*cum<=n / 3*cum<=2n applied
+    to the per-lang CDF of the pinned nll values — recomputed from the
+    operator's own output."""
+    # 9 raw docs in one lang with graded repetition => spread nll values
+    rows = [(0, "en", "common words shared by all docs here")]
+    for i in range(1, 10):
+        extra = " ".join(f"rare{i}w{j}" for j in range(i))
+        rows.append((2 * i + 1, "en", f"common words shared by all docs {extra}"))
+    got = _ccnet(spark, rows)
+    assert len(got) == 9
+    by_lang: dict = {}
+    for r in got.values():
+        by_lang.setdefault(r["lang"], []).append(r)
+    for docs in by_lang.values():
+        n = len(docs)
+        docs.sort(key=lambda r: r["nll"])
+        cum = 0
+        i = 0
+        while i < len(docs):
+            j = i
+            while j < len(docs) and docs[j]["nll"] == docs[i]["nll"]:
+                j += 1
+            cum += j - i
+            want = "head" if cum * 3 <= n else ("middle" if cum * 3 <= 2 * n else "tail")
+            for k in range(i, j):
+                assert docs[k]["bucket"] == want, (docs[k], want, cum, n)
+                assert docs[k]["keep"] == (want != "tail")
+            i = j
+
+
+def test_ccnet_buckets_partition_each_lang(spark):
+    """Across two langs, every tercile is populated and langs are
+    bucketed independently."""
+    rows = []
+    did = 0
+    for lang in ("en", "de"):
+        for i in range(12):
+            extra = " ".join(f"{lang}x{i}y{j}" for j in range(i))
+            rows.append((2 * did + 1, lang, f"base words for {lang} {extra}"))
+            did += 1
+    rows.append((0, "en", "base words for en base words for de"))
+    got = _ccnet(spark, rows)
+    for lang in ("en", "de"):
+        buckets = [r["bucket"] for r in got.values() if r["lang"] == lang]
+        assert len(buckets) == 12
+        assert {"head", "middle", "tail"} == set(buckets)
+        assert buckets.count("head") == 4  # 12 distinct-ish values => exact thirds
+
+
+def test_ccnet_plan_broadcasts_dim_and_buckets(spark):
+    """Both join-backs (64-row LM dim, per-(lang,nll) bucket table) must
+    broadcast — the corpus side never sort-merges or re-shuffles for
+    them."""
+    from newscrawler_spark.operators.selection import ccnet_perplexity
+    from tests.test_plans import _plan
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, lang="en", text=f"alpha beta gamma delta w{i}") for i in range(6)]
+    )
+    plan = _plan(ccnet_perplexity(df, F.col("doc_id") % 2 == 0), "simple")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
