@@ -3498,6 +3498,38 @@ FROM s JOIN bk USING (lang, nll)
 
 SQL_PIPELINE_CCNET = _sql_pipeline_ccnet_buckets()
 
+# 8 shards at gate SF so each holds ~60 docs (64 would leave most
+# shards near-singleton and the position column would prove nothing).
+_SHUFFLE_GATE_SHARDS = 8
+_SHUFFLE_GATE_SALT = "epoch0"
+
+
+def q_pipeline_shuffle_epoch(spark, sf_dir):
+    """Deterministic epoch shuffle (operators/packing.shuffle_assign):
+    salted-md5 shard + in-shard position; the loader step feeding
+    pack_sequences."""
+    from newscrawler_spark.operators.packing import shuffle_assign
+
+    return shuffle_assign(
+        _t(spark, sf_dir, "documents"),
+        salt=_SHUFFLE_GATE_SALT,
+        n_shards=_SHUFFLE_GATE_SHARDS,
+    )
+
+
+SQL_PIPELINE_SHUFFLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':{_SHUFFLE_GATE_SALT}'), 1, 15)) AS BIGINT) AS sort_key
+  FROM documents)
+SELECT doc_id,
+       CAST(sort_key % {_SHUFFLE_GATE_SHARDS} AS INT) AS shard,
+       sort_key,
+       CAST(row_number() OVER (PARTITION BY sort_key % {_SHUFFLE_GATE_SHARDS}
+                               ORDER BY sort_key, doc_id) AS BIGINT) AS pos
+FROM h
+"""
+
 
 # =========================================================================
 # driver contract
@@ -3613,6 +3645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_bpe_pairs": q_tokenizer_bpe_pairs,
         "dedup_semantic": q_dedup_semantic,
         "pipeline_ccnet_buckets": q_pipeline_ccnet_buckets,
+        "pipeline_shuffle_epoch": q_pipeline_shuffle_epoch,
         "pipeline_url_filter": q_pipeline_url_filter,
         "dedup_clusters": q_dedup_clusters,
         "pipeline_dsir_weights": q_pipeline_dsir_weights,
@@ -3697,6 +3730,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_bpe_pairs": SQL_TOKENIZER_BPE_PAIRS,
         "dedup_semantic": SQL_DEDUP_SEMANTIC,
         "pipeline_ccnet_buckets": SQL_PIPELINE_CCNET,
+        "pipeline_shuffle_epoch": SQL_PIPELINE_SHUFFLE,
         "pipeline_url_filter": SQL_PIPELINE_URL_FILTER,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "pipeline_dsir_weights": SQL_PIPELINE_DSIR,

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "tokenizer_bpe_pairs",
     "dedup_semantic",
     "pipeline_ccnet_buckets",
+    "pipeline_shuffle_epoch",
 ]
 
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))

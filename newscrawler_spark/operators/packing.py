@@ -112,3 +112,46 @@ def domain_mix(
         pinned_round(share, 6).alias("share"),
         pinned_round(share / p, 4).alias("weight"),
     )
+
+
+SHUFFLE_SHARDS = 64
+
+
+def shuffle_assign(
+    docs: DataFrame,
+    salt: str = "epoch0",
+    n_shards: int = SHUFFLE_SHARDS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle for one training epoch: every doc
+    gets a shard and a position inside it, from the salted md5 grid the
+    stratified sampler uses (60-bit int of the first 15 hex chars) —
+    reproducible under any partitioning, engine, or corpus subset, and
+    a new ``salt`` (epoch) is an entirely fresh permutation.
+
+    This is the loader-facing step BEFORE :func:`pack_sequences`
+    (feed it ``shard_col="shard", order_col="pos"``): concat-then-chunk
+    packing over a shuffled order is exactly the GPT-style epoch
+    pipeline.
+
+    Scale shape: one hash shuffle on ``shard``, then a per-shard sort
+    for ``row_number`` — ``n_shards`` grows with the corpus so each
+    sort stays executor-sized; there is no global sort and no driver
+    involvement.  Output: (doc_id, shard, sort_key, pos).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (h % n_shards).cast("int").alias("shard"),
+        h.alias("sort_key"),
+    )
+    w = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
+    return base.select(
+        "doc_id", "shard", "sort_key", F.row_number().over(w).cast("long").alias("pos")
+    )

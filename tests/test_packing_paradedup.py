@@ -120,3 +120,48 @@ def test_domain_mix_uniform_is_identity(spark):
     out = domain_mix(spark.createDataFrame(rows)).collect()
     assert all(abs(r["weight"] - 1.0) < 1e-3 for r in out)
     assert all(r["n_tokens"] == 10 for r in out)
+
+
+# --- deterministic epoch shuffle ------------------------------------------
+
+
+def test_shuffle_assign_is_bijective_permutation(spark):
+    from newscrawler_spark.operators.packing import shuffle_assign
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(doc_id=i) for i in range(200)])
+    out = shuffle_assign(df, salt="e1", n_shards=4).collect()
+    assert len(out) == 200 and len({r["doc_id"] for r in out}) == 200
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= set(range(4))
+    for rows in by_shard.values():
+        # positions are exactly 1..n within the shard
+        assert sorted(r["pos"] for r in rows) == list(range(1, len(rows) + 1))
+        # order follows (sort_key, doc_id)
+        srt = sorted(rows, key=lambda r: (r["sort_key"], r["doc_id"]))
+        assert [r["pos"] for r in srt] == list(range(1, len(rows) + 1))
+
+
+def test_shuffle_assign_salt_changes_permutation(spark):
+    from newscrawler_spark.operators.packing import shuffle_assign
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(doc_id=i) for i in range(100)])
+    a = {r["doc_id"]: (r["shard"], r["pos"]) for r in shuffle_assign(df, salt="e1").collect()}
+    b = {r["doc_id"]: (r["shard"], r["pos"]) for r in shuffle_assign(df, salt="e2").collect()}
+    assert a != b
+    # and the same salt is bit-stable across runs
+    a2 = {r["doc_id"]: (r["shard"], r["pos"]) for r in shuffle_assign(df, salt="e1").collect()}
+    assert a == a2
+
+
+def test_shuffle_assign_single_exchange(spark):
+    from newscrawler_spark.operators.packing import shuffle_assign
+    from pyspark.sql import Row
+    from tests.test_plans import _plan
+
+    df = spark.createDataFrame([Row(doc_id=i) for i in range(10)])
+    plan = _plan(shuffle_assign(df), "simple")
+    assert plan.count("Exchange") == 1, plan
