@@ -3004,6 +3004,20 @@ def q_crawl_logs(spark, sf_dir):
     return store.read_rounds(spark, "crawl_logs")
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """Integer-exact PageRank over the corpus host link graph — the
+    link-structure frontier-priority signal (the reference's static
+    source priority, models.py:38-58, derived from the web itself;
+    OPIC/PageRank is the public crawl-ordering analog).  DuckDB-oracled
+    end-to-end: oracle_sql.host_pagerank_sql replays extraction +
+    3 unrolled scaled-integer iterations on the same pages parquet."""
+    from newscrawler_spark.operators.graph import host_pagerank
+
+    _, paths = _crawl_store(spark, sf_dir)
+    pages = spark.read.parquet(paths["pages"])
+    return host_pagerank(pages)
+
+
 def q_s4_feed_entries(spark, sf_dir):
     """S4: RSS/Atom feed source — posexplode of <item> entries with
     title/link/pubDate, capped at 20/feed (sources/feeds.feed_entries;
@@ -3074,7 +3088,11 @@ def _corpus_oracle_sql() -> dict[str, str]:
         SPA_MAX_TEXT_RATIO,
         SPA_MIN_SCRIPTS,
     )
-    from newscrawler_spark.oracle_sql import crawl_articles_sql, crawl_order_sql
+    from newscrawler_spark.oracle_sql import (
+        crawl_articles_sql,
+        crawl_order_sql,
+        host_pagerank_sql,
+    )
     from newscrawler_spark.sources.corpus import generate_corpus
 
     base = _crawl_base(_GATE_SF_DIR)
@@ -3143,6 +3161,9 @@ FROM s
         # statement (newscrawler_spark/oracle_sql.py): global fetch
         # order and article rows incl. the weighted quality score.
         "crawl_order": crawl_order_sql(p["pages"], p["seeds"], crawl_cfg),
+        "graph_pagerank_hosts": host_pagerank_sql(
+            p["pages"], max_links=crawl_cfg.max_links_per_page
+        ),
         "crawl_articles": crawl_articles_sql(p["pages"], p["seeds"], crawl_cfg),
     }
 
@@ -3580,6 +3601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_articles": q_crawl_articles,
         "crawl_order": q_crawl_order,
         "crawl_logs": q_crawl_logs,
+        "graph_pagerank_hosts": q_graph_pagerank,
         "s1_csv_source": q_s1_csv_source,
         "s2_due_sources": q_s2_due_sources,
         "s4_feed_entries": q_s4_feed_entries,

@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "dedup_semantic",
     "pipeline_ccnet_buckets",
     "pipeline_shuffle_epoch",
+    "graph_pagerank_hosts",
 ]
 
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))

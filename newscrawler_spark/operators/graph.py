@@ -85,3 +85,108 @@ def connected_components(
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
     return comp
+
+
+_HOST_RE = r"^[a-z]+://([^/?#]*)"
+
+
+def host_link_edges(pages: DataFrame, max_links_per_page: int = 100) -> DataFrame:
+    """Host-level link graph from the raw pages table.
+
+    Extracts every page's out-links with the frozen extraction contract
+    (functions/extract.extract_page: first-occurrence dedup per page),
+    caps them at `max_links_per_page` (the reference's link cap,
+    scraper_gui.py:483-486 — same cap the crawler applies at its explode
+    site), resolves each endpoint to its host, and keeps only edges
+    between two DISTINCT hosts that both exist in the corpus (links to
+    hosts outside the crawled universe carry no rank).  Returns
+    (src, dst, w) with w = number of distinct page-level links.
+
+    Scale shape: one mapInPandas extraction pass + one groupBy on
+    (src, dst) — the same single shuffle any host-level rollup needs.
+    The result is O(host-graph), orders of magnitude smaller than the
+    pages table, so everything downstream is cheap.
+    """
+    from ..functions.extract import EXTRACT_FIELDS, extract_map_in_pandas
+
+    meta = pages.select("url", "html")
+    ext = meta.mapInPandas(
+        extract_map_in_pandas, schema=f"url string, html binary, {EXTRACT_FIELDS}"
+    )
+    links = ext.select(
+        F.regexp_extract("url", _HOST_RE, 1).alias("src"),
+        F.explode(F.slice("out_links", 1, max_links_per_page)).alias("link"),
+    ).select("src", F.regexp_extract("link", _HOST_RE, 1).alias("dst"))
+    hosts = pages.select(
+        F.regexp_extract("url", _HOST_RE, 1).alias("host")
+    ).distinct()
+    return (
+        links.filter(F.col("src") != F.col("dst"))
+        .join(F.broadcast(hosts), links["dst"] == hosts["host"], "left_semi")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+
+
+def host_pagerank(
+    pages: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+    max_links_per_page: int = 100,
+) -> DataFrame:
+    """Integer-exact PageRank over the host link graph — the classic
+    frontier-prioritization signal (Page et al. 1999; OPIC, Abiteboul
+    et al. WWW'03 is the on-line crawl variant).  The reference ranks
+    sources by a static priority column (src/database/models.py:38-58,
+    scheduler ordering scheduler.py:516-524); this derives that
+    priority from the corpus's own link structure instead.
+
+    All arithmetic is scaled-integer so any engine replays it
+    bit-exactly (the repo-wide oracle rule — no double sums):
+
+        r_0(h)   = scale
+        c(h->g)  = (r_k(h) * w) div out(h)          per edge, exact
+        r_k+1(g) = (scale - scale*d//100)
+                   + (d * sum_h c(h->g)) div 100    d = damping_pct
+
+    Hosts with no out-edges simply don't redistribute (no dangling
+    teleport term — spelled identically in the DuckDB oracle).  The
+    fixed `iterations` unrolls into K tiny self-joins over the
+    PERSISTED host-edge aggregate (Catalyst re-executes unreferenced
+    identical subtrees — CLAUDE.md — so the O(hosts^2)-bounded edge
+    table is cached; the O(n_pages) extraction runs once).
+
+    Scale: rank iterations run on the host graph (~10^7 rows at
+    100 TB), never on pages; each iteration is a broadcast join of the
+    |hosts|-row rank vector against the persisted edges plus one
+    groupBy(dst) on the host graph.
+    """
+    edges = host_link_edges(pages, max_links_per_page).persist()
+    outw = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("outw"))
+    ew = edges.join(outw, "src").persist()
+    hosts = pages.select(
+        F.regexp_extract("url", _HOST_RE, 1).alias("host")
+    ).distinct()
+    teleport = scale - (scale * damping_pct) // 100
+    ranks = hosts.select("host", F.lit(scale).cast("bigint").alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            ew.join(
+                F.broadcast(ranks.withColumnRenamed("host", "src")), "src"
+            )
+            .select(
+                F.col("dst").alias("host"),
+                F.expr("(rank * w) div outw").alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").cast("bigint").alias("s"))
+        )
+        ranks = hosts.join(contrib, "host", "left").select(
+            "host",
+            (
+                F.lit(teleport)
+                + F.expr(f"({damping_pct} * coalesce(s, 0)) div 100")
+            ).cast("bigint").alias("rank"),
+        )
+    return ranks

@@ -312,3 +312,85 @@ SELECT url, url_hash, source_domain, title,
   round_id, fetch_seq
 FROM w
 """
+
+
+def host_pagerank_sql(
+    pages_path: str,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+    max_links: int = 100,
+) -> str:
+    """Integer-exact host PageRank as one SQL statement (DuckDB oracle
+    twin of operators/graph.host_pagerank).
+
+    Link extraction reuses the crawl oracle's frozen spellings (same
+    _BOILER alternation, same href/feed-item regexes, same _RESOLVE +
+    CANON_SQL, same first-occurrence dedup + per-page cap) so the edge
+    relation is the crawl's page_links CTE verbatim; the rank recurrence
+    is scaled-integer (r*w // out, teleport + d*s // 100) so every
+    division is exact in any engine.  Fixed `iterations` unroll into
+    chained CTEs, mirroring the Spark loop.
+    """
+    canon_href = CANON_SQL.format(col="target")
+    teleport = scale - (scale * damping_pct) // 100
+    head = rf"""
+WITH pagemeta AS (
+  SELECT url AS cu,
+         regexp_replace(decode(html), '(?is){_BOILER}', ' ', 'g') AS body,
+         regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+         regexp_extract(url, '^[a-z]+://([^/?#]*)', 1) AS host
+  FROM read_parquet('{pages_path}')
+),
+hx AS (
+  SELECT cu, scheme, host, unnest(hrefs) AS href, unnest(range(1, len(hrefs)+1)) AS pos
+  FROM (
+    SELECT cu, scheme, host,
+      list_concat(
+        regexp_extract_all(body, '(?i)<a\b[^>]*?\bhref\s*=\s*["'']([^"''>]+)["'']', 1),
+        list_slice(regexp_extract_all(body, '(?i)<link>[ \t\n\r\f\x0b]*(https?://[^< \t\n\r\f\x0b]+)[ \t\n\r\f\x0b]*</link>', 1), 1, 20)
+      ) AS hrefs
+    FROM pagemeta) hr
+),
+lc AS (
+  SELECT cu, pos, {canon_href} AS link
+  FROM (SELECT cu, pos, {_RESOLVE.format(h="href")} AS target FROM hx) r
+  WHERE target IS NOT NULL
+),
+lk AS (
+  SELECT cu, link, row_number() OVER (PARTITION BY cu ORDER BY pos) AS rk
+  FROM (
+    SELECT cu, pos, link, row_number() OVER (PARTITION BY cu, link ORDER BY pos) AS occ
+    FROM lc WHERE link IS NOT NULL) d
+  WHERE occ = 1
+),
+page_links AS (
+  SELECT cu, link FROM lk WHERE rk <= {max_links}
+),
+hosts AS (SELECT DISTINCT host FROM pagemeta),
+el AS (
+  SELECT pm.host AS src, regexp_extract(pl.link, '^[a-z]+://([^/?#]*)', 1) AS dst
+  FROM page_links pl JOIN pagemeta pm ON pl.cu = pm.cu
+),
+edges AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+  FROM el WHERE src <> dst AND dst IN (SELECT host FROM hosts)
+  GROUP BY src, dst
+),
+outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM edges GROUP BY src),
+r_0 AS (SELECT host, CAST({scale} AS BIGINT) AS rank FROM hosts)"""
+    parts = [head]
+    for k in range(1, iterations + 1):
+        parts.append(f""",
+s_{k} AS (
+  SELECT e.dst AS host, CAST(sum((r.rank * e.w) // o.outw) AS BIGINT) AS s
+  FROM edges e JOIN r_{k - 1} r ON e.src = r.host JOIN outw o ON e.src = o.src
+  GROUP BY e.dst
+),
+r_{k} AS (
+  SELECT h.host,
+         CAST({teleport} + ({damping_pct} * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
+  FROM hosts h LEFT JOIN s_{k} s ON h.host = s.host
+)""")
+    parts.append(f"\nSELECT host, rank FROM r_{iterations}")
+    return "".join(parts)

@@ -49,3 +49,86 @@ def test_cc_raises_without_fixpoint_budget(spark):
     pairs = [(i, i + 1) for i in range(32)]
     with pytest.raises(RuntimeError):
         _cc_with_cap(spark, pairs, 2)
+
+
+# --- host PageRank (operators/graph.host_pagerank) ----------------------
+
+
+def _pure_python_pagerank(pages_path, iterations=3, damping_pct=85, scale=1_000_000):
+    """Independent third implementation: extract edges with the frozen
+    Python extractor, run the scaled-integer recurrence in plain dicts."""
+    import pyarrow.parquet as pq
+
+    from newscrawler_spark.functions.extract import extract_page
+
+    tbl = pq.read_table(pages_path)
+
+    def host(u):
+        import re
+
+        m = re.match(r"^[a-z]+://([^/?#]*)", u)
+        return m.group(1) if m else ""
+
+    hosts = set()
+    edges: dict[tuple[str, str], int] = {}
+    for url, html in zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()):
+        hosts.add(host(url))
+    for url, html in zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()):
+        src = host(url)
+        for link in extract_page(html, url)["out_links"][:100]:
+            dst = host(link)
+            if dst != src and dst in hosts:
+                edges[(src, dst)] = edges.get((src, dst), 0) + 1
+    out: dict[str, int] = {}
+    for (s, _), w in edges.items():
+        out[s] = out.get(s, 0) + w
+    teleport = scale - (scale * damping_pct) // 100
+    r = {h: scale for h in hosts}
+    for _ in range(iterations):
+        acc = {h: 0 for h in hosts}
+        for (s, d), w in edges.items():
+            acc[d] += (r[s] * w) // out[s]
+        r = {h: teleport + (damping_pct * acc[h]) // 100 for h in hosts}
+    return r
+
+
+def test_host_pagerank_matches_pure_python(spark, tmp_path):
+    from newscrawler_spark.operators.graph import host_pagerank
+    from newscrawler_spark.sources.corpus import generate_corpus
+
+    p = generate_corpus(str(tmp_path / "corpus"), n_pages=300, n_hosts=6, seed=11)
+    got = {
+        r["host"]: r["rank"]
+        for r in host_pagerank(spark.read.parquet(p["pages"])).collect()
+    }
+    want = _pure_python_pagerank(p["pages"])
+    assert got == want
+    # teleport mass keeps every host strictly positive, and the hot host
+    # (≥30% of pages → most in-links) must outrank the median host
+    ranks = sorted(got.values())
+    assert ranks[0] >= 150_000
+    assert max(got.values()) > ranks[len(ranks) // 2]
+
+
+def test_host_pagerank_hand_graph(spark):
+    # 2 hosts: a -> b only (1 edge); b has no out-links.
+    # r0 = 1e6 both.  it1: b gets (1e6*1)//1 = 1e6 -> r(b) = 150000 +
+    # 85*1e6//100 = 1_000_000; a gets teleport only = 150_000.
+    # it2: b gets (150000*1)//1 -> 150000 + 127500 = 277_500; a 150_000.
+    # it3: b = 150000 + 85*150000//100 = 277_500 (a's rank unchanged).
+    from pyspark.sql import Row
+
+    from newscrawler_spark.operators.graph import host_pagerank
+
+    pages = spark.createDataFrame(
+        [
+            Row(
+                url="https://a.example/world/art-000000.html",
+                html=b'<html><body><a href="https://b.example/world/x.html">x</a></body></html>',
+            ),
+            Row(url="https://b.example/world/x.html", html=b"<html><body>end</body></html>"),
+        ],
+        "url string, html binary",
+    )
+    got = {r["host"]: r["rank"] for r in host_pagerank(pages).collect()}
+    assert got == {"a.example": 150_000, "b.example": 277_500}
