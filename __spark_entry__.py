@@ -458,6 +458,20 @@ FROM m
 """
 
 
+def q_sketch_hll_users(spark, sf_dir):
+    """Deterministic HyperLogLog distinct-user estimate per event_type
+    (operators/sketch.py — frozen md5 register spec, integer-exact
+    harmonic sum).  The 10^10-frontier-scale answer to the reference's
+    exact GROUP BY distinct counts (src/api/routers/stats.py): the
+    register table is m=256 ints per group and merges with MAX across
+    shards/days, where COUNT(DISTINCT) reshuffles every key."""
+    from newscrawler_spark.operators.sketch import hll_estimate
+
+    return hll_estimate(
+        _t(spark, sf_dir, "events"), key="user_id", group="event_type"
+    ).withColumnRenamed("grp", "event_type")
+
+
 def q_a4_histogram(spark, sf_dir):
     """A4 (completeness): bucketed latency histogram + bucket-derived
     percentiles — the reference's Histogram metric and its Prometheus
@@ -501,6 +515,16 @@ def q_a4_histogram(spark, sf_dir):
         ).alias("histogram"),
         "p50_bucket",
         "p95_bucket",
+    )
+
+
+def _sql_sketch_hll() -> str:
+    from newscrawler_spark.operators.sketch import hll_sql
+
+    inner = hll_sql("events", "user_id", "event_type")
+    return (
+        "SELECT grp AS event_type, registers_set, s_scaled, hll_est "
+        f"FROM ({inner}) hll"
     )
 
 
@@ -3616,6 +3640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-3 additions ---
         "a4_histogram": q_a4_histogram,
         "a4_percentiles": q_a4_percentiles,
+        "sketch_hll_users": q_sketch_hll_users,
         "rag_context": q_rag_context,
         "rag_evaluate": q_rag_evaluate,
         "rag_summarize": q_rag_summarize,
@@ -3710,6 +3735,7 @@ def oracle_sql() -> dict[str, str]:
         "j1_seen_antijoin": SQL_J1,
         "a4_histogram": SQL_A4,
         "a4_percentiles": SQL_A4_PERCENTILES,
+        "sketch_hll_users": _sql_sketch_hll(),
         "rag_context": SQL_RAG_CONTEXT,
         "rag_evaluate": SQL_RAG_EVALUATE,
         "rag_summarize": SQL_RAG_SUMMARIZE,

@@ -1,0 +1,152 @@
+"""Deterministic cardinality sketches (HyperLogLog) — exact in any engine.
+
+At 10^10-URL frontier scale, "how many distinct URLs / hosts / users"
+is a sketch question, not a COUNT(DISTINCT) question: exact distinct
+shuffles every key, an HLL register table is m integers per group and
+merges with MAX.  Spark's built-in ``approx_count_distinct`` is an HLL
+too, but its register layout is engine-private — useless for a
+cross-engine gate and unmergeable outside Spark.  This one is frozen
+arithmetic on the repo's 60-bit md5 hash contract
+(functions/canonical.py:30, ``int(md5(key)[:15], 16)``), so DuckDB (or
+anything else) replays it bit-exactly, and the register table itself is
+a first-class mergeable artifact (MAX per register — the streaming /
+multi-shard merge is a groupBy, the same property Flajolet's paper
+sells).
+
+Frozen spec (p = 8, m = 256 registers):
+
+    h     = 60-bit md5 hash of the key string
+    idx   = h % 256                      (register)
+    w     = h // 256                     (52 remaining bits)
+    rho   = tz(w | 2^52) + 1             (tz = trailing zeros via
+                                          bit_count((x & -x) - 1);
+                                          the OR caps rho at 53)
+    R_j   = max rho per (group, idx)
+    V     = 256 - #set registers         (empties)
+    S     = sum(2^(30 - least(R_j, 30))) + V * 2^30     (scaled by 2^30
+            so the harmonic sum is EXACT int64 — never a double sum)
+    est   = (7182 * 256 * 256 * 2^30) div (10000 * S)   (alpha_256 =
+            0.7182 as the rational 7182/10000; raw HLL estimate, no
+            small/large-range correction — corrections need ln(), whose
+            last-ulp varies across engines; the clamp at rho 30 and the
+            missing linear-counting branch are part of the frozen spec,
+            identical everywhere)
+
+Reference parity: the reference counts distincts exactly in SQL
+(src/api/routers/stats.py GROUP BY counts); this is the scale path for
+the same questions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256
+_ALPHA_NUM = 7182  # alpha_256 ≈ 0.7213/(1 + 1.079/256), 4 decimals
+_ALPHA_DEN = 10_000
+_RHO_CAP = 30  # keeps 2^(cap) * m and the alpha numerator inside int64
+
+
+def _hash60(key: Column) -> Column:
+    """The repo-wide frozen 60-bit hash (canonical.py contract)."""
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+
+
+def hll_registers(df: DataFrame, key: str, group: str) -> DataFrame:
+    """(group, register, rho) — max trailing-zero rank per register.
+
+    One groupBy on (group, register): the shuffle carries at most
+    m rows per group whatever the input size, and two register tables
+    merge with the same MAX — the mergeability that makes the sketch
+    usable across shards / days / streaming micro-batches.
+    """
+    # hash once per row (Catalyst does NOT CSE duplicate md5 trees in
+    # one Project — CLAUDE.md), then pure bit arithmetic on the column
+    staged = df.select(
+        F.col(group).alias("grp"), _hash60(F.col(key).cast("string")).alias("h60")
+    ).select(
+        "grp",
+        (F.col("h60") % F.lit(HLL_M)).cast("int").alias("register"),
+        F.expr(f"(h60 div {HLL_M}) | {1 << 52}").alias("x"),
+    )
+    # rho = trailing zeros of x, +1, via bit_count((x & -x) - 1)
+    rho = (
+        F.bit_count(F.col("x").bitwiseAND(-F.col("x")) - F.lit(1)) + F.lit(1)
+    ).cast("int")
+    return (
+        staged.select("grp", "register", rho.alias("rho"))
+        .groupBy("grp", "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(df: DataFrame, key: str, group: str) -> DataFrame:
+    """(grp, registers_set, s_scaled, hll_est) — integer-exact estimate.
+
+    ``s_scaled`` is the harmonic denominator scaled by 2^30 (empty
+    registers contribute 2^30 each), so the whole estimator is int64
+    arithmetic — the gate hashes it bit-exactly against any engine.
+    """
+    regs = hll_registers(df, key, group)
+    num = _ALPHA_NUM * HLL_M * HLL_M * (1 << _RHO_CAP)
+    return (
+        regs.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("registers_set"),
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), {_RHO_CAP} - least(rho, {_RHO_CAP}))"
+                )
+            ).alias("s_set"),
+        )
+        .select(
+            "grp",
+            "registers_set",
+            (
+                F.col("s_set")
+                + (F.lit(HLL_M) - F.col("registers_set")).cast("long")
+                * F.lit(1 << _RHO_CAP)
+            ).cast("bigint").alias("s_scaled"),
+        )
+        .select(
+            "grp",
+            "registers_set",
+            "s_scaled",
+            F.expr(f"CAST({num} div ({_ALPHA_DEN} * s_scaled) AS BIGINT)").alias(
+                "hll_est"
+            ),
+        )
+    )
+
+
+def hll_sql(table_expr: str, key_sql: str, group_sql: str) -> str:
+    """DuckDB twin of :func:`hll_estimate` — same frozen arithmetic."""
+    num = _ALPHA_NUM * HLL_M * HLL_M * (1 << _RHO_CAP)
+    return f"""
+WITH h AS (
+  SELECT {group_sql} AS grp,
+         CAST(('0x' || substring(md5(CAST({key_sql} AS VARCHAR)), 1, 15)) AS BIGINT) AS h60
+  FROM {table_expr}
+),
+b AS (
+  SELECT grp, CAST(h60 % {HLL_M} AS INT) AS register,
+         ((h60 // {HLL_M}) | {1 << 52}) AS x
+  FROM h
+),
+regs AS (
+  SELECT grp, register,
+         MAX(CAST(bit_count(CAST((x & -x) - 1 AS BIGINT)) + 1 AS INT)) AS rho
+  FROM b GROUP BY grp, register
+),
+agg AS (
+  SELECT grp, CAST(count(*) AS INT) AS registers_set,
+         CAST(sum(CAST(1 AS BIGINT) << ({_RHO_CAP} - least(rho, {_RHO_CAP})))
+              + ({HLL_M} - count(*)) * {1 << _RHO_CAP} AS BIGINT) AS s_scaled
+  FROM regs GROUP BY grp
+)
+SELECT grp, registers_set, s_scaled,
+       CAST({num} // ({_ALPHA_DEN} * s_scaled) AS BIGINT) AS hll_est
+FROM agg
+"""
