@@ -472,6 +472,47 @@ def q_sketch_hll_users(spark, sf_dir):
     ).withColumnRenamed("grp", "event_type")
 
 
+def q_sketch_cm_users(spark, sf_dir):
+    """Count-min frequency estimates for a deterministic probe set of
+    users (user_id % 7 == 0), joined with the exact counts so the ≥
+    guarantee is visible in the output (operators/sketch.py — salted
+    frozen-md5 hash rows, d×w integer counters, cell-wise-SUM merge).
+    The scale story: event frequency per key at 10^10 distinct keys is
+    a 2048-cell sketch + broadcast probe, not an exact all-key groupBy."""
+    from newscrawler_spark.operators.sketch import cm_query
+
+    ev = _t(spark, sf_dir, "events")
+    hot = ev.filter(F.col("user_id") % 7 == 0)
+    probes = hot.select("user_id").distinct()
+    est = cm_query(ev, "user_id", probes, "user_id").withColumnRenamed(
+        "key", "user_id"
+    )
+    exact = hot.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_n")
+    )
+    return est.join(exact, "user_id").select("user_id", "cm_est", "exact_n")
+
+
+def _sql_sketch_cm() -> str:
+    from newscrawler_spark.operators.sketch import cm_sql
+
+    inner = cm_sql(
+        "events",
+        "user_id",
+        "(SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0)",
+        "user_id",
+    )
+    return f"""
+WITH est AS ({inner}),
+ex AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+  FROM events WHERE user_id % 7 = 0 GROUP BY user_id
+)
+SELECT ex.user_id, est.cm_est, ex.exact_n
+FROM est JOIN ex ON est.key = ex.user_id
+"""
+
+
 def q_a4_histogram(spark, sf_dir):
     """A4 (completeness): bucketed latency histogram + bucket-derived
     percentiles — the reference's Histogram metric and its Prometheus
@@ -3641,6 +3682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_histogram": q_a4_histogram,
         "a4_percentiles": q_a4_percentiles,
         "sketch_hll_users": q_sketch_hll_users,
+        "sketch_cm_users": q_sketch_cm_users,
         "rag_context": q_rag_context,
         "rag_evaluate": q_rag_evaluate,
         "rag_summarize": q_rag_summarize,
@@ -3736,6 +3778,7 @@ def oracle_sql() -> dict[str, str]:
         "a4_histogram": SQL_A4,
         "a4_percentiles": SQL_A4_PERCENTILES,
         "sketch_hll_users": _sql_sketch_hll(),
+        "sketch_cm_users": _sql_sketch_cm(),
         "rag_context": SQL_RAG_CONTEXT,
         "rag_evaluate": SQL_RAG_EVALUATE,
         "rag_summarize": SQL_RAG_SUMMARIZE,

@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "pipeline_shuffle_epoch",
     "graph_pagerank_hosts",
     "sketch_hll_users",
+    "sketch_cm_users",
 ]
 
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))

@@ -150,3 +150,106 @@ SELECT grp, registers_set, s_scaled,
        CAST({num} // ({_ALPHA_DEN} * s_scaled) AS BIGINT) AS hll_est
 FROM agg
 """
+
+
+# --- count-min sketch ----------------------------------------------------
+
+CM_D = 4  # hash rows
+CM_W = 512  # counters per row
+
+
+def _cm_col(key: Column, row: int) -> Column:
+    """Counter index for one salted hash row: 60-bit md5 of 'row:key',
+    mod w.  Salting with the row index gives d independent hashes from
+    the single frozen hash contract."""
+    return (
+        _hash60(F.concat(F.lit(f"{row}:"), key)) % F.lit(CM_W)
+    ).cast("int")
+
+
+def cm_sketch(df: DataFrame, key: str) -> DataFrame:
+    """(row, col, n) count-min table — d×w integer counters.
+
+    The sketch is ONE map-side-combined groupBy over d·w ≤ 2048 cells
+    regardless of key cardinality (heavy-hitter frequency at 10^10
+    distinct URLs where an exact per-key groupBy shuffles every key),
+    and two sketches merge by cell-wise SUM — the same shard/stream
+    mergeability as the HLL register table.
+    """
+    k = F.col(key).cast("string")
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"), _cm_col(k, r).alias("col")
+                    )
+                    for r in range(CM_D)
+                ]
+            )
+        ).alias("cell")
+    )
+    return (
+        cells.select("cell.row", "cell.col")
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def cm_query(df: DataFrame, key: str, probes: DataFrame, probe_key: str) -> DataFrame:
+    """Estimated frequency of each probe key: min over the d counters.
+
+    Returns (key, cm_est).  The estimate never undercounts
+    (cm_est >= true count) and overcounts by at most 2·N/w with
+    probability 1 - 2^-d (Cormode & Muthukrishnan 2005).  The probe
+    side is a broadcast of the sketch (≤ d·w rows) into the probes —
+    no shuffle of the big relation at query time.
+    """
+    sk = cm_sketch(df, key)
+    k = F.col(probe_key).cast("string")
+    probed = probes.select(
+        F.col(probe_key).alias("key"),
+        *[_cm_col(k, r).alias(f"c{r}") for r in range(CM_D)],
+    )
+    est = probed
+    for r in range(CM_D):
+        row_r = sk.filter(F.col("row") == r).select(
+            F.col("col").alias(f"c{r}"), F.col("n").alias(f"n{r}")
+        )
+        est = est.join(F.broadcast(row_r), f"c{r}", "left")
+    return est.select(
+        "key",
+        F.least(
+            *[F.coalesce(F.col(f"n{r}"), F.lit(0)) for r in range(CM_D)]
+        ).alias("cm_est"),
+    )
+
+
+def cm_sql(table_expr: str, key_sql: str, probe_table: str, probe_key_sql: str) -> str:
+    """DuckDB twin of sketch + probe: same salted hashes, same min."""
+    def col_expr(key: str, r: int) -> str:
+        return (
+            f"CAST(CAST(('0x' || substring(md5('{r}:' || CAST({key} AS VARCHAR)), 1, 15)) AS BIGINT)"
+            f" % {CM_W} AS INT)"
+        )
+
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS row, {col_expr(key_sql, r)} AS col FROM {table_expr}"
+        for r in range(CM_D)
+    )
+    joins = "\n".join(
+        f"LEFT JOIN (SELECT col, n FROM sk WHERE row = {r}) s{r} ON p.c{r} = s{r}.col"
+        for r in range(CM_D)
+    )
+    least = ", ".join(f"COALESCE(s{r}.n, 0)" for r in range(CM_D))
+    probe_cols = ", ".join(
+        f"{col_expr(probe_key_sql, r)} AS c{r}" for r in range(CM_D)
+    )
+    return f"""
+WITH cells AS ({rows}),
+sk AS (SELECT row, col, CAST(count(*) AS BIGINT) AS n FROM cells GROUP BY row, col),
+p AS (SELECT {probe_key_sql} AS key, {probe_cols} FROM {probe_table})
+SELECT p.key, LEAST({least}) AS cm_est
+FROM p
+{joins}
+"""

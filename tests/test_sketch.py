@@ -61,3 +61,38 @@ def test_hll_groups_are_independent(spark):
     only_a = spark.createDataFrame(_rows(2000, "a"), "k string, g string")
     assert got["a"] == hll_estimate(only_a, "k", "g").collect()[0]["hll_est"]
     assert got["b"] < got["a"]
+
+
+# --- count-min -----------------------------------------------------------
+
+
+def test_cm_never_undercounts_and_is_tight_on_heavy_keys(spark):
+    from newscrawler_spark.operators.sketch import CM_W, cm_query
+
+    # 20 heavy keys (100 each) + 2000 singleton keys of noise
+    rows = [Row(k=f"hot-{i % 20}") for i in range(2000)] + [
+        Row(k=f"cold-{i}") for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "k string")
+    probes = spark.createDataFrame([Row(k=f"hot-{i}") for i in range(20)], "k string")
+    got = {r["key"]: r["cm_est"] for r in cm_query(df, "k", probes, "k").collect()}
+    n_total = len(rows)
+    for i in range(20):
+        est = got[f"hot-{i}"]
+        assert est >= 100  # the one-sided guarantee
+        assert est <= 100 + 2 * n_total // CM_W + 64, (i, est)
+
+
+def test_cm_sketch_merges_by_cellwise_sum(spark):
+    from newscrawler_spark.operators.sketch import cm_sketch
+
+    a = spark.createDataFrame([Row(k=f"x-{i % 7}") for i in range(300)], "k string")
+    b = spark.createDataFrame([Row(k=f"y-{i % 5}") for i in range(200)], "k string")
+    direct = {
+        (r["row"], r["col"]): r["n"] for r in cm_sketch(a.unionByName(b), "k").collect()
+    }
+    merged: dict = {}
+    for part in (a, b):
+        for r in cm_sketch(part, "k").collect():
+            merged[(r["row"], r["col"])] = merged.get((r["row"], r["col"]), 0) + r["n"]
+    assert direct == merged
