@@ -493,6 +493,45 @@ def q_sketch_cm_users(spark, sf_dir):
     return est.join(exact, "user_id").select("user_id", "cm_est", "exact_n")
 
 
+def q_sketch_bloom_seen(spark, sf_dir):
+    """The crawler's seen-set bloom prefilter as a first-class oracled
+    query (operators/sketch.bloom_build/bloom_probe — the SQL-int64
+    double-hashing twin of operators/seen.NumpyBloom): bloom over the
+    custkeys that HAVE orders, probed by every customer, next to the
+    ground truth — no false negatives by construction, false positives
+    visible where maybe=true but has_orders=false."""
+    from newscrawler_spark.operators.sketch import bloom_build, bloom_probe
+
+    seen = _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    probed = bloom_probe(
+        bloom_build(seen, "o_custkey"), cust, "c_custkey"
+    ).withColumnRenamed("key", "c_custkey")
+    truth = seen.select(
+        F.col("o_custkey").alias("c_custkey"), F.lit(True).alias("has_orders")
+    )
+    return probed.join(truth, "c_custkey", "left").select(
+        "c_custkey", "maybe", F.coalesce("has_orders", F.lit(False)).alias("has_orders")
+    )
+
+
+def _sql_sketch_bloom() -> str:
+    from newscrawler_spark.operators.sketch import bloom_sql
+
+    inner = bloom_sql(
+        "(SELECT DISTINCT o_custkey FROM orders)",
+        "o_custkey",
+        "customer",
+        "c_custkey",
+    )
+    return f"""
+SELECT bp.key AS c_custkey, bp.maybe,
+       (o.o_custkey IS NOT NULL) AS has_orders
+FROM ({inner}) bp
+LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o ON bp.key = o.o_custkey
+"""
+
+
 def _sql_sketch_cm() -> str:
     from newscrawler_spark.operators.sketch import cm_sql
 
@@ -3683,6 +3722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_percentiles": q_a4_percentiles,
         "sketch_hll_users": q_sketch_hll_users,
         "sketch_cm_users": q_sketch_cm_users,
+        "sketch_bloom_seen": q_sketch_bloom_seen,
         "rag_context": q_rag_context,
         "rag_evaluate": q_rag_evaluate,
         "rag_summarize": q_rag_summarize,
@@ -3779,6 +3819,7 @@ def oracle_sql() -> dict[str, str]:
         "a4_percentiles": SQL_A4_PERCENTILES,
         "sketch_hll_users": _sql_sketch_hll(),
         "sketch_cm_users": _sql_sketch_cm(),
+        "sketch_bloom_seen": _sql_sketch_bloom(),
         "rag_context": SQL_RAG_CONTEXT,
         "rag_evaluate": SQL_RAG_EVALUATE,
         "rag_summarize": SQL_RAG_SUMMARIZE,

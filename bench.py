@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "graph_pagerank_hosts",
     "sketch_hll_users",
     "sketch_cm_users",
+    "sketch_bloom_seen",
 ]
 
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))

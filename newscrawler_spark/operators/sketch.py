@@ -253,3 +253,119 @@ SELECT p.key, LEAST({least}) AS cm_est
 FROM p
 {joins}
 """
+
+
+# --- bloom filter (SQL-expressible kernel) --------------------------------
+
+BLOOM_M = 4096  # bits
+BLOOM_K = 4  # probes
+_BLOOM_WORD = 32  # bits per word: keeps 1 << bit positive in any int64 engine
+_H2_MASK = (1 << 50) - 1  # bounds h1 + i*h2 well inside int64
+
+
+def _bloom_probe(key: Column, i: int) -> Column:
+    """Probe bit position i via Kirsch-Mitzenmacher double hashing on
+    two salt-separated frozen-md5 hashes: p_i = (h1 + i*h2) % m, h2
+    odd.  The production seen-set bloom (operators/seen.py NumpyBloom)
+    uses the same construction with a uint64 multiplicative mix; this
+    kernel derives h2 from a second salted md5 instead so every step
+    stays inside signed-int64 SQL (uint64 wraparound is an error, not a
+    wrap, in ANSI engines)."""
+    h1 = _hash60(F.concat(F.lit("b1:"), key))
+    h2 = _hash60(F.concat(F.lit("b2:"), key)).bitwiseAND(F.lit(_H2_MASK)).bitwiseOR(
+        F.lit(1)
+    )
+    return ((h1 + F.lit(i) * h2) % F.lit(BLOOM_M)).cast("int")
+
+
+def bloom_build(df: DataFrame, key: str) -> DataFrame:
+    """(word, bits) — the bloom bitset as a ≤ m/32-row word table.
+
+    bit_or is a map-side-combinable aggregate, so the build is one
+    shuffle of at most m/32 rows per partition whatever the input size,
+    and two blooms merge with the same bit_or — the partitioned
+    seen-bloom design (SURVEY §7.3) with the bitset living in a
+    DataFrame instead of a numpy blob."""
+    k = F.col(key).cast("string")
+    pos = df.select(
+        F.explode(F.array(*[_bloom_probe(k, i) for i in range(BLOOM_K)])).alias("p")
+    )
+    return (
+        pos.select(
+            (F.col("p") / F.lit(_BLOOM_WORD)).cast("int").alias("word"),
+            (F.col("p") % F.lit(_BLOOM_WORD)).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(
+            F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("bits")
+        )
+    )
+
+
+def bloom_probe(bloom: DataFrame, probes: DataFrame, key: str) -> DataFrame:
+    """(key, maybe) — membership test: all k probe bits set.
+
+    The word table broadcasts (≤ m/32 rows); the probe side never
+    shuffles — the exact shape of the crawler's bloom prefilter in
+    front of the exact seen anti-join."""
+    k = F.col(key).cast("string")
+    est = probes.select(
+        F.col(key).alias("key"),
+        *[
+            (_bloom_probe(k, i) / F.lit(_BLOOM_WORD)).cast("int").alias(f"w{i}")
+            for i in range(BLOOM_K)
+        ],
+        *[
+            (_bloom_probe(k, i) % F.lit(_BLOOM_WORD)).alias(f"b{i}")
+            for i in range(BLOOM_K)
+        ],
+    )
+    cond = F.lit(True)
+    for i in range(BLOOM_K):
+        wt = bloom.select(F.col("word").alias(f"w{i}"), F.col("bits").alias(f"v{i}"))
+        est = est.join(F.broadcast(wt), f"w{i}", "left")
+        cond = cond & (
+            F.expr(f"(coalesce(v{i}, CAST(0 AS BIGINT)) >> b{i}) & 1") == 1
+        )
+    return est.select("key", cond.alias("maybe"))
+
+
+def bloom_sql(table_expr: str, key_sql: str, probe_table: str, probe_key_sql: str) -> str:
+    """DuckDB twin of build + probe — same salted hashes, same words."""
+    def h(key: str, salt: str) -> str:
+        return (
+            f"CAST(('0x' || substring(md5('{salt}:' || CAST({key} AS VARCHAR)), 1, 15)) AS BIGINT)"
+        )
+
+    def probe(key: str, i: int) -> str:
+        return (
+            f"(({h(key, 'b1')} + {i} * (({h(key, 'b2')} & {_H2_MASK}) | 1)) % {BLOOM_M})"
+        )
+
+    pos_rows = " UNION ALL ".join(
+        f"SELECT {probe(key_sql, i)} AS p FROM {table_expr}" for i in range(BLOOM_K)
+    )
+    probe_cols = ", ".join(
+        f"CAST({probe(probe_key_sql, i)} // {_BLOOM_WORD} AS INT) AS w{i}, "
+        f"CAST({probe(probe_key_sql, i)} % {_BLOOM_WORD} AS INT) AS b{i}"
+        for i in range(BLOOM_K)
+    )
+    joins = "\n".join(
+        f"LEFT JOIN bloom s{i} ON p.w{i} = s{i}.word" for i in range(BLOOM_K)
+    )
+    cond = " AND ".join(
+        f"((COALESCE(s{i}.bits, CAST(0 AS BIGINT)) >> b{i}) & 1) = 1"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+WITH pos AS ({pos_rows}),
+bloom AS (
+  SELECT CAST(p // {_BLOOM_WORD} AS INT) AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % {_BLOOM_WORD} AS INT)) AS bits
+  FROM pos GROUP BY 1
+),
+p AS (SELECT {probe_key_sql} AS key, {probe_cols} FROM {probe_table})
+SELECT p.key, ({cond}) AS maybe
+FROM p
+{joins}
+"""

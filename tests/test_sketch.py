@@ -96,3 +96,33 @@ def test_cm_sketch_merges_by_cellwise_sum(spark):
         for r in cm_sketch(part, "k").collect():
             merged[(r["row"], r["col"])] = merged.get((r["row"], r["col"]), 0) + r["n"]
     assert direct == merged
+
+
+# --- bloom kernel ----------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    from newscrawler_spark.operators.sketch import BLOOM_M, bloom_build, bloom_probe
+
+    members = spark.createDataFrame([Row(k=f"m-{i}") for i in range(300)], "k string")
+    others = spark.createDataFrame([Row(k=f"o-{i}") for i in range(1000)], "k string")
+    bloom = bloom_build(members, "k")
+    hit = {r["key"]: r["maybe"] for r in bloom_probe(bloom, members, "k").collect()}
+    assert all(hit.values())  # no false negatives, ever
+    fp = [r["maybe"] for r in bloom_probe(bloom, others, "k").collect()]
+    # 300 keys * 4 probes into 4096 bits -> fill ~25%, fp ~ 0.25^4 ≈ 0.4%
+    assert sum(fp) / len(fp) < 0.05
+    assert bloom.count() <= BLOOM_M // 32
+
+
+def test_bloom_merges_by_bit_or(spark):
+    from newscrawler_spark.operators.sketch import bloom_build
+
+    a = spark.createDataFrame([Row(k=f"a-{i}") for i in range(100)], "k string")
+    b = spark.createDataFrame([Row(k=f"b-{i}") for i in range(100)], "k string")
+    direct = {r["word"]: r["bits"] for r in bloom_build(a.unionByName(b), "k").collect()}
+    merged: dict = {}
+    for part in (a, b):
+        for r in bloom_build(part, "k").collect():
+            merged[r["word"]] = merged.get(r["word"], 0) | r["bits"]
+    assert direct == merged
