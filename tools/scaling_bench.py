@@ -270,6 +270,44 @@ def run_local(cores: int, corpus: dict, tag: str, n_pages: int = 1_000_000) -> d
     raise RuntimeError(f"no LOCAL_RESULT (cores={cores})")
 
 
+_PROBE_WORK = 3_000_000  # md5 chain length per probe process
+
+
+def host_window_probe(repeats: int = 2) -> dict:
+    """Same-window pure-CPU achievable ratio for the 2-vs-8-vCPU leg
+    pinning.  The VM's CPU budget drifts between (and within) boot
+    windows, and the drift is NOT always uniform across cpuset sizes —
+    one observed window sped the 2-vCPU set up 10% while slowing the
+    8-vCPU set 30%.  Probing the exact same cpusets the legs use, at
+    bench time, turns the measured efficiency into a fraction of what
+    this window's host can physically deliver."""
+    code = (
+        "import hashlib\nh = b'x'\n"
+        f"for _ in range({_PROBE_WORK}): h = hashlib.md5(h).digest()"
+    )
+    rates: dict[int, float] = {}
+    for procs in (2, 8):
+        best = 0.0
+        for _ in range(repeats):
+            t0 = time.time()
+            ps = [
+                subprocess.Popen(
+                    ["taskset", "-c", str(i), sys.executable, "-c", code],
+                    stdout=subprocess.DEVNULL,
+                )
+                for i in range(procs)
+            ]
+            for p in ps:
+                p.wait()
+            best = max(best, procs * _PROBE_WORK / (time.time() - t0))
+        rates[procs] = best
+    return {
+        "rate_2": round(rates[2], 0),
+        "rate_8": round(rates[8], 0),
+        "achievable": round((rates[8] / rates[2]) / 4, 3),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "1000000")))
@@ -344,6 +382,7 @@ def main() -> None:
 
     # --- secondary: 1 vs 4 executor JVMs on the pinned standalone cluster
     cl = {N_CORES: [], FOURN_CORES: []}
+    window = None
     if not args.skip_cluster:
         zpath = build_pyfiles_zip()
         procs = start_cluster()
@@ -356,6 +395,8 @@ def main() -> None:
                           f"({r['secs']}s)", flush=True)
         finally:
             stop_cluster(procs)
+        window = host_window_probe()
+        print(f"host window probe (2 vs 8 pinned vCPUs): {window}", flush=True)
 
     if cl[N_CORES]:
         bc2 = max(cl[N_CORES], key=lambda r: r["urls_per_sec"])
@@ -387,6 +428,14 @@ with the bucketed join, identical at 1):
 **Cross-JVM efficiency (4N vs N) = ({bc8['urls_per_sec']} /
 {bc2['urls_per_sec']}) / 4 = {ceff:.2f}** (raw repeats
 {json.dumps({str(k): [r['urls_per_sec'] for r in v] for k, v in cl.items()})}).
+Same-window pure-CPU achievable ratio for these exact cpusets
+(2 vs 8 pinned vCPUs, measured immediately after the legs):
+**{window['achievable']:.2f}** — the measured cluster efficiency is
+**{ceff / window['achievable']:.0%} of the host-achievable ratio**
+in this window (probe aggregate md5 rates: 2-proc
+{window['rate_2']:.0f}/s, 8-proc {window['rate_8']:.0f}/s; the VM's
+CPU budget drifts asymmetrically across cpuset sizes between boot
+windows, so the engine-vs-host split must be probed per run).
 This secondary harness proves the same plans scale across separate
 JVMs — cross-JVM torrent broadcast, disk shuffle files, per-JVM python
 pools, real spark-submit packaging — at the same pinned-vCPU density
