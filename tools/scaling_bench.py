@@ -385,16 +385,23 @@ def main() -> None:
     window = None
     if not args.skip_cluster:
         zpath = build_pyfiles_zip()
-        procs = start_cluster()
-        try:
-            for rep in range(args.cluster_repeats):
-                for cores in (N_CORES, FOURN_CORES):
+        # Fresh master+worker daemons PER LEG: repeated submits into one
+        # long-lived cluster showed bimodal 4N legs (5.3k vs 7.0-8.2k
+        # urls/s in one session) while back-to-back fresh-cluster legs
+        # ran uniformly fast (3/3 at 7.0-8.1k, same window) — daemon or
+        # work-dir state accumulated across apps, not host drift (the
+        # same-window pure-CPU probe read 0.92 achievable).  ~12 s of
+        # daemon start/stop per leg is outside the timed job.
+        for rep in range(args.cluster_repeats):
+            for cores in (N_CORES, FOURN_CORES):
+                procs = start_cluster()
+                try:
                     r = submit_crawl(cores, corpus, warmup, zpath, f"{cores}_{rep}", n_pages=args.pages)
-                    cl[cores].append(r)
-                    print(f"cluster cores={cores} rep={rep}: {r['urls_per_sec']} urls/s "
-                          f"({r['secs']}s)", flush=True)
-        finally:
-            stop_cluster(procs)
+                finally:
+                    stop_cluster(procs)
+                cl[cores].append(r)
+                print(f"cluster cores={cores} rep={rep}: {r['urls_per_sec']} urls/s "
+                      f"({r['secs']}s)", flush=True)
         window = host_window_probe()
         print(f"host window probe (2 vs 8 pinned vCPUs): {window}", flush=True)
 
