@@ -3516,6 +3516,62 @@ ORDER BY pair_count DESC, left_sym, right_sym LIMIT {BPE_TOPK}
 
 SQL_TOKENIZER_BPE_PAIRS = _sql_tokenizer_bpe_pairs()
 
+
+def q_tokenizer_bpe_encode(spark, sf_dir):
+    """Full BPE trainer + encoder (operators/tokenizer.bpe_fit/
+    bpe_encode): 4 merges learned over the cached distinct-vocabulary
+    table (each round = one vocab-sized aggregate + 1-row argmax
+    collect), then the corpus joined back to the fitted symbol streams
+    on the word key — per-doc word and BPE-token counts."""
+    from newscrawler_spark.operators.tokenizer import bpe_encode
+
+    return bpe_encode(_t(spark, sf_dir, "documents"))
+
+
+def _sql_tokenizer_bpe_encode() -> str:
+    """The 4 merge rounds unrolled as CTEs: each p{i}→m{i} pair
+    recomputes weighted adjacent-pair counts over the current symbol
+    streams and takes the (count desc, a, b) argmax; r{i} applies it
+    with left-to-right non-overlapping replace — the same semantics as
+    Java String replace, pinned by
+    test_bpe_encode_left_to_right_nonoverlap."""
+    from newscrawler_spark.operators.tokenizer import BPE_EOW, BPE_MERGES
+
+    round_tpl = r"""
+p{i} AS (
+  SELECT cnt, unnest([{{'a': s[i], 'b': s[i+1]}} FOR i IN range(1, len(s))]) AS u
+  FROM (SELECT cnt, string_split(trim(rep), ' ') AS s FROM r{prev})),
+m{i} AS (
+  SELECT u.a AS a, u.b AS b FROM p{i}
+  GROUP BY 1, 2 ORDER BY CAST(sum(cnt) AS BIGINT) DESC, a, b LIMIT 1),
+r{i} AS (
+  SELECT w, cnt,
+         replace(rep, ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ') AS rep
+  FROM r{prev}, m{i} m),"""
+    rounds = "".join(
+        round_tpl.format(i=i, prev=i - 1) for i in range(1, BPE_MERGES + 1)
+    )
+    return rf"""
+WITH tw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(coalesce(text, ''), '[ \t\n\r\f\x0b]+')) AS w
+    FROM documents) WHERE w != ''),
+r0 AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+         ' ' || regexp_replace(w, '(.)', '\1 ', 'g') || '{BPE_EOW} ' AS rep
+  FROM tw GROUP BY 1),{rounds}
+enc AS (
+  SELECT t.doc_id, len(string_split(trim(r.rep), ' ')) AS ntok
+  FROM tw t JOIN r{BPE_MERGES} r ON t.w = r.w)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(ntok) AS BIGINT) AS n_bpe_tokens
+FROM enc GROUP BY 1
+"""
+
+
+SQL_TOKENIZER_BPE_ENCODE = _sql_tokenizer_bpe_encode()
+
 _SEMDEDUP_EPS = 0.30
 _SEMDEDUP_C = 16
 
@@ -3772,6 +3828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_lines": q_text_gopher_lines,
         "pipeline_c4_clean": q_pipeline_c4_clean,
         "tokenizer_bpe_pairs": q_tokenizer_bpe_pairs,
+        "tokenizer_bpe_encode": q_tokenizer_bpe_encode,
         "dedup_semantic": q_dedup_semantic,
         "pipeline_ccnet_buckets": q_pipeline_ccnet_buckets,
         "pipeline_shuffle_epoch": q_pipeline_shuffle_epoch,
@@ -3860,6 +3917,7 @@ def oracle_sql() -> dict[str, str]:
         "text_gopher_lines": SQL_TEXT_GOPHER_LINES,
         "pipeline_c4_clean": SQL_PIPELINE_C4_CLEAN,
         "tokenizer_bpe_pairs": SQL_TOKENIZER_BPE_PAIRS,
+        "tokenizer_bpe_encode": SQL_TOKENIZER_BPE_ENCODE,
         "dedup_semantic": SQL_DEDUP_SEMANTIC,
         "pipeline_ccnet_buckets": SQL_PIPELINE_CCNET,
         "pipeline_shuffle_epoch": SQL_PIPELINE_SHUFFLE,

@@ -17,6 +17,14 @@ corpus pass happens ONCE — the shape implemented here:
 * top-k by (count, pair) with a full deterministic tiebreak — planned
   as TakeOrderedAndProject, no global sort.
 
+``bpe_fit``/``bpe_encode`` complete the trainer: the iterative merge
+loop runs ENTIRELY over the cached distinct-vocabulary table (each
+round is one vocabulary-sized aggregate + a 1-row driver argmax — the
+merge table is the bounded output, never row-scaled), and encoding
+joins the corpus back to the fitted per-word symbol stream on the word
+key — the corpus-scale work is one word shuffle each side, identical
+at any input size.
+
 Reference parity: the reference has no tokenizer job; this is part of
 the LLM-training-pipeline surface (brief: "operations a large-scale
 training-data pipeline would need").  Whitespace is the frozen explicit
@@ -44,6 +52,111 @@ _PAIRS_EXPR = (
     "substring(w, i, 1) AS a, "
     f"CASE WHEN i = length(w) THEN '{BPE_EOW}' ELSE substring(w, i + 1, 1) END AS b))"
 )
+
+
+#: merges learned by bpe_fit / applied by bpe_encode (unrolled in the
+#: SQL oracle, so keep it small enough for a readable statement).
+BPE_MERGES = 4
+
+
+def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    """(w, cnt): the corpus word-frequency table — the single
+    corpus-scale reduction every BPE stage shares."""
+    words = docs.select(
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _WS)
+        ).alias("w")
+    ).where(F.col("w") != "")
+    return words.groupBy("w").agg(F.count("*").cast("long").alias("cnt"))
+
+
+def bpe_fit(
+    docs: DataFrame, text_col: str = "text", n_merges: int = BPE_MERGES
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Learn the first ``n_merges`` BPE merges (Sennrich et al. 2016,
+    algorithm 1) and return ``(merges, fitted_vocab)`` where
+    ``fitted_vocab`` is (w, cnt, rep) with ``rep`` the space-separated
+    symbol stream of ``w`` after all merges (sentinel spaces at both
+    ends, ``</w>`` terminal).
+
+    Scale shape: the corpus is reduced ONCE to the distinct-word table,
+    which is cached; each merge round is one vocabulary-sized aggregate
+    whose argmax row (ties broken by (count desc, a, b)) — a bounded
+    1-row collect — becomes a literal ``replace`` on the cached symbol
+    streams.  Catalyst reuses neither exchanges nor identical aggregate
+    subtrees (PLANS.md), so without the cache every round would replay
+    the corpus word count.
+    """
+    rep0 = F.concat(
+        F.lit(" "),
+        F.regexp_replace("w", "(.)", "$1 "),
+        F.lit(BPE_EOW + " "),
+    )
+    vocab = _word_counts(docs, text_col).select(
+        "w", "cnt", rep0.alias("rep")
+    ).persist()
+    merges: list[tuple[str, str]] = []
+    cur: F.Column = F.col("rep")
+    for _ in range(n_merges):
+        src = vocab.select("cnt", F.split(F.trim(cur), " ").alias("s"))
+        pairs = src.select(
+            "cnt",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("s") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("s"), i).alias("a"),
+                        F.element_at(F.col("s"), i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        cur = F.replace(cur, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    return merges, vocab.select("w", "cnt", cur.alias("rep"))
+
+
+def bpe_encode(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = BPE_MERGES,
+) -> DataFrame:
+    """Fit ``n_merges`` BPE merges on the corpus and encode it: one row
+    per document with its word count and post-merge BPE token count.
+
+    The encode side never re-tokenizes per document: it joins the
+    corpus word stream to the fitted per-word symbol table on the word
+    key (both sides hash-partitioned on ``w`` — vocabulary-sized build,
+    corpus-sized probe) and rolls the per-word token counts up to the
+    document — two key shuffles total at any corpus scale.
+    """
+    _, fitted = bpe_fit(docs, text_col=text_col, n_merges=n_merges)
+    words = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _WS)
+        ).alias("w"),
+    ).where(F.col("w") != "")
+    ntok = F.size(F.split(F.trim("rep"), " "))
+    return (
+        words.join(fitted.select("w", ntok.alias("ntok")), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("ntok").cast("long").alias("n_bpe_tokens"),
+        )
+    )
 
 
 def bpe_pair_counts(

@@ -162,6 +162,82 @@ def test_bpe_plan_takeordered_two_exchanges(spark):
     assert "Sort " not in plan, plan
 
 
+def _bpe_spec(texts, n_merges):
+    """Pure-Python BPE (Sennrich et al. 2016 alg. 1): fit merges over
+    word frequencies, then encode — the independent third
+    implementation of the engine + SQL-oracle contract."""
+    wc: Counter = Counter()
+    doc_words: dict[int, list[str]] = {}
+    for i, t in enumerate(texts):
+        ws = [w for w in _SPLIT_RE.split(t) if w]
+        doc_words[i] = ws
+        wc.update(ws)
+    reps = {w: list(w) + [BPE_EOW] for w in wc}
+    merges = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for w, syms in reps.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wc[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        for w, syms in reps.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and (syms[i], syms[i + 1]) == best
+                ):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            reps[w] = out
+    enc = {
+        d: (len(ws), sum(len(reps[w]) for w in ws))
+        for d, ws in doc_words.items()
+        if ws
+    }
+    return merges, enc
+
+
+def test_bpe_fit_encode_matches_python_spec(spark):
+    from newscrawler_spark.operators.tokenizer import bpe_encode, bpe_fit
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new new new",
+        "the the the cat",
+        "unicode été café été",
+        "",
+        "x",
+    ]
+    spec_merges, spec_enc = _bpe_spec(texts, n_merges=4)
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    merges, _ = bpe_fit(df, n_merges=4)
+    assert merges == spec_merges
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_encode(df, n_merges=4).collect()
+    }
+    assert got == spec_enc
+
+
+def test_bpe_encode_left_to_right_nonoverlap(spark):
+    """'l l l' under merge (l,l) must become 'll l' (left-to-right,
+    non-overlapping) in engine, spec, and SQL replace alike."""
+    from newscrawler_spark.operators.tokenizer import bpe_fit
+
+    df = spark.createDataFrame([Row(doc_id=1, text="lll lll")])
+    merges, fitted = bpe_fit(df, n_merges=1)
+    assert merges == [("l", "l")]
+    (row,) = fitted.collect()
+    assert row["rep"] == " ll l </w> "
+
+
 def _pinned(x: float) -> float:
     return float(np.floor(x * 10000.0 + 0.5) / 10000.0)
 
