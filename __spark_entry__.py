@@ -1752,6 +1752,36 @@ FROM sc WHERE n_hits > 0 ORDER BY sc DESC, doc_id LIMIT {_BM25_K}
 SQL_SEARCH_BM25 = _sql_search_bm25()
 
 
+def q_index_postings(spark, sf_dir):
+    """Positional inverted index (operators/search.build_postings):
+    (term, doc) rows with tf, sorted 1-based positions, and df — the
+    index-build half of the search read-paths.  Positions come from
+    posexplode over the filtered token array (no per-doc window); df is
+    a window over the (term, doc) AGGREGATE, never a second
+    corpus-scale groupBy."""
+    from newscrawler_spark.operators.search import build_postings
+
+    return build_postings(_t(spark, sf_dir, "documents"))
+
+
+SQL_INDEX_POSTINGS = r"""
+WITH tok AS (
+  SELECT doc_id, unnest([{'pos': i, 'w': l[i]} FOR i IN range(1, len(l) + 1)]) AS u
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(coalesce(text, ''), '[ \t\n\r\f\x0b]+'),
+                           x -> x != '') AS l
+        FROM documents)),
+p AS (
+  SELECT u.w AS term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+         list_sort(list(CAST(u.pos AS BIGINT))) AS positions
+  FROM tok GROUP BY 1, 2)
+SELECT term, doc_id, tf, positions,
+       CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df
+FROM p
+"""
+
+
+
 def q_events_sessionize(spark, sf_dir):
     """Gap sessionization over the event stream (operators/events.
     sessionize): 30-min-gap sessions per user, gaps-and-islands plan —
@@ -3837,6 +3867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_dsir_weights": q_pipeline_dsir_weights,
         "dedup_substrings": q_dedup_substrings,
         "search_bm25": q_search_bm25,
+        "index_postings": q_index_postings,
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
         "text_topics": q_text_topics,
@@ -3926,6 +3957,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_dsir_weights": SQL_PIPELINE_DSIR,
         "dedup_substrings": SQL_DEDUP_SUBSTRINGS,
         "search_bm25": SQL_SEARCH_BM25,
+        "index_postings": SQL_INDEX_POSTINGS,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_asof": SQL_EVENTS_ASOF,
         "text_topics": SQL_TEXT_TOPICS,

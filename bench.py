@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "pipeline_dsir_weights",
     "dedup_substrings",
     "search_bm25",
+    "index_postings",
     "events_sessionize",
     "events_asof",
     "pipeline_c4_clean",

@@ -247,3 +247,48 @@ def bm25_rank(
         .limit(k)
         .select("doc_id", "n_hits", pinned_round(F.col("_s"), 4).alias("score_bm25"))
     )
+
+
+# Explicit ASCII whitespace (the tri-engine collapse_ws pin).
+_WS_CLASS = r"[ \t\n\r\f\x0b]+"
+
+
+def build_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Positional inverted index over the corpus: one row per
+    (term, document) with term frequency, the sorted 1-based position
+    list, and the term's document frequency — the index-build half of
+    the search read-paths above (a Lucene/Elasticsearch segment's
+    posting layout, flattened to rows).
+
+    Scale shape (PLANS.md "ratio of a group to the total"): positions
+    come from ``posexplode`` over the ALREADY-FILTERED token array (no
+    per-doc window, no corpus re-numbering job); the (term, doc)
+    aggregate partial-combines map-side before its key shuffle, and
+    ``df`` is a window over that AGGREGATE (second, distinct-pair-sized
+    exchange) — never a corpus-scale groupBy(term) twin that Catalyst
+    would not share, and never a single posting-list row per term (a
+    ``collect_list`` per term concentrates every hot-term posting in
+    one task — the stopword-skew shape ``max_df`` exists to kill).
+    """
+    from pyspark.sql import Window
+
+    arr = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), _WS_CLASS),
+        lambda x: x != "",
+    )
+    tok = docs.select(F.col(id_col), F.posexplode(arr).alias("pos", "w"))
+    agg = tok.groupBy(F.col("w").alias("term"), id_col).agg(
+        F.count("*").cast("long").alias("tf"),
+        F.sort_array(
+            F.collect_list((F.col("pos") + 1).cast("long"))
+        ).alias("positions"),
+    )
+    return agg.select(
+        "term",
+        id_col,
+        "tf",
+        "positions",
+        F.count("*").over(Window.partitionBy("term")).cast("long").alias("df"),
+    )

@@ -292,3 +292,49 @@ def test_bm25_rare_term_outweighs_common(spark):
     df = spark.createDataFrame(rows)
     out = bm25_rank(df, ["rare", "common"], k=3).collect()
     assert out[0]["doc_id"] == 9
+
+
+def test_build_postings_matches_python_spec(spark):
+    import re
+    from collections import Counter
+
+    from newscrawler_spark.operators.search import build_postings
+
+    texts = {
+        1: "the cat  sat on the mat",
+        2: "cat\tand bat",
+        3: "",
+        4: "été the\x0bété",
+    }
+    split_re = re.compile(r"[ \t\n\r\f\x0b]+")
+    spec = {}
+    df_count: Counter = Counter()
+    for d, t in texts.items():
+        toks = [w for w in split_re.split(t) if w]
+        for w in set(toks):
+            df_count[w] += 1
+        for i, w in enumerate(toks, start=1):
+            spec.setdefault((w, d), []).append(i)
+    df = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    got = build_postings(df).collect()
+    assert {(r["term"], r["doc_id"]): list(r["positions"]) for r in got} == spec
+    for r in got:
+        assert r["tf"] == len(spec[(r["term"], r["doc_id"])])
+        assert r["df"] == df_count[r["term"]]
+
+
+def test_build_postings_plan_two_exchanges_partial_agg(spark):
+    from tests.test_plans import _plan
+
+    from newscrawler_spark.operators.search import build_postings
+
+    df = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    plan = _plan(build_postings(df), "simple")
+    # (term, doc) aggregate shuffle + df-window shuffle over the
+    # aggregate — and the first exchange must carry PARTIALLY-COMBINED
+    # rows (partial aggregate below it), never raw corpus tokens
+    assert plan.count("Exchange") == 2, plan
+    first_exchange = plan.index("Exchange")
+    assert "partial_count" in plan[first_exchange:], plan
