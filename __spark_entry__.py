@@ -3200,6 +3200,29 @@ def q_s2_due_sources(spark, sf_dir):
 _GATE_SF_DIR = "/root/testdata/sf0.01"
 
 
+def q_s13_warc_source(spark, sf_dir):
+    """S13 (beyond-reference source): WARC/1.0 segment ingestion
+    (sources/warc.py) — the Common Crawl interchange format.  The
+    corpus pages are written once as deterministic uncompressed WARC
+    segments; the reader is the built-in text source with the record
+    delimiter as lineSep + codegen'd header regexes and a
+    Content-Length-bounded substring payload cut — one narrow stage,
+    no UDF, no shuffle.  Payload identity is gate-checked via md5."""
+    from newscrawler_spark.sources.corpus import generate_corpus
+    from newscrawler_spark.sources.warc import warc_responses, write_warc_segments
+
+    base = _crawl_base(sf_dir)
+    paths = generate_corpus(os.path.join(base, "corpus"), **_GATE_CORPUS_ARGS)
+    wdir = write_warc_segments(os.path.join(base, "warc"), paths["pages"])
+    return warc_responses(spark, wdir).select(
+        "url",
+        "warc_date",
+        "content_length",
+        F.length("payload").cast("long").alias("payload_chars"),
+        F.md5(F.col("payload").cast("binary")).alias("payload_md5"),
+    )
+
+
 def _corpus_oracle_sql() -> dict[str, str]:
     """DuckDB oracles for the corpus-input source queries (s1/s2/s4/f12).
 
@@ -3286,11 +3309,32 @@ SELECT url, CAST(n_scripts AS INT) AS n_scripts,
        (n_scripts >= {SPA_MIN_SCRIPTS} AND ratio < {SPA_MAX_TEXT_RATIO}) AS is_spa
 FROM s
 """
+    from newscrawler_spark.sources.warc import write_warc_segments
+
+    wdir = write_warc_segments(os.path.join(base, "warc"), p["pages"])
+    sql_s13 = rf"""
+WITH recs AS (
+  SELECT unnest(string_split(content, 'WARC/1.0' || chr(13) || chr(10))) AS rec
+  FROM read_text('{wdir}/*.warc')),
+r AS (
+  SELECT rec, strpos(rec, chr(13)||chr(10)||chr(13)||chr(10)) AS p,
+         CAST(regexp_extract(rec, 'Content-Length: ([0-9]+)', 1) AS BIGINT) AS clen
+  FROM recs
+  WHERE rec != ''
+    AND regexp_extract(rec, 'WARC-Type: ([^\r\n]+)', 1) = 'response')
+SELECT regexp_extract(rec, 'WARC-Target-URI: ([^\r\n]+)', 1) AS url,
+       regexp_extract(rec, 'WARC-Date: ([^\r\n]+)', 1) AS warc_date,
+       clen AS content_length,
+       CAST(length(substring(rec, p + 4, clen)) AS BIGINT) AS payload_chars,
+       md5(substring(rec, p + 4, clen)) AS payload_md5
+FROM r
+"""
     return {
         "s1_csv_source": sql_s1,
         "s2_due_sources": sql_s2,
         "s4_feed_entries": sql_s4,
         "f12_script_sniff": sql_f12,
+        "s13_warc_source": sql_s13,
         # The ENTIRE 3-round iterative crawl replayed as one SQL
         # statement (newscrawler_spark/oracle_sql.py): global fetch
         # order and article rows incl. the weighted quality score.
@@ -3796,6 +3840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_due_sources": q_s2_due_sources,
         "s4_feed_entries": q_s4_feed_entries,
         "f12_script_sniff": q_f12_script_sniff,
+        "s13_warc_source": q_s13_warc_source,
         "s7_json_sink": q_s7_json_sink,
         # --- streaming + multimodal (previously truncated) ---
         "streaming_windowed": q_streaming_windowed,
