@@ -1764,6 +1764,76 @@ def q_index_postings(spark, sf_dir):
     return build_postings(_t(spark, sf_dir, "documents"))
 
 
+def q_quality_classifier_nb(spark, sf_dir):
+    """Supervised hashed-unigram Naive Bayes (operators/classifier.py):
+    fit on the md5-grid train split (label: lang == 'en'), score the
+    held-out split — the GPT-3/CCNet/fastText curation-classifier
+    shape, fit and applied entirely in-engine.  Weights are ln of
+    Laplace-smoothed integer ratios; the decision thresholds the
+    pinned-rounded score so both engines decide on the identical 4dp
+    value."""
+    from newscrawler_spark.operators.classifier import nb_classify
+
+    docs = _t(spark, sf_dir, "documents")
+    return nb_classify(docs, F.col("lang") == "en")
+
+
+def _sql_quality_classifier_nb() -> str:
+    from newscrawler_spark.functions.rounding import pinned_round_sql
+    from newscrawler_spark.operators.classifier import (
+        NB_BUCKETS,
+        NB_SALT,
+        NB_TRAIN_BP,
+    )
+
+    grid = (
+        "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || "
+        f"':{NB_SALT}'), 1, 15)) AS BIGINT) % 10000"
+    )
+    bucket = f"CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) % {NB_BUCKETS}"
+    score = pinned_round_sql("raw + prior", 4)
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         translate(coalesce(text, ''),
+                   'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                   'abcdefghijklmnopqrstuvwxyz') AS t,
+         (lang = 'en') AS y,
+         ({grid} < {NB_TRAIN_BP}) AS tr
+  FROM documents),
+tok AS (
+  SELECT doc_id, y, tr, {bucket} AS b
+  FROM (SELECT doc_id, y, tr,
+               unnest(regexp_split_to_array(t, '[ \t\n\r\f\x0b]+')) AS w
+        FROM base)
+  WHERE w != ''),
+dim0 AS (
+  SELECT b, CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS neg
+  FROM tok WHERE tr GROUP BY 1),
+dim AS (
+  SELECT b, ln((pos + 1) / (sum(pos) OVER () + {NB_BUCKETS}.0))
+           - ln((neg + 1) / (sum(neg) OVER () + {NB_BUCKETS}.0)) AS w
+  FROM dim0),
+pr AS (
+  SELECT ln((sum(CASE WHEN y THEN 1 ELSE 0 END) + 1) * 1.0
+          / (sum(CASE WHEN NOT y THEN 1 ELSE 0 END) + 1)) AS prior
+  FROM base WHERE tr),
+cnts AS (
+  SELECT doc_id, y, b, CAST(count(*) AS BIGINT) AS cnt
+  FROM tok WHERE NOT tr GROUP BY 1, 2, 3),
+agg AS (
+  SELECT doc_id, y, sum(cnt * w) AS raw FROM cnts JOIN dim USING (b)
+  GROUP BY 1, 2)
+SELECT doc_id, {score} AS score_nb, ({score} > 0) AS pred_pos,
+       y AS label_pos
+FROM agg, pr
+"""
+
+
+SQL_QUALITY_CLASSIFIER_NB = _sql_quality_classifier_nb()
+
+
 SQL_INDEX_POSTINGS = r"""
 WITH tok AS (
   SELECT doc_id, unnest([{'pos': i, 'w': l[i]} FOR i IN range(1, len(l) + 1)]) AS u
@@ -3913,6 +3983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substrings": q_dedup_substrings,
         "search_bm25": q_search_bm25,
         "index_postings": q_index_postings,
+        "quality_classifier_nb": q_quality_classifier_nb,
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
         "text_topics": q_text_topics,
@@ -4003,6 +4074,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substrings": SQL_DEDUP_SUBSTRINGS,
         "search_bm25": SQL_SEARCH_BM25,
         "index_postings": SQL_INDEX_POSTINGS,
+        "quality_classifier_nb": SQL_QUALITY_CLASSIFIER_NB,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_asof": SQL_EVENTS_ASOF,
         "text_topics": SQL_TEXT_TOPICS,

@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "dedup_substrings",
     "search_bm25",
     "index_postings",
+    "quality_classifier_nb",
     "events_sessionize",
     "events_asof",
     "pipeline_c4_clean",
