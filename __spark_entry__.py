@@ -2564,6 +2564,86 @@ FROM hist"""
 )
 
 
+def q_rag_mmr(spark, sf_dir):
+    """MMR diversification (operators/rag.mmr_diversify, Carbonell &
+    Goldstein 1998): greedy λ-blended relevance/novelty re-rank of the
+    per-query ANN candidate set — k unrolled dataframe stages, each a
+    bounded anti-join + max-penalty aggregate + per-query window; every
+    similarity pinned at 4dp with vec_id tiebreaks so DuckDB replays
+    the greedy selection decision-for-decision."""
+    from newscrawler_spark.operators.rag import mmr_diversify
+
+    return mmr_diversify(_t(spark, sf_dir, "embeddings"))
+
+
+def _sql_rag_mmr(n_queries=4, k=4, n_cand=16, lam=0.7) -> str:
+    from newscrawler_spark.functions.rounding import pinned_round_sql as pin
+
+    one_minus = repr(1.0 - lam)  # the engine computes 1.0-λ in IEEE;
+    # spell the identical double here (0.30000000000000004 for 0.7)
+    steps = []
+    sel_names = ["s1"]
+    for i in range(2, k + 1):
+        prev_union = " UNION ALL ".join(
+            f"SELECT qid, vid FROM {nm}" for nm in sel_names
+        )
+        steps.append(f"""
+u{i - 1} AS ({prev_union}),
+s{i} AS (
+  SELECT qid, {i} AS mmr_rank, vid, mmr_score FROM (
+    SELECT g.qid, g.vid, {pin(f"{lam} * g.rel - {one_minus} * g.pen")} AS mmr_score
+    FROM (
+      SELECT c.qid, c.vid, c.rel, max(ps.s) AS pen
+      FROM cand c
+      JOIN u{i - 1} su ON su.qid = c.qid
+      JOIN ps ON ps.va = c.vid AND ps.vb = su.vid
+      WHERE NOT EXISTS (SELECT 1 FROM u{i - 1} x
+                        WHERE x.qid = c.qid AND x.vid = c.vid)
+      GROUP BY 1, 2, 3) g)
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY mmr_score DESC, vid) = 1)""")
+        sel_names.append(f"s{i}")
+    final = " UNION ALL ".join(
+        f"SELECT qid, mmr_rank, vid AS vec_id, mmr_score FROM {nm}"
+        for nm in sel_names
+    )
+    return f"""
+WITH eu AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+n AS (SELECT vec_id, sqrt(sum(v * v)) AS nn FROM eu GROUP BY 1),
+qd AS (
+  SELECT a.vec_id AS qid, b.vec_id AS vid, sum(a.v * b.v) AS dot
+  FROM eu a JOIN eu b USING (i)
+  WHERE a.vec_id < {n_queries} AND b.vec_id >= {n_queries} GROUP BY 1, 2),
+rel0 AS (
+  SELECT qid, vid, {pin("dot / (na.nn * nb.nn)")} AS rel
+  FROM qd JOIN n na ON na.vec_id = qd.qid JOIN n nb ON nb.vec_id = qd.vid),
+cand AS (
+  SELECT qid, vid, rel FROM rel0
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vid) <= {n_cand}),
+pd AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.v * b.v) AS dot
+  FROM eu a JOIN eu b USING (i)
+  WHERE a.vec_id IN (SELECT vid FROM cand)
+    AND b.vec_id IN (SELECT vid FROM cand)
+    AND a.vec_id < b.vec_id
+  GROUP BY 1, 2),
+ps0 AS (
+  SELECT va, vb, {pin("dot / (na.nn * nb.nn)")} AS s
+  FROM pd JOIN n na ON na.vec_id = pd.va JOIN n nb ON nb.vec_id = pd.vb),
+ps AS (SELECT va, vb, s FROM ps0
+       UNION ALL SELECT vb AS va, va AS vb, s FROM ps0),
+s1 AS (
+  SELECT qid, 1 AS mmr_rank, vid, {pin(f"{lam} * rel")} AS mmr_score FROM cand
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vid) = 1),{",".join(steps)}
+{final}
+"""
+
+
+SQL_RAG_MMR = _sql_rag_mmr()
+
+
 def q_response_cache(spark, sf_dir):
     """Semantic response cache (response_cache.py:68-99): incoming
     queries (embeddings with vec_id % 10 = 5) probe the cached-query
@@ -3928,6 +4008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_evaluate": q_rag_evaluate,
         "rag_summarize": q_rag_summarize,
         "rag_eval_metrics": q_rag_eval_metrics,
+        "rag_mmr": q_rag_mmr,
         "response_cache": q_response_cache,
         "response_cache_stats": q_response_cache_stats,
         "embed_missing": q_embed_missing,
@@ -4028,6 +4109,7 @@ def oracle_sql() -> dict[str, str]:
         "rag_evaluate": SQL_RAG_EVALUATE,
         "rag_summarize": SQL_RAG_SUMMARIZE,
         "rag_eval_metrics": SQL_RAG_EVAL_METRICS,
+        "rag_mmr": SQL_RAG_MMR,
         "response_cache": SQL_RESPONSE_CACHE,
         "response_cache_stats": SQL_RESPONSE_CACHE_STATS,
         "embed_missing": SQL_EMBED_MISSING,

@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "rag_evaluate",
     "rag_summarize",
     "rag_eval_metrics",
+    "rag_mmr",
     "response_cache",
     "response_cache_stats",
     "embed_missing",

@@ -320,3 +320,123 @@ def semantic_cache_lookup(
             "cache_hit"
         ),
     )
+
+
+MMR_LAMBDA = 0.7
+
+
+def mmr_diversify(
+    embeddings: DataFrame,
+    n_queries: int = 4,
+    k: int = 4,
+    n_cand: int = 16,
+    lam: float = MMR_LAMBDA,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) over retrieved candidates: for each query, greedily pick the
+    candidate maximizing ``λ·rel(q,c) − (1−λ)·max_{s∈S} sim(c,s)`` —
+    the diversity pass between ANN retrieval and context assembly.
+
+    Spark-first, NO per-query driver loop and no UDF: the k greedy
+    rounds are k UNROLLED dataframe stages, each a bounded anti-join +
+    max-penalty aggregate + one-row-per-query window over the cached
+    (query × n_cand) candidate relation — every query's selection runs
+    in parallel inside each stage, so 10^9 queries scale horizontally
+    while k stays the (small) sequential depth, exactly like the
+    unrolled PageRank iterations (operators/graph.py).
+
+    Cross-engine contract: every similarity is pinned-rounded at 4dp
+    BEFORE any comparison and every argmax tie breaks by vec_id, so
+    the DuckDB oracle replays the greedy selection decision-for-
+    decision.  Queries are the first ``n_queries`` vectors; candidates
+    the rest.  Output: (qid, mmr_rank, vec_id, mmr_score).
+    """
+    dot = lambda a, b: F.expr(  # noqa: E731
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    norm = lambda a: F.sqrt(dot(a, a))  # noqa: E731
+
+    q = embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = embeddings.where(F.col("vec_id") >= n_queries).select(
+        "vec_id", F.col("embedding").alias("cv")
+    )
+    rel = pinned_round(dot("cv", "qv") / (norm("cv") * norm("qv")), 4)
+    w_q = Window.partitionBy("qid")
+    cand = (
+        c.join(F.broadcast(q))
+        .select("qid", "vec_id", rel.alias("rel"), "cv")
+        .withColumn(
+            "rn",
+            F.row_number().over(w_q.orderBy(F.desc("rel"), "vec_id")),
+        )
+        .where(F.col("rn") <= n_cand)
+        .drop("rn")
+        # bounded at n_queries × n_cand rows: collapse to one partition
+        # so the k unrolled stages stop paying 64-way shuffle overhead
+        .repartition(1)
+        .persist()
+    )
+    # pairwise candidate similarity over the distinct candidate pool
+    # (bounded by n_queries × n_cand vectors), symmetrized
+    pool = cand.select("vec_id", "cv").distinct()
+    psim = pinned_round(dot("av", "bv") / (norm("av") * norm("bv")), 4)
+    pd = (
+        pool.select(F.col("vec_id").alias("va"), F.col("cv").alias("av"))
+        .join(
+            pool.select(F.col("vec_id").alias("vb"), F.col("cv").alias("bv")),
+            F.col("va") < F.col("vb"),
+        )
+        .select("va", "vb", psim.alias("s"))
+    )
+    ps = (
+        pd.union(
+            pd.select(F.col("vb").alias("va"), F.col("va").alias("vb"), "s")
+        )
+        .repartition(1)  # ≤ (n_queries·n_cand)² rows
+        .persist()
+    )
+
+    cand_slim = cand.drop("cv")
+    sel = (
+        cand_slim.withColumn(
+            "rn", F.row_number().over(w_q.orderBy(F.desc("rel"), "vec_id"))
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "qid",
+            F.lit(1).alias("mmr_rank"),
+            "vec_id",
+            pinned_round(F.lit(lam) * F.col("rel"), 4).alias("mmr_score"),
+        )
+    )
+    for step in range(2, k + 1):
+        su = sel.select("qid", "vec_id")
+        rem = cand_slim.join(su, ["qid", "vec_id"], "left_anti")
+        pen = (
+            rem.join(su.withColumnRenamed("vec_id", "svid"), "qid")
+            .join(
+                ps,
+                (F.col("vec_id") == F.col("va")) & (F.col("svid") == F.col("vb")),
+            )
+            .groupBy("qid", "vec_id", "rel")
+            .agg(F.max("s").alias("pen"))
+        )
+        mmr = pinned_round(
+            F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("pen"), 4
+        )
+        pick = (
+            pen.select("qid", "vec_id", mmr.alias("mmr_score"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    w_q.orderBy(F.desc("mmr_score"), "vec_id")
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .select("qid", F.lit(step).alias("mmr_rank"), "vec_id", "mmr_score")
+        )
+        sel = sel.unionByName(pick)
+    return sel

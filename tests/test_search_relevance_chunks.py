@@ -338,3 +338,56 @@ def test_build_postings_plan_two_exchanges_partial_agg(spark):
     assert plan.count("Exchange") == 2, plan
     first_exchange = plan.index("Exchange")
     assert "partial_count" in plan[first_exchange:], plan
+
+
+def test_mmr_matches_python_greedy_spec(spark, emb):
+    """Pure-Python greedy MMR (sequential-fold dots, pinned 4dp,
+    vec_id tiebreaks) must equal the unrolled dataframe stages
+    decision-for-decision."""
+    import math
+
+    from newscrawler_spark.operators.rag import mmr_diversify
+
+    NQ, K, NCAND, LAM = 4, 4, 16, 0.7
+
+    def pin(x):
+        return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+
+    def cos(a, b):
+        dot = nn = qq = 0.0
+        for x, y in zip(vecs[a], vecs[b]):
+            dot += x * y
+        for x in vecs[a]:
+            nn += x * x
+        for y in vecs[b]:
+            qq += y * y
+        return pin(dot / (math.sqrt(nn) * math.sqrt(qq)))
+
+    spec = {}
+    for qid in range(NQ):
+        rel = {v: cos(v, qid) for v in vecs if v >= NQ}
+        cand = sorted(rel, key=lambda v: (-rel[v], v))[:NCAND]
+        sel = []
+        first = min(cand, key=lambda v: (-rel[v], v))
+        sel.append((first, pin(LAM * rel[first])))
+        for _ in range(K - 1):
+            rem = [v for v in cand if v not in {s for s, _ in sel}]
+            scored = {
+                v: pin(LAM * rel[v] - (1.0 - LAM) * max(cos(v, s) for s, _ in sel))
+                for v in rem
+            }
+            nxt = min(scored, key=lambda v: (-scored[v], v))
+            sel.append((nxt, scored[nxt]))
+        spec[qid] = sel
+
+    got = mmr_diversify(emb, n_queries=NQ, k=K, n_cand=NCAND, lam=LAM).collect()
+    assert len(got) == NQ * K
+    for r in got:
+        v, s = spec[r["qid"]][r["mmr_rank"] - 1]
+        assert r["vec_id"] == v, (r, spec[r["qid"]])
+        assert abs(r["mmr_score"] - s) < 1e-12
