@@ -2846,6 +2846,53 @@ FROM d ORDER BY cosine DESC, vec_id LIMIT 20
 """
 
 
+def q_sim_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (operators/similarity.pq_topk,
+    Jégou et al. 2011): 8 subspaces × 16 stride-sampled centroids,
+    per-subspace argmin codes (pinned distance, j tiebreak), asymmetric
+    query-to-centroid distance table, top-k by summed table entries —
+    the read path touches only the 8-byte code rows, never the float
+    vectors (the 10^10-vector compression story next to IVF's
+    partition pruning)."""
+    from newscrawler_spark.operators.similarity import pq_topk
+
+    return pq_topk(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir))
+
+
+def _sql_sim_pq_topk(dim=64, m=8, ks=16, k=20) -> str:
+    from newscrawler_spark.functions.rounding import pinned_round_sql as pin
+
+    dsub = dim // m
+    l2 = (
+        "list_sum([ (CAST(a.sv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))"
+        " * (CAST(a.sv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))"
+        f" FOR i IN range(1, {dsub} + 1) ])"
+    )
+    return f"""
+WITH sub AS (
+  SELECT vec_id, CAST(t.s AS INT) AS s,
+         list_slice(embedding, t.s * {dsub} + 1, t.s * {dsub} + {dsub}) AS sv
+  FROM embeddings, (SELECT unnest(range({m})) AS s) t),
+cb AS (SELECT vec_id AS j, s, sv AS cv FROM sub WHERE vec_id < {ks}),
+fan AS (
+  SELECT a.vec_id, a.s, c.j, {pin(l2)} AS d2
+  FROM sub a JOIN cb c USING (s)),
+codes AS (
+  SELECT vec_id, s, j AS code FROM fan
+  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) = 1),
+qtab AS (
+  SELECT c.s, c.j, {pin(l2)} AS qd
+  FROM (SELECT s, sv FROM sub WHERE vec_id = 0) a JOIN cb c USING (s))
+SELECT vec_id, {pin("sum(qd)")} AS adc
+FROM codes JOIN qtab ON qtab.s = codes.s AND qtab.j = codes.code
+GROUP BY vec_id
+ORDER BY adc, vec_id LIMIT {k}
+"""
+
+
+SQL_SIM_PQ = _sql_sim_pq_topk()
+
+
 def q_sim_ivf_topk(spark, sf_dir):
     """IVF-flat ANN top-k (operators/similarity.ivf_topk): deterministic
     stride-sampled codebook (C=16), probe top-4 inverted lists, exact
@@ -4083,6 +4130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_image_extract": q_x_image_extract,
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
+        "sim_pq_topk": q_sim_pq_topk,
         "sim_neardup_pairs": q_sim_neardup_pairs,
         "sim_neardup_lsh": q_sim_neardup_lsh,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -4174,6 +4222,7 @@ def oracle_sql() -> dict[str, str]:
         "x_image_extract": SQL_IMAGES,
         "sim_bruteforce_topk": SQL_SIM_TOPK,
         "sim_ivf_topk": SQL_SIM_IVF,
+        "sim_pq_topk": SQL_SIM_PQ,
         "sim_neardup_pairs": SQL_SIM_NEARDUP,
         "sim_neardup_lsh": SQL_SIM_NEARDUP_LSH,
         "sim_ann_lsh": _sql_sim_ann_lsh(),

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "t4_straggler_rollover",
     "sim_bruteforce_topk",
     "sim_ivf_topk",
+    "sim_pq_topk",
     "sim_neardup_pairs",
     "sim_neardup_lsh",
     "sim_ann_lsh",

@@ -592,3 +592,129 @@ def semantic_dedup(
     return assigned.groupBy("cid").applyInPandas(
         dedup_cluster, "vec_id long, cid int, csim double, keep boolean"
     )
+
+
+# ---- Product quantization (Jégou et al. 2011) -----------------------
+
+PQ_M = 8          # subspaces
+PQ_KS = 16        # centroids per subspace (4-bit codes)
+
+
+def _sub_slice(col: str, s: int, dsub: int):
+    """1-based subvector slice for subspace ``s`` — identical semantics
+    to DuckDB list_slice in the oracle."""
+    return F.slice(F.col(col), s * dsub + 1, dsub)
+
+
+def _l2sq(a, b):
+    """Σ (a[i]-b[i])² as a sequential double fold."""
+    diff = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(
+        diff, F.lit(0.0).cast("double"), lambda acc, v: acc + v
+    )
+
+
+def pq_codebook(
+    embeddings: DataFrame, dim: int, m: int = PQ_M, ks: int = PQ_KS
+) -> DataFrame:
+    """Deterministic PQ codebook: centroid ``j`` of every subspace is
+    the corresponding subvector of ``vec_id == j`` (the stride-sample
+    convention of the IVF codebook above — a k-means fit would slot in
+    here unchanged).  Returns the (m·ks)-row dimension (s, j, cv)."""
+    dsub = dim // m
+    subs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    _sub_slice("embedding", s, dsub).alias("cv"),
+                )
+                for s in range(m)
+            ]
+        )
+    )
+    return (
+        embeddings.where(F.col("vec_id") < ks)
+        .select(F.col("vec_id").alias("j"), subs.alias("u"))
+        .select("j", "u.s", "u.cv")
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame, dim: int, m: int = PQ_M, ks: int = PQ_KS
+) -> DataFrame:
+    """Encode every vector as ``m`` 4-bit codes: per subspace, the
+    argmin-L2 centroid (pinned distance, ``j`` tiebreak — the argmin is
+    a deterministic cross-engine decision).
+
+    Scale shape: the codebook is an (m·ks)-row broadcast dim; the
+    n·m·ks distance fanout partial-aggregates its argmin map-side
+    (rows of one (vec, s) never cross partitions before the combine),
+    so the shuffle carries n·m code rows — 8 bytes of code per vector
+    replaces 4·dim bytes of floats downstream, the point of PQ at
+    10^10-vector scale.  Returns (vec_id, s, code)."""
+    dsub = dim // m
+    cb = pq_codebook(embeddings, dim, m, ks)
+    subs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    _sub_slice("embedding", s, dsub).alias("sv"),
+                )
+                for s in range(m)
+            ]
+        )
+    )
+    fan = (
+        embeddings.select("vec_id", subs.alias("u"))
+        .select("vec_id", "u.s", "u.sv")
+        .join(F.broadcast(cb), "s")
+    )
+    d2 = pinned_round(_l2sq(F.col("sv"), F.col("cv")), 4)
+    return (
+        fan.select(
+            "vec_id", "s", F.struct(d2.alias("d"), F.col("j").alias("j")).alias("dj")
+        )
+        .groupBy("vec_id", "s")
+        .agg(F.min("dj").getField("j").alias("code"))
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 20,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query builds an (m·ks)
+    distance table against the codebook; a vector's approximate
+    distance is the sum of its codes' table entries — the scan reads
+    ONLY the code rows, never the float vectors (the 100 TB read-path
+    win).  Returns (vec_id, adc) ascending, ``vec_id`` tiebreak."""
+    dim = len(query)
+    dsub = dim // m
+    cb = pq_codebook(embeddings, dim, m, ks)
+    qsub = {s: _array_lit(query[s * dsub : (s + 1) * dsub]) for s in range(m)}
+    qd = F.lit(None).cast("double")
+    expr = None
+    for s in range(m):
+        cond = F.col("s") == s
+        val = pinned_round(_l2sq(F.expr(qsub[s]), F.col("cv")), 4)
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    qtab = cb.select("s", "j", expr.alias("qd"))
+    codes = pq_encode(embeddings, dim, m, ks)
+    return (
+        codes.join(
+            F.broadcast(qtab),
+            (codes["s"] == qtab["s"]) & (codes["code"] == qtab["j"]),
+        )
+        .groupBy("vec_id")
+        .agg(pinned_round(F.sum("qd"), 4).alias("adc"))
+        .orderBy("adc", "vec_id")
+        .limit(k)
+    )

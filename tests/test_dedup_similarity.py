@@ -337,3 +337,70 @@ def test_streaming_token_bucket_chunked_global_order(spark, tmp_path):
     assert len(res) == 5
     assert sorted(res["priority"]) == [1, 1, 1, 1, 1]
     assert sorted(res["url_hash"]) == [45, 46, 47, 48, 49]
+
+
+def test_pq_matches_numpy_spec(spark, emb):
+    """Pure-numpy PQ spec (codes + ADC, pinned argmins) must equal the
+    engine exactly."""
+    import numpy as np
+
+    from newscrawler_spark.operators.similarity import pq_encode, pq_topk
+
+    M, KS, DIM = 8, 16, 64
+    DSUB = DIM // M
+
+    def pin(x):
+        return np.floor(np.float64(x) * 10000.0 + 0.5) / 10000.0
+
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    cb = {
+        (s, j): vecs[j][s * DSUB : (s + 1) * DSUB]
+        for s in range(M)
+        for j in range(KS)
+    }
+    spec_codes = {}
+    for v, x in vecs.items():
+        for s in range(M):
+            sv = x[s * DSUB : (s + 1) * DSUB]
+            d = [
+                (pin(float(((sv - cb[(s, j)]) ** 2).sum())), j)
+                for j in range(KS)
+            ]
+            spec_codes[(v, s)] = min(d)[1]
+    got_codes = {
+        (r["vec_id"], r["s"]): r["code"]
+        for r in pq_encode(emb, dim=DIM).collect()
+    }
+    assert got_codes == spec_codes
+
+    q = vecs[0]
+    qtab = {
+        (s, j): pin(float(((q[s * DSUB : (s + 1) * DSUB] - cb[(s, j)]) ** 2).sum()))
+        for s in range(M)
+        for j in range(KS)
+    }
+    adc = {
+        v: pin(sum(qtab[(s, spec_codes[(v, s)])] for s in range(M)))
+        for v in vecs
+    }
+    spec_top = sorted(adc.items(), key=lambda kv: (kv[1], kv[0]))[:20]
+    got_top = [
+        (r["vec_id"], r["adc"])
+        for r in pq_topk(emb, [float(x) for x in vecs[0]], k=20).collect()
+    ]
+    assert got_top == spec_top
+    assert got_top[0] == (0, 0.0)  # the query is centroid 0 everywhere
+
+
+def test_pq_plan_broadcast_only_no_vector_read_in_adc(spark, emb):
+    from tests.test_plans import _plan
+
+    from newscrawler_spark.operators.similarity import pq_topk
+
+    q = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    plan = _plan(pq_topk(emb, q), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # argmin partial-combines map-side before the code shuffle
+    assert "partial_min" in plan, plan
