@@ -3420,6 +3420,20 @@ def q_s13_warc_source(spark, sf_dir):
     )
 
 
+def q_graph_anchor_text(spark, sf_dir):
+    """Per-target-host anchor-text rollup (operators/graph.
+    anchor_text_stats): the web-graph quality/title signal — one regex
+    pass per group over the corpus pages (index-aligned zip, no UDF),
+    (dst, anchor) count with map-side combine, top-5 window over the
+    host-bounded aggregate."""
+    from newscrawler_spark.operators.graph import anchor_text_stats
+    from newscrawler_spark.sources.corpus import generate_corpus
+
+    base = _crawl_base(sf_dir)
+    paths = generate_corpus(os.path.join(base, "corpus"), **_GATE_CORPUS_ARGS)
+    return anchor_text_stats(spark.read.parquet(paths["pages"]))
+
+
 def _corpus_oracle_sql() -> dict[str, str]:
     """DuckDB oracles for the corpus-input source queries (s1/s2/s4/f12).
 
@@ -3526,12 +3540,37 @@ SELECT regexp_extract(rec, 'WARC-Target-URI: ([^\r\n]+)', 1) AS url,
        md5(substring(rec, p + 4, clen)) AS payload_md5
 FROM r
 """
+    from newscrawler_spark.operators.graph import ANCHOR_PATTERN
+
+    _apat = ANCHOR_PATTERN.replace("'", "''")
+    sql_anchor = rf"""
+WITH pg AS (SELECT url, decode(html) AS h FROM read_parquet('{p["pages"]}')),
+a AS (
+  SELECT regexp_extract(url, '^[a-z]+://([^/?#]*)', 1) AS src,
+         unnest(regexp_extract_all(h, '{_apat}', 1)) AS link,
+         unnest(regexp_extract_all(h, '{_apat}', 2)) AS t
+  FROM pg),
+e AS (
+  SELECT CASE WHEN regexp_matches(link, '^https?://')
+              THEN regexp_extract(link, '^[a-z]+://([^/?#]*)', 1)
+              ELSE src END AS dst,
+         trim(regexp_replace(t, '[ 	
+]+', ' ', 'g')) AS anchor
+  FROM a),
+g AS (
+  SELECT dst, anchor, CAST(count(*) AS BIGINT) AS cnt
+  FROM e WHERE anchor != '' AND dst != '' GROUP BY 1, 2)
+SELECT dst, anchor, cnt,
+       CAST(row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, anchor) AS INT) AS rnk
+FROM g QUALIFY rnk <= 5
+"""
     return {
         "s1_csv_source": sql_s1,
         "s2_due_sources": sql_s2,
         "s4_feed_entries": sql_s4,
         "f12_script_sniff": sql_f12,
         "s13_warc_source": sql_s13,
+        "graph_anchor_text": sql_anchor,
         # The ENTIRE 3-round iterative crawl replayed as one SQL
         # statement (newscrawler_spark/oracle_sql.py): global fetch
         # order and article rows incl. the weighted quality score.
@@ -4038,6 +4077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_feed_entries": q_s4_feed_entries,
         "f12_script_sniff": q_f12_script_sniff,
         "s13_warc_source": q_s13_warc_source,
+        "graph_anchor_text": q_graph_anchor_text,
         "s7_json_sink": q_s7_json_sink,
         # --- streaming + multimodal (previously truncated) ---
         "streaming_windowed": q_streaming_windowed,

@@ -190,3 +190,70 @@ def host_pagerank(
             ).cast("bigint").alias("rank"),
         )
     return ranks
+
+
+#: anchor extraction — group 1 = href target, group 2 = anchor text.
+#: Lazy quantifiers + explicit char classes only (Java and RE2 agree;
+#: the feed patterns in functions/extract.py pin the same parity).
+ANCHOR_PATTERN = (
+    r"""(?is)<a\b[^>]*?\bhref[ \t\n\r\f\x0b]*=[ \t\n\r\f\x0b]*"""
+    r"""["']([^"'>]+)["'][^>]*>([^<]*)</a>"""
+)
+
+#: frozen explicit ASCII whitespace (never \s — see CLAUDE.md).
+_WS_CLASS = r"[ \t\n\r\f\x0b]+"
+
+
+def anchor_text_stats(
+    pages: DataFrame, top_k: int = 5
+) -> DataFrame:
+    """Per-target-host anchor-text rollup: the classic web-graph
+    quality/title signal (anchor text describes the TARGET page —
+    search engines and LLM-pipeline URL classifiers both consume it).
+
+    Extraction is pure column expressions — ``regexp_extract_all`` of
+    the same pattern for href (group 1) and text (group 2) gives two
+    index-aligned arrays (one regex pass each), zipped and exploded;
+    no UDF, no Python.  Absolute http(s) targets resolve to their own
+    host, everything else (relative links) to the source host — a
+    host-level approximation that keeps the whole operator
+    SQL-replayable (full URL resolution lives in the frozen crawl
+    contract, functions/extract.resolve_link).  Anchor text is
+    whitespace-collapsed with the frozen ASCII class.
+
+    Output: top-``top_k`` anchors per target host by (count desc,
+    anchor) — (dst, anchor, cnt, rnk).  One corpus scan, one
+    (dst, anchor) shuffle with map-side combine, and the rank window
+    runs over the AGGREGATE (host-bounded), never corpus rows.
+    """
+    from pyspark.sql import Window
+
+    h = F.col("html").cast("string")
+    a = pages.select(
+        F.regexp_extract("url", _HOST_RE, 1).alias("src"),
+        F.arrays_zip(
+            F.regexp_extract_all(h, F.lit(ANCHOR_PATTERN), 1),
+            F.regexp_extract_all(h, F.lit(ANCHOR_PATTERN), 2),
+        ).alias("za"),
+    )
+    e = a.select("src", F.explode("za").alias("z")).select(
+        "src",
+        F.col("z.0").alias("link"),
+        F.trim(F.regexp_replace(F.col("z.1"), _WS_CLASS, " ")).alias("anchor"),
+    )
+    dst = F.when(
+        F.col("link").rlike("^https?://"),
+        F.regexp_extract("link", _HOST_RE, 1),
+    ).otherwise(F.col("src"))
+    agg = (
+        e.select(dst.alias("dst"), "anchor")
+        .where((F.col("anchor") != "") & (F.col("dst") != ""))
+        .groupBy("dst", "anchor")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("dst").orderBy(F.desc("cnt"), "anchor")
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top_k)
+        .select("dst", "anchor", "cnt", F.col("rnk").cast("int").alias("rnk"))
+    )

@@ -132,3 +132,46 @@ def test_host_pagerank_hand_graph(spark):
     )
     got = {r["host"]: r["rank"] for r in host_pagerank(pages).collect()}
     assert got == {"a.example": 150_000, "b.example": 277_500}
+
+
+def test_anchor_text_matches_python_spec(spark):
+    """Hand-built pages: the regex zip, host resolution rule,
+    whitespace collapse, and top-k tiebreaks against a pure-Python re
+    implementation."""
+    import re
+    from collections import Counter
+
+    from newscrawler_spark.operators.graph import ANCHOR_PATTERN, anchor_text_stats
+
+    pages = [
+        ("https://a.com/p1",
+         '<a href="https://b.com/x">Go  to\tB</a> <a href="/local">home</a>'
+         '<a href="https://b.com/y">Go  to B</a><a href="#f">skip?no:kept</a>'),
+        ("https://b.com/p2",
+         "<A HREF='https://a.com/z'>back</A><a href=\"rel.html\"></a>"),
+    ]
+    spec: Counter = Counter()
+    rx = re.compile(ANCHOR_PATTERN)
+    for url, h in pages:
+        src = re.match(r"^[a-z]+://([^/?#]*)", url).group(1)
+        for link, t in rx.findall(h):
+            a = re.sub(r"[ \t\n\r\f\x0b]+", " ", t).strip()
+            dst = (
+                re.match(r"^[a-z]+://([^/?#]*)", link).group(1)
+                if re.match(r"^https?://", link)
+                else src
+            )
+            if a and dst:
+                spec[(dst, a)] += 1
+    df = spark.createDataFrame(
+        [(u, h.encode()) for u, h in pages], "url string, html binary"
+    )
+    got = anchor_text_stats(df, top_k=5).collect()
+    assert {(r["dst"], r["anchor"]): r["cnt"] for r in got} == dict(spec)
+    # rank = (count desc, anchor) within each dst
+    for dst in {r["dst"] for r in got}:
+        rows = sorted(
+            (r for r in got if r["dst"] == dst), key=lambda r: r["rnk"]
+        )
+        keys = [(-r["cnt"], r["anchor"]) for r in rows]
+        assert keys == sorted(keys)
