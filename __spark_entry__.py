@@ -1764,6 +1764,50 @@ def q_index_postings(spark, sf_dir):
     return build_postings(_t(spark, sf_dir, "documents"))
 
 
+def q_search_tfidf(spark, sf_dir):
+    """Sparse tf-idf cosine top-k (operators/search.tfidf_topk): the
+    more-like-this read path over the inverted index — tf·ln(N/df)
+    weights, per-doc norm window reusing the doc partitioning for the
+    dot-product groupBy, broadcast query term vector, pinned similarity
+    with doc_id tiebreaks."""
+    from newscrawler_spark.operators.search import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf_dir, "documents"), query_doc=0, k=20)
+
+
+def _sql_search_tfidf() -> str:
+    from newscrawler_spark.functions.rounding import pinned_round_sql as pin
+
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(l) AS w
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(coalesce(text, ''), '[ \t\n\r\f\x0b]+'),
+                           x -> x != '') AS l
+        FROM documents)),
+p AS (SELECT w AS term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+pd AS (SELECT term, doc_id, tf,
+              CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df
+       FROM p),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM pd),
+wp AS (SELECT term, doc_id,
+              tf * ln((SELECT n FROM nd) * 1.0 / df) AS w
+       FROM pd),
+wn AS (SELECT term, doc_id, w,
+              sum(w * w) OVER (PARTITION BY doc_id) AS norm2
+       FROM wp),
+q AS (SELECT term, w AS qw, norm2 AS qnorm2 FROM wn WHERE doc_id = 0),
+d AS (SELECT wn.doc_id, sum(wn.w * q.qw) AS dot,
+             max(wn.norm2) AS norm2, max(q.qnorm2) AS qnorm2
+      FROM wn JOIN q USING (term) GROUP BY 1)
+SELECT doc_id, {pin("dot / (sqrt(norm2) * sqrt(qnorm2))")} AS sim_tfidf
+FROM d ORDER BY sim_tfidf DESC, doc_id LIMIT 20
+"""
+
+
+SQL_SEARCH_TFIDF = _sql_search_tfidf()
+
+
 def q_quality_classifier_nb(spark, sf_dir):
     """Supervised hashed-unigram Naive Bayes (operators/classifier.py):
     fit on the md5-grid train split (label: lang == 'en'), score the
@@ -3555,7 +3599,8 @@ e AS (
               THEN regexp_extract(link, '^[a-z]+://([^/?#]*)', 1)
               ELSE src END AS dst,
          trim(regexp_replace(t, '[ 	
-]+', ' ', 'g')) AS anchor
+
+]+', ' ', 'g')) AS anchor
   FROM a),
 g AS (
   SELECT dst, anchor, CAST(count(*) AS BIGINT) AS cnt
@@ -4151,6 +4196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substrings": q_dedup_substrings,
         "search_bm25": q_search_bm25,
         "index_postings": q_index_postings,
+        "search_tfidf": q_search_tfidf,
         "quality_classifier_nb": q_quality_classifier_nb,
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
@@ -4244,6 +4290,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substrings": SQL_DEDUP_SUBSTRINGS,
         "search_bm25": SQL_SEARCH_BM25,
         "index_postings": SQL_INDEX_POSTINGS,
+        "search_tfidf": SQL_SEARCH_TFIDF,
         "quality_classifier_nb": SQL_QUALITY_CLASSIFIER_NB,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_asof": SQL_EVENTS_ASOF,

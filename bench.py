@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "dedup_substrings",
     "search_bm25",
     "index_postings",
+    "search_tfidf",
     "quality_classifier_nb",
     "events_sessionize",
     "events_asof",

@@ -292,3 +292,60 @@ def build_postings(
         "positions",
         F.count("*").over(Window.partitionBy("term")).cast("long").alias("df"),
     )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    query_doc: int = 0,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse tf-idf cosine top-k against one document — the
+    inverted-index complement of the dense ANN operators (the
+    "more-like-this" read path every search engine ships).
+
+    Built ON the posting relation (:func:`build_postings`): weights are
+    ``tf · ln(N/df)``; per-doc norms are a window over the postings
+    PARTITIONED BY doc, and the dot products reuse that exact hash
+    partitioning for their groupBy (subset rule, PLANS.md sessionize
+    lesson) — so scoring adds ONE corpus-scale exchange on top of the
+    index build, plus a broadcast of the query document's (bounded)
+    term vector.  ``N`` is a bounded scalar collect (one count of the
+    aggregate).  Similarity is pinned at 4dp with doc_id tiebreaks —
+    the DuckDB oracle replays ranking decision-for-decision.
+    """
+    from pyspark.sql import Window
+
+    post = build_postings(docs, text_col=text_col, id_col=id_col).select(
+        "term", id_col, "tf", "df"
+    )
+    n_docs = post.select(id_col).distinct().count()
+    w = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    wp = post.select("term", id_col, w.alias("w"))
+    wp = wp.withColumn(
+        "norm2", F.sum(F.col("w") * F.col("w")).over(Window.partitionBy(id_col))
+    )
+    q = (
+        wp.where(F.col(id_col) == query_doc)
+        .select(
+            F.col("term"),
+            F.col("w").alias("qw"),
+            F.col("norm2").alias("qnorm2"),
+        )
+    )
+    sim = pinned_round(
+        F.col("dot") / (F.sqrt(F.col("norm2")) * F.sqrt(F.col("qnorm2"))), 4
+    )
+    return (
+        wp.join(F.broadcast(q), "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("w") * F.col("qw")).alias("dot"),
+            F.max("norm2").alias("norm2"),
+            F.max("qnorm2").alias("qnorm2"),
+        )
+        .select(id_col, sim.alias("sim_tfidf"))
+        .orderBy(F.desc("sim_tfidf"), id_col)
+        .limit(k)
+    )

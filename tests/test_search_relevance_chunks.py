@@ -391,3 +391,48 @@ def test_mmr_matches_python_greedy_spec(spark, emb):
         v, s = spec[r["qid"]][r["mmr_rank"] - 1]
         assert r["vec_id"] == v, (r, spec[r["qid"]])
         assert abs(r["mmr_score"] - s) < 1e-12
+
+
+def test_tfidf_topk_matches_python_spec(spark):
+    import math
+    import re
+    from collections import Counter
+
+    from newscrawler_spark.operators.search import tfidf_topk
+
+    texts = {
+        0: "spark shuffle join broadcast join",
+        1: "spark join plan",
+        2: "duck oracle gate",
+        3: "broadcast shuffle spark spark",
+        4: "",
+    }
+    split_re = re.compile(r"[ \t\n\r\f\x0b]+")
+    tf = {d: Counter(w for w in split_re.split(t) if w) for d, t in texts.items()}
+    tf = {d: c for d, c in tf.items() if c}
+    df_c: Counter = Counter()
+    for c in tf.values():
+        df_c.update(set(c))
+    n = len(tf)
+    vec = {
+        d: {t: cnt * math.log(n / df_c[t]) for t, cnt in c.items()}
+        for d, c in tf.items()
+    }
+
+    def pin(x):
+        return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+    q = vec[0]
+    qn = math.sqrt(sum(v * v for v in q.values()))
+    sims = {}
+    for d, v in vec.items():
+        dot = sum(v[t] * q[t] for t in v if t in q)
+        if dot:
+            sims[d] = pin(dot / (math.sqrt(sum(x * x for x in v.values())) * qn))
+    spec = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    got = [(r["doc_id"], r["sim_tfidf"]) for r in tfidf_topk(docs).collect()]
+    assert got == spec
+    assert got[0] == (0, 1.0)
