@@ -1807,6 +1807,55 @@ FROM d ORDER BY sim_tfidf DESC, doc_id LIMIT 20
 
 SQL_SEARCH_TFIDF = _sql_search_tfidf()
 
+#: frozen phrase for the gate query — a real trigram in the synthetic
+#: corpus (8 occurrences over 5 docs at sf0.01, multi-match per doc).
+PHRASE_QUERY = "slow hash batch"
+
+
+def q_search_phrase(spark, sf_dir):
+    """Exact phrase query over the positional index (operators/search.
+    phrase_search): Lucene PhraseQuery slop-0 semantics — broadcast the
+    phrase's (term, offset) dim into the postings, fold adjacency left
+    to right with array_intersect(prev + 1, positions) per doc.  Pure
+    array expressions, no UDF; aggregate bounded by the phrase's df."""
+    from newscrawler_spark.operators.search import phrase_search
+
+    return phrase_search(_t(spark, sf_dir, "documents"), PHRASE_QUERY)
+
+
+def _sql_search_phrase(phrase: str) -> str:
+    """Unrolled adjacency-intersection twin: one CTE per phrase term;
+    DuckDB's list_intersect/list_transform replay the Spark fold."""
+    import re
+
+    terms = [t for t in re.split(r"[ \t\n\r\f\x0b]+", phrase) if t]
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    parts = [rf"""
+WITH tok AS (
+  SELECT doc_id, unnest([{{'pos': i, 'w': l[i]}} FOR i IN range(1, len(l) + 1)]) AS u
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(coalesce(text, ''), '[ \t\n\r\f\x0b]+'),
+                           x -> x != '') AS l
+        FROM documents)),
+p AS (
+  SELECT u.w AS term, doc_id, list_sort(list(CAST(u.pos AS BIGINT))) AS positions
+  FROM tok WHERE u.w IN ({in_list}) GROUP BY 1, 2),
+a0 AS (SELECT doc_id, positions AS acc FROM p WHERE term = '{terms[0]}')"""]
+    for i, t in enumerate(terms[1:], start=1):
+        tq = t.replace("'", "''")
+        parts.append(f""",
+a{i} AS (SELECT a{i - 1}.doc_id,
+              list_intersect(list_transform(a{i - 1}.acc, x -> x + 1), p.positions) AS acc
+       FROM a{i - 1} JOIN p ON p.doc_id = a{i - 1}.doc_id AND p.term = '{tq}')""")
+    parts.append(f"""
+SELECT doc_id, CAST(len(acc) AS BIGINT) AS n_matches,
+       CAST(list_min(acc) - {len(terms) - 1} AS BIGINT) AS first_pos
+FROM a{len(terms) - 1} WHERE len(acc) > 0 ORDER BY n_matches DESC, doc_id""")
+    return "".join(parts)
+
+
+SQL_SEARCH_PHRASE = _sql_search_phrase(PHRASE_QUERY)
+
 
 def q_quality_classifier_nb(spark, sf_dir):
     """Supervised hashed-unigram Naive Bayes (operators/classifier.py):
@@ -4197,6 +4246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25": q_search_bm25,
         "index_postings": q_index_postings,
         "search_tfidf": q_search_tfidf,
+        "search_phrase": q_search_phrase,
         "quality_classifier_nb": q_quality_classifier_nb,
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
@@ -4291,6 +4341,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25": SQL_SEARCH_BM25,
         "index_postings": SQL_INDEX_POSTINGS,
         "search_tfidf": SQL_SEARCH_TFIDF,
+        "search_phrase": SQL_SEARCH_PHRASE,
         "quality_classifier_nb": SQL_QUALITY_CLASSIFIER_NB,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_asof": SQL_EVENTS_ASOF,

@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "search_bm25",
     "index_postings",
     "search_tfidf",
+    "search_phrase",
     "quality_classifier_nb",
     "events_sessionize",
     "events_asof",

@@ -349,3 +349,83 @@ def tfidf_topk(
         .orderBy(F.desc("sim_tfidf"), id_col)
         .limit(k)
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase query over the positional inverted index — the
+    read path the positions in :func:`build_postings` exist for (a
+    Lucene ``PhraseQuery`` with slop 0; the reference's LIKE search,
+    src/api/routers/search.py:76-105, matches substrings but cannot do
+    token-exact phrases).
+
+    Algorithm (classic adjacency intersection): join the postings of
+    the phrase's terms (broadcast — the phrase is bounded), collect the
+    per-doc (offset, positions) pairs, then fold adjacency left to
+    right: candidate positions of term i = ``intersect(prev + 1,
+    positions_i)`` — array expressions only, no UDF.  The fold's final
+    array holds the positions where the LAST term ends a full match.
+
+    Scale shape: the postings of the queried terms are a term-selective
+    index probe (at scale the postings relation is written partitioned
+    by term, so the scan prunes to m partitions); one groupBy(doc) over
+    those rows — aggregate size bounded by the phrase's df, never the
+    corpus.  A stopword-heavy phrase costs its posting lists, exactly
+    like Lucene.
+
+    Output: (doc_id, n_matches, first_pos) for matching docs,
+    n_matches = phrase occurrences, first_pos = 1-based position of the
+    first occurrence's FIRST term.  All-integer — hash-gate exact.
+    """
+    terms = [t for t in _re_split_ws(phrase) if t != ""]
+    if not terms:
+        raise ValueError("phrase_search: empty phrase")
+    m = len(terms)
+    spark = docs.sparkSession
+    pt = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(terms)], "term string, off int"
+    )
+    post = build_postings(docs, text_col=text_col, id_col=id_col).select(
+        "term", id_col, "positions"
+    )
+    j = post.join(F.broadcast(pt), "term").select(id_col, "off", "positions")
+    agg = (
+        j.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("nt"),
+            F.sort_array(F.collect_list(F.struct("off", "positions"))).alias("ps"),
+        )
+        .where(F.col("nt") == m)
+    )
+    if m == 1:
+        ends = F.col("ps")[0]["positions"]
+    else:
+        ends = F.aggregate(
+            F.slice("ps", 2, m - 1),
+            F.col("ps")[0]["positions"],
+            lambda acc, s: F.array_intersect(
+                F.transform(acc, lambda x: x + F.lit(1).cast("long")),
+                s["positions"],
+            ),
+        )
+    return (
+        agg.select(
+            id_col,
+            F.size(ends).cast("long").alias("n_matches"),
+            (F.array_min(ends) - F.lit(m - 1)).cast("long").alias("first_pos"),
+        )
+        .where(F.col("n_matches") > 0)
+        .orderBy(F.desc("n_matches"), id_col)
+    )
+
+
+def _re_split_ws(s: str) -> list[str]:
+    """Frozen explicit-ASCII whitespace split (never str.split/\\s —
+    the tri-engine contract, CLAUDE.md)."""
+    import re
+
+    return re.split(r"[ \t\n\r\f\x0b]+", s)

@@ -436,3 +436,52 @@ def test_tfidf_topk_matches_python_spec(spark):
     got = [(r["doc_id"], r["sim_tfidf"]) for r in tfidf_topk(docs).collect()]
     assert got == spec
     assert got[0] == (0, 1.0)
+
+
+def test_phrase_search_matches_python_spec(spark, docs):
+    """phrase_search == a naive Python token scan (third implementation
+    of the adjacency spec), including multi-occurrence counts and
+    overlapping matches (e.g. 'a a' in 'a a a' -> 2)."""
+    import re
+
+    from newscrawler_spark.operators.search import phrase_search
+
+    # derive the phrase from the data (first 3 tokens of doc 0) so the
+    # test holds at any sf the suite runs against
+    t0 = docs.where(F.col("doc_id") == 0).select("text").collect()[0][0]
+    terms = [t for t in re.split(r"[ \t\n\r\f\x0b]+", t0) if t][:3]
+    phrase = " ".join(terms)
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(docs, phrase).collect()
+    }
+    want = {}
+    for row in docs.select("doc_id", "text").collect():
+        toks = [t for t in re.split(r"[ \t\n\r\f\x0b]+", row["text"] or "") if t]
+        hits = [
+            i + 1
+            for i in range(len(toks) - len(terms) + 1)
+            if toks[i : i + len(terms)] == terms
+        ]
+        if hits:
+            want[row["doc_id"]] = (len(hits), hits[0])
+    assert got == want and len(want) > 0
+
+
+def test_phrase_search_overlapping_and_duplicate_terms(spark):
+    from newscrawler_spark.operators.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a"),          # 'a a' matches at 1 and 2 (overlap)
+            (2, "x a a y a a"),    # matches at 2 and 5
+            (3, "a b a"),          # no 'a a'
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(docs, "a a").collect()
+    }
+    assert got == {1: (2, 1), 2: (2, 2)}
