@@ -3442,6 +3442,21 @@ def q_graph_pagerank(spark, sf_dir):
     return host_pagerank(pages)
 
 
+def q_graph_hits(spark, sf_dir):
+    """Integer-exact HITS hubs & authorities over the corpus host link
+    graph (Kleinberg 1999) — PageRank's companion crawl-priority
+    signal: authorities = quality fetch targets, hubs = directory/seed
+    pages.  Same frozen edge extraction and scaled-integer discipline
+    as graph_pagerank_hosts; max-normalized per step (L2's sqrt would
+    diverge cross-engine).  DuckDB-oracled via oracle_sql.host_hits_sql
+    (3 unrolled authority/hub CTE pairs on the same pages parquet)."""
+    from newscrawler_spark.operators.graph import host_hits
+
+    _, paths = _crawl_store(spark, sf_dir)
+    pages = spark.read.parquet(paths["pages"])
+    return host_hits(pages)
+
+
 def q_s4_feed_entries(spark, sf_dir):
     """S4: RSS/Atom feed source — posexplode of <item> entries with
     title/link/pubDate, capped at 20/feed (sources/feeds.feed_entries;
@@ -3552,6 +3567,7 @@ def _corpus_oracle_sql() -> dict[str, str]:
     from newscrawler_spark.oracle_sql import (
         crawl_articles_sql,
         crawl_order_sql,
+        host_hits_sql,
         host_pagerank_sql,
     )
     from newscrawler_spark.sources.corpus import generate_corpus
@@ -3670,6 +3686,9 @@ FROM g QUALIFY rnk <= 5
         # order and article rows incl. the weighted quality score.
         "crawl_order": crawl_order_sql(p["pages"], p["seeds"], crawl_cfg),
         "graph_pagerank_hosts": host_pagerank_sql(
+            p["pages"], max_links=crawl_cfg.max_links_per_page
+        ),
+        "graph_hits": host_hits_sql(
             p["pages"], max_links=crawl_cfg.max_links_per_page
         ),
         "crawl_articles": crawl_articles_sql(p["pages"], p["seeds"], crawl_cfg),
@@ -4166,6 +4185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_order": q_crawl_order,
         "crawl_logs": q_crawl_logs,
         "graph_pagerank_hosts": q_graph_pagerank,
+        "graph_hits": q_graph_hits,
         "s1_csv_source": q_s1_csv_source,
         "s2_due_sources": q_s2_due_sources,
         "s4_feed_entries": q_s4_feed_entries,

@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "pipeline_ccnet_buckets",
     "pipeline_shuffle_epoch",
     "graph_pagerank_hosts",
+    "graph_hits",
     "sketch_hll_users",
     "sketch_cm_users",
     "sketch_bloom_seen",

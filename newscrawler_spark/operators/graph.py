@@ -257,3 +257,83 @@ def anchor_text_stats(
         .where(F.col("rnk") <= top_k)
         .select("dst", "anchor", "cnt", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+def host_hits(
+    pages: DataFrame,
+    iterations: int = 3,
+    scale: int = 1_000_000,
+    max_links_per_page: int = 100,
+) -> DataFrame:
+    """Integer-exact HITS hubs & authorities over the host link graph
+    (Kleinberg, JACM 1999) — PageRank's companion signal: authorities
+    are pointed AT by good hubs (quality targets worth crawling), hubs
+    point TO good authorities (directory/seed pages worth re-visiting).
+
+    Same cross-engine arithmetic discipline as :func:`host_pagerank`
+    (no double sums anywhere):
+
+        h_0(x)  = scale
+        a'_k(g) = sum over edges (h->g, w) of h_{k-1}(h) * w
+        a_k(g)  = (a'_k(g) * scale) div max_g a'_k        (0 if no in-edges)
+        h'_k(x) = sum over edges (x->g, w) of a_k(g) * w
+        h_k(x)  = (h'_k(x) * scale) div max_x h'_k        (0 if no out-edges)
+
+    max-normalization (instead of the classical L2 norm, whose sqrt
+    diverges cross-engine in the last ulp) keeps every score in
+    [0, scale] as exact integers; the div-by-max is the standard
+    power-iteration rescale and preserves the ranking.  int64 bound:
+    scale * max_host_in_weight * scale must stay < 2^63 — with
+    scale=1e6 that allows ~9e6 weighted in-links per host per
+    iteration, and the per-step rescale stops any compounding.
+
+    Scale shape: identical to PageRank — the O(n_pages) extraction
+    builds the persisted O(host-graph) edge aggregate once; each
+    unrolled iteration is two broadcast joins of the |hosts|-row score
+    vector into the edges plus two host-bounded groupBys; the
+    normalizing max is a whole-frame window over the AGGREGATE (never
+    corpus rows — the domain_mix lesson, PLANS.md).
+    """
+    from pyspark.sql import Window
+
+    edges = host_link_edges(pages, max_links_per_page).persist()
+    hosts = pages.select(
+        F.regexp_extract("url", _HOST_RE, 1).alias("host")
+    ).distinct()
+    whole = Window.partitionBy()
+    hub = hosts.select("host", F.lit(scale).cast("bigint").alias("hub"))
+
+    def _step(vec: DataFrame, score: str, join_on: str, group_to: str) -> DataFrame:
+        raw = (
+            edges.join(
+                F.broadcast(
+                    vec.select(F.col("host").alias(join_on), F.col(score).alias("_s"))
+                ),
+                join_on,
+            )
+            .select(F.col(group_to).alias("host"), (F.col("_s") * F.col("w")).alias("c"))
+            .groupBy("host")
+            .agg(F.sum("c").cast("bigint").alias("raw"))
+        )
+        norm = raw.select(
+            "host",
+            F.expr(f"(raw * {scale}) div greatest(max(raw) over (), 1)")
+            .cast("bigint")
+            .alias(score),
+        )
+        return hosts.join(norm, "host", "left").select(
+            "host", F.coalesce(score, F.lit(0).cast("bigint")).alias(score)
+        )
+
+    for _ in range(iterations):
+        auth = _step(hub, "hub", "src", "dst").withColumnRenamed("hub", "auth")
+        hub = _step(auth, "auth", "dst", "src").withColumnRenamed("auth", "hub")
+    return (
+        hosts.join(auth, "host", "left")
+        .join(hub, "host", "left")
+        .select(
+            "host",
+            F.coalesce("auth", F.lit(0)).cast("bigint").alias("auth"),
+            F.coalesce("hub", F.lit(0)).cast("bigint").alias("hub"),
+        )
+    )

@@ -332,9 +332,74 @@ def host_pagerank_sql(
     division is exact in any engine.  Fixed `iterations` unroll into
     chained CTEs, mirroring the Spark loop.
     """
-    canon_href = CANON_SQL.format(col="target")
     teleport = scale - (scale * damping_pct) // 100
-    head = rf"""
+    head = _host_graph_head_sql(pages_path, max_links) + f""",
+outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM edges GROUP BY src),
+r_0 AS (SELECT host, CAST({scale} AS BIGINT) AS rank FROM hosts)"""
+    parts = [head]
+    for k in range(1, iterations + 1):
+        parts.append(f""",
+s_{k} AS (
+  SELECT e.dst AS host, CAST(sum((r.rank * e.w) // o.outw) AS BIGINT) AS s
+  FROM edges e JOIN r_{k - 1} r ON e.src = r.host JOIN outw o ON e.src = o.src
+  GROUP BY e.dst
+),
+r_{k} AS (
+  SELECT h.host,
+         CAST({teleport} + ({damping_pct} * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
+  FROM hosts h LEFT JOIN s_{k} s ON h.host = s.host
+)""")
+    parts.append(f"\nSELECT host, rank FROM r_{iterations}")
+    return "".join(parts)
+
+
+def host_hits_sql(
+    pages_path: str,
+    iterations: int = 3,
+    scale: int = 1_000_000,
+    max_links: int = 100,
+) -> str:
+    """Integer-exact HITS as one SQL statement (DuckDB oracle twin of
+    operators/graph.host_hits): same frozen edge extraction as the
+    PageRank oracle, then `iterations` unrolled (authority, hub) CTE
+    pairs — sum(score*w) per endpoint, max-normalized with exact
+    integer division, 0 for hosts missing the relevant edges."""
+    head = _host_graph_head_sql(pages_path, max_links) + f""",
+h_0 AS (SELECT host, CAST({scale} AS BIGINT) AS hub FROM hosts)"""
+    parts = [head]
+    for k in range(1, iterations + 1):
+        parts.append(f""",
+ar_{k} AS (
+  SELECT e.dst AS host, CAST(sum(h.hub * e.w) AS BIGINT) AS raw
+  FROM edges e JOIN h_{k - 1} h ON e.src = h.host GROUP BY e.dst
+),
+a_{k} AS (
+  SELECT hs.host, CAST(COALESCE(
+           (n.raw * {scale}) // greatest(max(n.raw) OVER (), 1), 0) AS BIGINT) AS auth
+  FROM hosts hs LEFT JOIN ar_{k} n ON hs.host = n.host
+),
+hr_{k} AS (
+  SELECT e.src AS host, CAST(sum(a.auth * e.w) AS BIGINT) AS raw
+  FROM edges e JOIN a_{k} a ON e.dst = a.host GROUP BY e.src
+),
+h_{k} AS (
+  SELECT hs.host, CAST(COALESCE(
+           (n.raw * {scale}) // greatest(max(n.raw) OVER (), 1), 0) AS BIGINT) AS hub
+  FROM hosts hs LEFT JOIN hr_{k} n ON hs.host = n.host
+)""")
+    parts.append(
+        f"\nSELECT a.host, a.auth, h.hub FROM a_{iterations} a "
+        f"JOIN h_{iterations} h ON a.host = h.host"
+    )
+    return "".join(parts)
+
+
+def _host_graph_head_sql(pages_path: str, max_links: int) -> str:
+    """Shared host-link-graph CTE chain (through ``edges`` + ``hosts``)
+    — the crawl oracle's frozen link extraction rolled up to host
+    level; consumed by both graph oracles above."""
+    canon_href = CANON_SQL.format(col="target")
+    return rf"""
 WITH pagemeta AS (
   SELECT url AS cu,
          regexp_replace(decode(html), '(?is){_BOILER}', ' ', 'g') AS body,
@@ -376,21 +441,4 @@ edges AS (
   SELECT src, dst, CAST(count(*) AS BIGINT) AS w
   FROM el WHERE src <> dst AND dst IN (SELECT host FROM hosts)
   GROUP BY src, dst
-),
-outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM edges GROUP BY src),
-r_0 AS (SELECT host, CAST({scale} AS BIGINT) AS rank FROM hosts)"""
-    parts = [head]
-    for k in range(1, iterations + 1):
-        parts.append(f""",
-s_{k} AS (
-  SELECT e.dst AS host, CAST(sum((r.rank * e.w) // o.outw) AS BIGINT) AS s
-  FROM edges e JOIN r_{k - 1} r ON e.src = r.host JOIN outw o ON e.src = o.src
-  GROUP BY e.dst
-),
-r_{k} AS (
-  SELECT h.host,
-         CAST({teleport} + ({damping_pct} * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
-  FROM hosts h LEFT JOIN s_{k} s ON h.host = s.host
-)""")
-    parts.append(f"\nSELECT host, rank FROM r_{iterations}")
-    return "".join(parts)
+)"""

@@ -175,3 +175,88 @@ def test_anchor_text_matches_python_spec(spark):
         )
         keys = [(-r["cnt"], r["anchor"]) for r in rows]
         assert keys == sorted(keys)
+
+
+# --- host HITS (operators/graph.host_hits) ------------------------------
+
+
+def _pure_python_hits(pages_path, iterations=3, scale=1_000_000):
+    """Independent third implementation of the scaled-integer HITS
+    recurrence (frozen Python extractor, plain dicts)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from newscrawler_spark.functions.extract import extract_page
+
+    tbl = pq.read_table(pages_path)
+
+    def host(u):
+        m = re.match(r"^[a-z]+://([^/?#]*)", u)
+        return m.group(1) if m else ""
+
+    hosts = {host(u) for u in tbl["url"].to_pylist()}
+    edges: dict[tuple[str, str], int] = {}
+    for url, html in zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()):
+        src = host(url)
+        for link in extract_page(html, url)["out_links"][:100]:
+            dst = host(link)
+            if dst != src and dst in hosts:
+                edges[(src, dst)] = edges.get((src, dst), 0) + 1
+    hub = {h: scale for h in hosts}
+    for _ in range(iterations):
+        ar = {h: 0 for h in hosts}
+        for (s, d), w in edges.items():
+            ar[d] += hub[s] * w
+        mx = max(max(ar.values(), default=0), 1)
+        auth = {h: (v * scale) // mx for h, v in ar.items()}
+        hr = {h: 0 for h in hosts}
+        for (s, d), w in edges.items():
+            hr[s] += auth[d] * w
+        mx = max(max(hr.values(), default=0), 1)
+        hub = {h: (v * scale) // mx for h, v in hr.items()}
+    return {h: (auth[h], hub[h]) for h in hosts}
+
+
+def test_host_hits_matches_pure_python(spark, tmp_path):
+    from newscrawler_spark.operators.graph import host_hits
+    from newscrawler_spark.sources.corpus import generate_corpus
+
+    p = generate_corpus(str(tmp_path / "corpus"), n_pages=300, n_hosts=6, seed=13)
+    got = {
+        r["host"]: (r["auth"], r["hub"])
+        for r in host_hits(spark.read.parquet(p["pages"])).collect()
+    }
+    assert got == _pure_python_hits(p["pages"])
+    # the per-step max-normalization pins the best authority and best
+    # hub at exactly `scale`, everything else in [0, scale]
+    assert max(a for a, _ in got.values()) == 1_000_000
+    assert max(h for _, h in got.values()) == 1_000_000
+    assert all(0 <= a <= 1_000_000 and 0 <= h <= 1_000_000 for a, h in got.values())
+
+
+def test_host_hits_hand_graph(spark):
+    # a -> b, c -> b: b is the sole authority (auth=scale, hub=0);
+    # a and c are equal hubs (hub=scale); b links nowhere.
+    from pyspark.sql import Row
+
+    from newscrawler_spark.operators.graph import host_hits
+
+    def pg(u, target=None):
+        body = f'<a href="{target}">x</a>' if target else "end"
+        return Row(url=u, html=f"<html><body>{body}</body></html>".encode())
+
+    pages = spark.createDataFrame(
+        [
+            pg("https://a.example/p.html", "https://b.example/q.html"),
+            pg("https://c.example/p.html", "https://b.example/q.html"),
+            pg("https://b.example/q.html"),
+        ],
+        "url string, html binary",
+    )
+    got = {r["host"]: (r["auth"], r["hub"]) for r in host_hits(pages).collect()}
+    assert got == {
+        "a.example": (0, 1_000_000),
+        "c.example": (0, 1_000_000),
+        "b.example": (1_000_000, 0),
+    }
