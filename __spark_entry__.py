@@ -1856,6 +1856,26 @@ FROM a{len(terms) - 1} WHERE len(acc) > 0 ORDER BY n_matches DESC, doc_id""")
 
 SQL_SEARCH_PHRASE = _sql_search_phrase(PHRASE_QUERY)
 
+from newscrawler_spark.operators.cluster import kmeans_sql as _kmeans_sql
+
+SQL_CLUSTER_KMEANS = _kmeans_sql()
+
+
+def q_cluster_kmeans(spark, sf_dir):
+    """Exact Lloyd's k-means over the embedding table (operators/
+    cluster.kmeans_lloyd) — the tuned-codebook path the IVF/SemDeDup
+    stride codebook stands in for (SemDeDup §3; Sorscher et al. 2022
+    cluster-based pruning).  Integer-quantized embeddings, int64
+    distances, smallest-cid ties, half-up centroid division, stride
+    init — the DuckDB twin (cluster.kmeans_sql) replays all 3 Lloyd
+    steps and the final assignment bit-exactly.  Per iteration: one
+    corpus scan, codegen argmin over K literal centroids, and a
+    posexplode groupBy(cid, j) whose shuffle carries only
+    partitions x K x dim partially-combined rows."""
+    from newscrawler_spark.operators.cluster import kmeans_lloyd
+
+    return kmeans_lloyd(_t(spark, sf_dir, "embeddings"))
+
 
 def q_quality_classifier_nb(spark, sf_dir):
     """Supervised hashed-unigram Naive Bayes (operators/classifier.py):
@@ -4267,6 +4287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_postings": q_index_postings,
         "search_tfidf": q_search_tfidf,
         "search_phrase": q_search_phrase,
+        "cluster_kmeans": q_cluster_kmeans,
         "quality_classifier_nb": q_quality_classifier_nb,
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
@@ -4362,6 +4383,7 @@ def oracle_sql() -> dict[str, str]:
         "index_postings": SQL_INDEX_POSTINGS,
         "search_tfidf": SQL_SEARCH_TFIDF,
         "search_phrase": SQL_SEARCH_PHRASE,
+        "cluster_kmeans": SQL_CLUSTER_KMEANS,
         "quality_classifier_nb": SQL_QUALITY_CLASSIFIER_NB,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_asof": SQL_EVENTS_ASOF,

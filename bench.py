@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "pipeline_shuffle_epoch",
     "graph_pagerank_hosts",
     "graph_hits",
+    "cluster_kmeans",
     "sketch_hll_users",
     "sketch_cm_users",
     "sketch_bloom_seen",
