@@ -3368,6 +3368,37 @@ def q_streaming_dedup(spark, sf_dir):
     )
 
 
+def q_streaming_join(spark, sf_dir):
+    """Stream-stream interval join (streaming/rounds.
+    attribution_join_stream): views joined to same-user purchases
+    within 1 hour, watermarked on both sides so join state is bounded
+    by horizon + watermark — the attribution shape of an unbounded
+    event stream.  Inner-join emissions are watermark-independent, so
+    the bounded replay equals the batch interval join the DuckDB
+    oracle runs."""
+    from newscrawler_spark.streaming.rounds import (
+        attribution_join_stream,
+        run_append_to_memory,
+    )
+
+    stage = os.path.join(tempfile.gettempdir(), f"nc_streamjoin_{_stable_id(sf_dir)}")
+    dst = os.path.join(stage, "events.parquet")
+    _stage_events(sf_dir, dst)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    j = attribution_join_stream(spark, stage, schema)
+    return run_append_to_memory(j, f"attrib_{_stable_id(sf_dir)}")
+
+
+SQL_STREAMING_JOIN = """
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS latency_us
+FROM events v JOIN events p
+  ON p.user_id = v.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+
 SQL_STREAMING_DEDUP = """
 SELECT event_type, count(*) AS n_unique_users
 FROM (SELECT DISTINCT event_type, user_id FROM events)
@@ -4288,6 +4319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_tfidf": q_search_tfidf,
         "search_phrase": q_search_phrase,
         "cluster_kmeans": q_cluster_kmeans,
+        "streaming_join": q_streaming_join,
         "quality_classifier_nb": q_quality_classifier_nb,
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
@@ -4384,6 +4416,7 @@ def oracle_sql() -> dict[str, str]:
         "search_tfidf": SQL_SEARCH_TFIDF,
         "search_phrase": SQL_SEARCH_PHRASE,
         "cluster_kmeans": SQL_CLUSTER_KMEANS,
+        "streaming_join": SQL_STREAMING_JOIN,
         "quality_classifier_nb": SQL_QUALITY_CLASSIFIER_NB,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_asof": SQL_EVENTS_ASOF,

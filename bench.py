@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "streaming_windowed",
     # round-3 additions: scale-safe streaming sink + RAG surface
     "streaming_append",
+    "streaming_join",
     "streaming_dedup",
     "a4_histogram",
     "a4_percentiles",

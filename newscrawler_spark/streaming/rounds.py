@@ -241,3 +241,69 @@ def host_token_bucket_stream(frontier_stream: DataFrame, budget: int = 10) -> Da
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def attribution_join_stream(
+    spark: SparkSession,
+    events_dir: str,
+    schema: str,
+    horizon: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each ``view`` joined to every
+    ``purchase`` by the same user within ``horizon`` after it — the
+    canonical attribution shape (and the continuous twin of the batch
+    as-of/reporting joins J4/events_asof).
+
+    Spark-first mechanics: two watermarked readStreams over the same
+    source, inner-joined on the user key plus an event-time RANGE
+    condition.  The range bound is what lets the state store evict: a
+    buffered view can only ever match purchases up to ``view_ts +
+    horizon``, so once the purchase-side watermark passes that point
+    the row is dropped — state is bounded by ``horizon + watermark`` of
+    input, never the stream's lifetime (the only join shape that
+    survives an unbounded stream).  Inner-join emissions are
+    watermark-independent (each match emits when its second side
+    arrives), so a bounded replay yields exactly the batch interval
+    join — the DuckDB oracle's plain self-join.
+
+    Output: (user_id, view_id, purchase_id, latency_us) with integer
+    microsecond latency (exact cross-engine timestamp arithmetic —
+    the T4 lesson: no double seconds).
+    """
+    views = (
+        spark.readStream.schema(schema)
+        .parquet(events_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(events_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("buyer_id"),
+            F.col("ts").alias("buy_ts"),
+        )
+        .withWatermark("buy_ts", watermark)
+    )
+    return views.join(
+        purchases,
+        (F.col("user_id") == F.col("buyer_id"))
+        & (F.col("buy_ts") >= F.col("view_ts"))
+        & (F.col("buy_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        (
+            F.unix_micros(F.col("buy_ts")) - F.unix_micros(F.col("view_ts"))
+        ).cast("long").alias("latency_us"),
+    )

@@ -3,8 +3,10 @@
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from newscrawler_spark.operators.events import (
     SESSION_GAP_US,
@@ -73,3 +75,57 @@ def test_asof_equal_ts_errors_tiebreak_max_id(spark):
     rows = [(1, 0, "error"), (1, 0, "error"), (1, 1, "view")]
     out = last_error_asof(_ev(spark, rows)).collect()
     assert out[0]["state_event_id"] == 1  # max event_id at the tied us
+
+
+def test_streaming_attribution_join_equals_batch(spark, tmp_path, sf_dir):
+    """The watermarked stream-stream interval join over a bounded
+    replay == the plain batch interval join (inner-join emissions are
+    watermark-independent)."""
+    import shutil
+
+    from newscrawler_spark.streaming.rounds import (
+        attribution_join_stream,
+        run_append_to_memory,
+    )
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    shutil.copy2(f"{sf_dir}/events.parquet", os.path.join(src, "events.parquet"))
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    j = attribution_join_stream(spark, src, schema)
+    got = {
+        (r["user_id"], r["view_id"], r["purchase_id"], r["latency_us"])
+        for r in run_append_to_memory(j, "attrib_test").collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").cast("timestamp").alias("vts"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("uid"),
+        F.col("ts").cast("timestamp").alias("pts"),
+    )
+    want = {
+        (r["user_id"], r["view_id"], r["purchase_id"], r["latency_us"])
+        for r in v.join(
+            p,
+            (v.user_id == p.uid)
+            & (p.pts >= v.vts)
+            & (p.pts <= v.vts + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            (F.unix_micros("pts") - F.unix_micros("vts")).cast("long").alias("latency_us"),
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
+    assert all(0 <= lat <= 3_600_000_000 for _, _, _, lat in want)
