@@ -1877,6 +1877,74 @@ def q_cluster_kmeans(spark, sf_dir):
     return kmeans_lloyd(_t(spark, sf_dir, "embeddings"))
 
 
+def q_dedup_winnow(spark, sf_dir):
+    """Winnowing fingerprints (operators/dedup.winnow_fingerprints;
+    Schleimer et al. SIGMOD'03 / MOSS): 60-bit md5 k-gram hashes, w-hash
+    sliding window, min-per-window with the rightmost-tie rule — the
+    positional contamination detector.  Zero-shuffle array expressions;
+    DuckDB twin replays gram hashing, window selection, and ties via
+    list comprehensions over the same frozen tokenizer + hash
+    contracts."""
+    from newscrawler_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_winnow_pairs(spark, sf_dir):
+    """Contamination candidate pairs over the winnowing fingerprint
+    index (operators/dedup.winnow_pairs): distinct (doc, fp) -> df cap
+    (max_df=50 kills boilerplate-fingerprint skew) -> fp equi-join ->
+    pair count >= 2.  Sub-quadratic: shuffles key on fp then the
+    pair."""
+    from newscrawler_spark.operators.dedup import winnow_pairs
+
+    return winnow_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _sql_winnow_fps(k: int = 4, w: int = 5) -> str:
+    """Shared fingerprint CTE chain (through ``fps``)."""
+    from newscrawler_spark.functions.canonical import HASH60_SQL
+
+    gram = HASH60_SQL.format(col=f"array_to_string(l[i:i+{k - 1}], ' ')")
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '[ \t\n\r\f\x0b]+'),
+                     x -> x != '') AS l
+  FROM documents),
+gr AS (
+  SELECT doc_id,
+         CASE WHEN len(l) >= {k}
+              THEN [{gram} FOR i IN range(1, len(l) - {k - 2})]
+              ELSE [] END AS g
+  FROM t),
+sel AS (
+  SELECT doc_id,
+         CASE WHEN len(g) > 0 THEN
+           [{{'pos': list_max([p FOR p IN range(j, least(j + {w}, len(g) + 1))
+                               IF g[p] = list_min(g[j:j+{w - 1}])]),
+              'fp': list_min(g[j:j+{w - 1}])}}
+            FOR j IN range(1, greatest(len(g) - {w}, 0) + 2)]
+         ELSE [] END AS s
+  FROM gr),
+fps AS (
+  SELECT DISTINCT doc_id, CAST(u.pos AS BIGINT) AS pos, u.fp AS fp
+  FROM (SELECT doc_id, unnest(s) AS u FROM sel) q)"""
+
+
+SQL_DEDUP_WINNOW = _sql_winnow_fps() + """
+SELECT doc_id, pos, fp FROM fps"""
+
+SQL_DEDUP_WINNOW_PAIRS = _sql_winnow_fps() + """,
+df AS (SELECT fp FROM (SELECT fp, count(*) AS c
+                       FROM (SELECT DISTINCT doc_id, fp FROM fps) GROUP BY fp)
+       WHERE c <= 50),
+dfp AS (SELECT DISTINCT doc_id, fp FROM fps WHERE fp IN (SELECT fp FROM df))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared_fps
+FROM dfp a JOIN dfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2"""
+
+
 def q_quality_classifier_nb(spark, sf_dir):
     """Supervised hashed-unigram Naive Bayes (operators/classifier.py):
     fit on the md5-grid train split (label: lang == 'en'), score the
@@ -4320,6 +4388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_phrase": q_search_phrase,
         "cluster_kmeans": q_cluster_kmeans,
         "streaming_join": q_streaming_join,
+        "dedup_winnow": q_dedup_winnow,
+        "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "quality_classifier_nb": q_quality_classifier_nb,
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
@@ -4417,6 +4487,8 @@ def oracle_sql() -> dict[str, str]:
         "search_phrase": SQL_SEARCH_PHRASE,
         "cluster_kmeans": SQL_CLUSTER_KMEANS,
         "streaming_join": SQL_STREAMING_JOIN,
+        "dedup_winnow": SQL_DEDUP_WINNOW,
+        "dedup_winnow_pairs": SQL_DEDUP_WINNOW_PAIRS,
         "quality_classifier_nb": SQL_QUALITY_CLASSIFIER_NB,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_asof": SQL_EVENTS_ASOF,

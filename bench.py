@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "graph_pagerank_hosts",
     "graph_hits",
     "cluster_kmeans",
+    "dedup_winnow",
+    "dedup_winnow_pairs",
     "sketch_hll_users",
     "sketch_cm_users",
     "sketch_bloom_seen",

@@ -445,3 +445,116 @@ def substring_dup_stats(
         pinned_round(frac, 4).alias("dup_frac"),
         (frac <= max_frac).alias("keep"),
     )
+
+
+# --- Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03) ----
+
+#: frozen explicit ASCII whitespace (the tri-engine contract).
+_WS_CLASS = r"[ \t\n\r\f\x0b]+"
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints — the MOSS local fingerprinting
+    scheme (Schleimer et al., SIGMOD 2003): hash every token k-gram,
+    slide a w-hash window, keep the minimum hash of each window
+    (rightmost position on ties — the paper's robust-winnowing rule,
+    pinned here as max position among equal minima).  Guarantees every
+    shared substring of ≥ k+w-1 tokens yields at least one shared
+    fingerprint — the positional contamination/plagiarism detector that
+    whole-doc simhash/minhash cannot provide.
+
+    Engine-exact contracts: the frozen ASCII tokenizer, the 60-bit md5
+    gram hash (functions/canonical.HASH60_SQL — the url-hash contract
+    reused verbatim), and the two-pass tie rule (min hash, then max
+    position with that hash) that avoids struct-ordering parity
+    assumptions.  A doc with fewer than w grams contributes ONE window
+    covering all its grams; a doc with no grams contributes nothing.
+
+    Scale shape: zero shuffle — grams, windows, and selection are all
+    array expressions over each document row (whole-stage codegen);
+    only the final per-doc DISTINCT of selected (pos, fp) pairs touches
+    other rows, and it is doc-local (array_distinct, still no shuffle).
+    Expected fingerprint density is 2/(w+1) grams — the output relation
+    is a bounded fraction of the token count at any corpus size.
+
+    Output: (doc_id, pos, fp) — pos is the 1-based gram (= token)
+    start position of the selected k-gram, fp its 60-bit hash.
+    """
+    from newscrawler_spark.functions.canonical import url_hash_expr
+
+    arr = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), _WS_CLASS),
+        lambda x: x != "",
+    )
+    n = F.size(arr)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: url_hash_expr(
+                F.array_join(F.slice(arr, i, k), " ")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    d = docs.select(F.col(id_col).alias("doc_id"), grams.alias("g"))
+    m = F.size(F.col("g"))
+    sel = F.when(
+        m > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(m - w, F.lit(0))),
+            lambda j: F.struct(
+                F.array_max(
+                    F.filter(
+                        F.sequence(j + 1, F.least(j + w, m)),
+                        lambda p: F.element_at(F.col("g"), p)
+                        == F.array_min(F.slice(F.col("g"), j + 1, w)),
+                    )
+                ).alias("pos"),
+                F.array_min(F.slice(F.col("g"), j + 1, w)).alias("fp"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,fp:bigint>>"))
+    return d.select(
+        "doc_id", F.explode(F.array_distinct(sel)).alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.pos").cast("long").alias("pos"),
+        F.col("s.fp").alias("fp"),
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    min_shared: int = 2,
+    k: int = 4,
+    w: int = 5,
+    max_df: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
+    the contamination/plagiarism candidate report over the fingerprint
+    index.  Same sub-quadratic shape as jaccard_candidates: distinct
+    (doc, fp) → df cap at ``max_df`` (a boilerplate fingerprint shared
+    by everything carries no signal and concentrates one reducer) →
+    self equi-join on fp → pair count.  Shuffles key on fp then the
+    pair — never O(n²)."""
+    fps = winnow_fingerprints(docs, k, w, text_col, id_col).select(
+        "doc_id", "fp"
+    ).distinct()
+    keep = fps.groupBy("fp").count().filter(F.col("count") <= max_df)
+    fps = fps.join(keep.select("fp"), "fp")
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
