@@ -2067,6 +2067,29 @@ FROM s GROUP BY user_id, sid
 SQL_EVENTS_SESSIONIZE = _sql_events_sessionize()
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered view->click->purchase funnel per user (operators/events.
+    funnel): step i = earliest event of its type strictly after step
+    i-1; chained window selects over one user-keyed shuffle (exchange
+    reused across frames — never agg-and-join-back).  Integer
+    microseconds end to end."""
+    from newscrawler_spark.operators.events import funnel
+
+    return funnel(_t(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_FUNNEL = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+                 OVER (PARTITION BY user_id) AS t1_us FROM e),
+s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND us > t1_us THEN us END)
+                 OVER (PARTITION BY user_id) AS t2_us FROM s1),
+s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us > t2_us THEN us END)
+                 OVER (PARTITION BY user_id) AS t3_us FROM s2)
+SELECT DISTINCT user_id, t1_us, t2_us, t3_us FROM s3 WHERE t1_us IS NOT NULL
+"""
+
+
 def q_events_asof(spark, sf_dir):
     """As-of join (operators/events.asof_join): every non-error event
     annotated with the user's latest error at or before it — union-tag
@@ -4393,6 +4416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_nb": q_quality_classifier_nb,
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
+        "events_funnel": q_events_funnel,
         "text_topics": q_text_topics,
         "text_entities": q_text_entities,
         "entity_lookup": q_entity_lookup,
@@ -4492,6 +4516,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier_nb": SQL_QUALITY_CLASSIFIER_NB,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_asof": SQL_EVENTS_ASOF,
+        "events_funnel": SQL_EVENTS_FUNNEL,
         "text_topics": SQL_TEXT_TOPICS,
         "text_entities": SQL_TEXT_ENTITIES,
         "entity_lookup": SQL_ENTITY_LOOKUP,

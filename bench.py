@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "quality_classifier_nb",
     "events_sessionize",
     "events_asof",
+    "events_funnel",
     "pipeline_c4_clean",
     "text_gopher_lines",
     "tokenizer_bpe_pairs",

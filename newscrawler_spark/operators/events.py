@@ -134,3 +134,50 @@ def last_error_asof(events: DataFrame) -> DataFrame:
         "state_event_id",
         (F.col("us") - F.col("state_us")).cast("long").alias("age_us"),
     )
+
+
+#: frozen funnel step sequence over the synthetic event stream.
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Ordered funnel per user — the product-analytics primitive
+    (Amplitude/Mixpanel-style): step i is the EARLIEST event of type
+    ``steps[i]`` strictly after the user's step i-1 (step 0 = earliest
+    occurrence overall).  Output one row per user who completed step 0:
+    ``(user_id, t1_us, t2_us, …)`` with integer-microsecond times and
+    NULL from the first uncompleted step on.
+
+    Spark-first shape: the steps chain as `len(steps)` window selects
+    over the SAME ``partitionBy(user)`` — Catalyst reuses the exchange
+    and sorts once per frame (subset rule, PLANS.md sessionize lesson),
+    so the whole funnel costs ONE user-keyed shuffle regardless of step
+    count.  No join-back per step (the agg-and-join-back shape plans a
+    scan per step — the documented anti-pattern), no row expansion.
+
+    Strictly-after semantics (``us > prev``) are pinned identically in
+    the SQL twin; integer microseconds avoid the double-seconds
+    truncation divergence (the T4 lesson).
+    """
+    w = Window.partitionBy(user_col)
+    d = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col("event_type"),
+        _us().alias("us"),
+    )
+    prev = None
+    for i, step in enumerate(steps, start=1):
+        cond = F.col("event_type") == step
+        if prev is not None:
+            cond = cond & (F.col("us") > F.col(prev))
+        d = d.withColumn(f"t{i}_us", F.min(F.when(cond, F.col("us"))).over(w))
+        prev = f"t{i}_us"
+    return (
+        d.select("user_id", *[f"t{i}_us" for i in range(1, len(steps) + 1)])
+        .where(F.col("t1_us").isNotNull())
+        .distinct()
+    )

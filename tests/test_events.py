@@ -129,3 +129,41 @@ def test_streaming_attribution_join_equals_batch(spark, tmp_path, sf_dir):
     }
     assert got == want and len(want) > 0
     assert all(0 <= lat <= 3_600_000_000 for _, _, _, lat in want)
+
+
+def test_funnel_strict_order_and_nulls(spark):
+    import datetime as _dt
+
+    from newscrawler_spark.operators.events import funnel
+
+    t = lambda s: _dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: full funnel in order
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # user 2: click BEFORE the first view — click must not count;
+        # a later click does, purchase before it doesn't
+        (2, t(1), "click"), (2, t(2), "view"), (2, t(3), "purchase"),
+        (2, t(4), "click"), (2, t(5), "purchase"),
+        # user 3: view only
+        (3, t(1), "view"),
+        # user 4: never views — excluded entirely
+        (4, t(1), "purchase"),
+        # user 5: click at the SAME instant as view — strictly-after
+        # excludes it; the later one counts
+        (5, t(1), "view"), (5, t(1), "click"), (5, t(2), "click"),
+    ]
+    ev = spark.createDataFrame(
+        [Row(user_id=u, ts=ts, event_type=et) for u, ts, et in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = {
+        r["user_id"]: (r["t1_us"], r["t2_us"], r["t3_us"])
+        for r in funnel(ev).collect()
+    }
+    us = lambda s: int(t(s).replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+    assert got == {
+        1: (us(1), us(2), us(3)),
+        2: (us(2), us(4), us(5)),
+        3: (us(1), None, None),
+        5: (us(1), us(2), None),
+    }
