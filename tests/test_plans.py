@@ -374,3 +374,36 @@ def test_asof_join_no_row_expansion_join(spark, no_auto_broadcast):
     plan = _plan(last_error_asof(ev))
     assert "Join" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_winnow_fingerprints_zero_shuffle(spark, sf_dir):
+    """Winnowing is pure array expressions per document row — the
+    selection plan must contain NO Exchange of any kind."""
+    from newscrawler_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = winnow_fingerprints(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_funnel_single_user_exchange(spark, sf_dir):
+    """The chained step windows must reuse ONE user-keyed exchange
+    (the subset rule) — an agg-and-join-back shape would plan one scan
+    and shuffle per step."""
+    from newscrawler_spark.operators.events import funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = funnel(ev)._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_kmeans_assignment_zero_shuffle(spark, sf_dir):
+    """The final k-means assignment is a codegen argmin over literal
+    centroids — one scan, no Exchange."""
+    from newscrawler_spark.operators.cluster import kmeans_lloyd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = kmeans_lloyd(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
