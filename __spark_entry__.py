@@ -2090,6 +2090,27 @@ SELECT DISTINCT user_id, t1_us, t2_us, t3_us FROM s3 WHERE t1_us IS NOT NULL
 """
 
 
+def q_events_retention(spark, sf_dir):
+    """Cohort retention matrix (operators/events.retention_cohorts):
+    users by first-event day x activity-day offset, distinct-counted —
+    integer epoch-day indexes end to end (no date types in the
+    contract).  One user-keyed window shuffle; the distinct-count's
+    first aggregate keys on a superset of it."""
+    from newscrawler_spark.operators.events import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_RETENTION = """
+WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+c AS (SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort FROM e)
+SELECT CAST(cohort AS BIGINT) AS cohort_day,
+       CAST(day - cohort AS BIGINT) AS day_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM c GROUP BY 1, 2
+"""
+
+
 def q_events_asof(spark, sf_dir):
     """As-of join (operators/events.asof_join): every non-error event
     annotated with the user's latest error at or before it — union-tag
@@ -4417,6 +4438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
         "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "text_topics": q_text_topics,
         "text_entities": q_text_entities,
         "entity_lookup": q_entity_lookup,
@@ -4517,6 +4539,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_asof": SQL_EVENTS_ASOF,
         "events_funnel": SQL_EVENTS_FUNNEL,
+        "events_retention": SQL_EVENTS_RETENTION,
         "text_topics": SQL_TEXT_TOPICS,
         "text_entities": SQL_TEXT_ENTITIES,
         "entity_lookup": SQL_ENTITY_LOOKUP,

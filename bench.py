@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "events_sessionize",
     "events_asof",
     "events_funnel",
+    "events_retention",
     "pipeline_c4_clean",
     "text_gopher_lines",
     "tokenizer_bpe_pairs",

@@ -545,9 +545,16 @@ def winnow_pairs(
     by everything carries no signal and concentrates one reducer) →
     self equi-join on fp → pair count.  Shuffles key on fp then the
     pair — never O(n²)."""
-    fps = winnow_fingerprints(docs, k, w, text_col, id_col).select(
-        "doc_id", "fp"
-    ).distinct()
+    # the fingerprint subtree feeds the df cap AND both join sides —
+    # Catalyst re-executes unreferenced identical subtrees (CLAUDE.md),
+    # so materialize it once (small: ~2/(w+1) of the token count);
+    # localCheckpoint blocks are GC-cleaned with the frame
+    fps = (
+        winnow_fingerprints(docs, k, w, text_col, id_col)
+        .select("doc_id", "fp")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     keep = fps.groupBy("fp").count().filter(F.col("count") <= max_df)
     fps = fps.join(keep.select("fp"), "fp")
     a, b = fps.alias("a"), fps.alias("b")

@@ -181,3 +181,39 @@ def funnel(
         .where(F.col("t1_us").isNotNull())
         .distinct()
     )
+
+
+#: integer day index: microseconds div one day (exact, UTC-pinned).
+_DAY_US = 86_400_000_000
+
+
+def retention_cohorts(events: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Cohort retention matrix — the product-analytics companion of
+    :func:`funnel`: users grouped by the day of their FIRST event
+    (cohort), counted distinct on each later activity day, keyed by the
+    day offset.  Output ``(cohort_day, day_offset, n_users)`` with
+    integer epoch-day indexes (``epoch_us div 86400e6`` — exact in any
+    engine; date types and their timezone edges never enter the
+    contract).
+
+    Plan: the cohort day is a min window over the SAME user partition
+    the distinct-count aggregate then groups under — Spark's two-stage
+    distinct rewrite keys its first aggregate on (cohort, offset, user),
+    a superset of the window's user partitioning, so the matrix costs
+    the user shuffle plus one aggregate-sized exchange; nothing is
+    joined back.
+    """
+    w = Window.partitionBy(user_col)
+    d = events.select(
+        F.col(user_col).alias("user_id"), _us().alias("us")
+    ).select(
+        "user_id", F.expr(f"us div {_DAY_US}").cast("long").alias("day")
+    )
+    d = d.withColumn("cohort", F.min("day").over(w))
+    return (
+        d.groupBy(
+            F.col("cohort").alias("cohort_day"),
+            (F.col("day") - F.col("cohort")).alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )

@@ -167,3 +167,32 @@ def test_funnel_strict_order_and_nulls(spark):
         3: (us(1), None, None),
         5: (us(1), us(2), None),
     }
+
+
+def test_retention_cohorts_hand_data(spark):
+    import datetime as _dt
+
+    from newscrawler_spark.operators.events import retention_cohorts
+
+    d = lambda day, h=0: _dt.datetime(2024, 1, day, h)
+    rows = [
+        (1, d(1)), (1, d(1, 5)), (1, d(2)), (1, d(4)),   # cohort day1
+        (2, d(1)), (2, d(3)),                            # cohort day1
+        (3, d(2)), (3, d(3)),                            # cohort day2
+    ]
+    ev = spark.createDataFrame(
+        [Row(user_id=u, ts=ts) for u, ts in rows], "user_id long, ts timestamp"
+    )
+    got = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in retention_cohorts(ev).collect()
+    }
+    day1 = (_dt.datetime(2024, 1, 1) - _dt.datetime(1970, 1, 1)).days
+    assert got == {
+        (day1, 0): 2,      # users 1, 2 active on their cohort day
+        (day1, 1): 1,      # user 1 on day 2
+        (day1, 2): 1,      # user 2 on day 3
+        (day1, 3): 1,      # user 1 on day 4
+        (day1 + 1, 0): 1,  # user 3 cohort
+        (day1 + 1, 1): 1,
+    }
