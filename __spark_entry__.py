@@ -896,6 +896,87 @@ WHERE floor((shared * 1.0 / (sa.n_sh + sb.n_sh - shared)) * 10000.0 + 0.5) / 100
 """
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental ingestion dedup (operators/dedup.incremental_dedup):
+    a deterministic batch slice (doc_id % 5 == 0, plus re-keyed copies
+    of existing docs with doc_id % 97 == 3 planted as true exact dups)
+    probed against the existing corpus (doc_id % 5 != 0) — exact via
+    the hash-set join, near via batch-vs-existing LSH bands verified
+    with candidate-only Jaccard.  No batch x batch or existing x
+    existing pair is ever formed; at steady state the existing bands /
+    hash set are precomputed tables and each batch costs its own
+    size."""
+    from newscrawler_spark.operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    existing = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0).unionByName(
+        docs.where((F.col("doc_id") % 97 == 3) & (F.col("doc_id") % 5 != 0))
+        .withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+    )
+    return incremental_dedup(batch, existing)
+
+
+def _sql_incremental_dedup() -> str:
+    """Twin: two copies of the minhash/band CTE chain (batch, existing),
+    band probe, candidate-only Jaccard verify, hash-set exact probe."""
+
+    def sh(src: str, tag: str) -> str:
+        return rf"""
+sh_{tag} AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(
+    range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0b]+')) - 2, 0) + 1),
+    i -> array_to_string(regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0b]+')[i:i+2], ' ')
+  )) AS shingle FROM {src})"""
+
+    def bands(tag: str) -> str:
+        return f"""
+sig_{tag} AS (
+  SELECT doc_id, seed,
+         min((CAST(('0x' || substring(md5(shingle), 1, 13)) AS BIGINT)
+              + seed * CAST(('0x' || substring(md5(shingle), 17, 13)) AS BIGINT))
+             % 1000000007) AS minhash
+  FROM sh_{tag} CROSS JOIN seeds GROUP BY 1, 2),
+bands_{tag} AS (
+  SELECT doc_id, (seed // 4) AS band_id,
+         md5(array_to_string(list_sort(list(seed::VARCHAR || '=' || minhash::VARCHAR)), '|')) AS band_key
+  FROM sig_{tag} GROUP BY doc_id, (seed // 4))"""
+
+    return f"""
+WITH batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents
+  WHERE doc_id % 97 = 3 AND doc_id % 5 != 0),
+existing AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+seeds AS (SELECT unnest(range(16)) AS seed),{sh("batch", "b")},{sh("existing", "e")},{bands("b")},{bands("e")},
+cand AS (
+  SELECT DISTINCT b.doc_id, e.doc_id AS exist_id
+  FROM bands_b b JOIN bands_e e USING (band_id, band_key)),
+nb AS (SELECT doc_id, count(*) AS nb FROM sh_b GROUP BY 1),
+ne AS (SELECT doc_id AS exist_id, count(*) AS ne FROM sh_e GROUP BY 1),
+shared AS (
+  SELECT c.doc_id, c.exist_id, count(*) AS shared
+  FROM cand c JOIN sh_b b ON b.doc_id = c.doc_id
+  JOIN sh_e e ON e.doc_id = c.exist_id AND e.shingle = b.shingle
+  GROUP BY 1, 2),
+near AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_near
+  FROM shared s JOIN nb ON nb.doc_id = s.doc_id JOIN ne ON ne.exist_id = s.exist_id
+  WHERE floor((shared * 1.0 / (nb.nb + ne.ne - shared)) * 10000.0 + 0.5) / 10000.0 >= 0.5
+  GROUP BY 1),
+eh AS (SELECT DISTINCT md5(text) AS h FROM existing)
+SELECT b.doc_id,
+       (md5(b.text) IN (SELECT h FROM eh)) AS exact_dup,
+       CAST(COALESCE(n.n_near, 0) AS BIGINT) AS n_near,
+       (md5(b.text) NOT IN (SELECT h FROM eh) AND COALESCE(n.n_near, 0) = 0) AS keep
+FROM batch b LEFT JOIN near n ON n.doc_id = b.doc_id
+"""
+
+
+SQL_DEDUP_INCREMENTAL = _sql_incremental_dedup()
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash document signatures (operators/dedup.simhash16)."""
     from newscrawler_spark.operators.dedup import simhash16
@@ -4401,6 +4482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "text_lang_id": q_text_lang_id,
@@ -4502,6 +4584,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+        "dedup_incremental": SQL_DEDUP_INCREMENTAL,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
         "text_lang_id": SQL_TEXT_LANG,

@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "graph_pagerank_hosts",
     "graph_hits",
     "cluster_kmeans",
+    "dedup_incremental",
     "dedup_winnow",
     "dedup_winnow_pairs",
     "sketch_hll_users",

@@ -186,6 +186,27 @@ def lsh_candidate_pairs(
     lexicographically sorted; docs sharing any (band_id, band_key) are
     candidates.  Band keys come straight off the wide signature row —
     no per-(doc, band) regrouping shuffle."""
+    bands = _lsh_bands(df, text_col, n, n_hashes, band_size)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _lsh_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """(doc_id, band_id, band_key) — the banded signature relation
+    shared by the self-join (:func:`lsh_candidate_pairs`) and the
+    incremental batch-vs-corpus probe (:func:`incremental_dedup`)."""
     wide = _minhash_wide(df, text_col, n, n_hashes)
     n_bands = (n_hashes + band_size - 1) // band_size
     band_structs = []
@@ -202,17 +223,9 @@ def lsh_candidate_pairs(
                 F.md5(F.concat_ws("|", F.array_sort(members))).alias("band_key"),
             )
         )
-    bands = (
+    return (
         wide.select("doc_id", F.explode(F.array(*band_structs)).alias("b"))
         .select("doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key"))
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(b, ["band_id", "band_key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
 
 
@@ -564,4 +577,86 @@ def winnow_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental ingestion dedup: admit only batch documents that are
+    neither EXACT nor NEAR duplicates of the already-ingested corpus —
+    the continuous-pipeline twin of the whole-corpus dedup operators
+    (and the dedup analog of embed_missing's anti-join pattern): a
+    100 TB pipeline never re-deduplicates the world per batch, it
+    probes the new slice against the standing index.
+
+    * exact: md5(text) probed against the existing corpus's DISTINCT
+      hash set (at scale: the persisted hash index) — an equi-join on
+      the hash, batch-sized build side;
+    * near: the batch's LSH bands probed against the EXISTING bands
+      (no batch×batch or existing×existing pairs are ever formed),
+      candidates verified with true Jaccard computed only for the
+      candidate pairs, exactly minhash_near_dups' verify discipline.
+
+    Scale shape: existing-side bands/shingles are corpus-scale but
+    shuffle only on their keys (band, shingle); the candidate and
+    verify relations are batch-bounded.  At steady state the existing
+    bands/hash relations are precomputed tables and each batch costs
+    its own size, not the corpus's.
+
+    Output: one row per batch doc — (doc_id, exact_dup, n_near, keep)
+    with keep = NOT exact_dup AND n_near = 0.
+    """
+    b = batch.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    e = existing.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    eh = e.select(F.md5("text").alias("_h")).distinct().withColumn("_e", F.lit(1))
+    exact = (
+        b.select("doc_id", F.md5("text").alias("_h"))
+        .join(eh, "_h", "left")
+        .select("doc_id", F.col("_e").isNotNull().alias("exact_dup"))
+    )
+    bb = _lsh_bands(b, "text", n, n_hashes, band_size)
+    eb = _lsh_bands(e, "text", n, n_hashes, band_size).select(
+        F.col("doc_id").alias("exist_id"), "band_id", "band_key"
+    )
+    cands = bb.join(eb, ["band_id", "band_key"]).select("doc_id", "exist_id").distinct()
+    shb = with_shingles(b, "text", n)
+    she = with_shingles(e, "text", n).select(
+        F.col("doc_id").alias("exist_id"), "shingle"
+    )
+    sb = shb.groupBy("doc_id").agg(F.count("*").alias("nb"))
+    se = she.groupBy("exist_id").agg(F.count("*").alias("ne"))
+    shared = (
+        cands.join(shb, "doc_id")
+        .join(she, ["exist_id", "shingle"])
+        .groupBy("doc_id", "exist_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    near = (
+        shared.join(sb, "doc_id")
+        .join(se, "exist_id")
+        .where(
+            pinned_round(
+                F.col("shared") / (F.col("nb") + F.col("ne") - F.col("shared")), 4
+            )
+            >= threshold
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_near"))
+    )
+    return (
+        exact.join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            "exact_dup",
+            F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near"),
+            (~F.col("exact_dup") & (F.coalesce("n_near", F.lit(0)) == 0)).alias("keep"),
+        )
     )

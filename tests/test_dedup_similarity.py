@@ -404,3 +404,42 @@ def test_pq_plan_broadcast_only_no_vector_read_in_adc(spark, emb):
     assert "SortMergeJoin" not in plan, plan
     # argmin partial-combines map-side before the code shuffle
     assert "partial_min" in plan, plan
+
+
+def test_incremental_dedup_planted(spark):
+    """Planted batch: one exact dup, one near dup (small edit), one
+    novel doc — flags and keep decisions must match."""
+    from newscrawler_spark.operators.dedup import incremental_dedup
+
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(39)) + " zz"
+    novel = " ".join(f"n{i}" for i in range(40))
+    existing = spark.createDataFrame(
+        [(1, base), (2, " ".join(f"e{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, base), (11, near), (12, novel)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["exact_dup"], r["n_near"] > 0, r["keep"])
+        for r in incremental_dedup(batch, existing).collect()
+    }
+    assert got[10] == (True, True, False)   # exact dup (also a near hit)
+    assert got[11] == (False, True, False)  # near dup only
+    assert got[12] == (False, False, True)  # novel
+
+
+def test_incremental_dedup_never_pairs_within_batch(spark):
+    """Two identical docs INSIDE the batch must both be kept when the
+    existing corpus has neither (batch-internal dedup is a separate,
+    whole-corpus concern)."""
+    from newscrawler_spark.operators.dedup import incremental_dedup
+
+    t = " ".join(f"x{i}" for i in range(40))
+    batch = spark.createDataFrame([(1, t), (2, t)], "doc_id long, text string")
+    existing = spark.createDataFrame(
+        [(9, " ".join(f"y{i}" for i in range(40)))], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["keep"] for r in incremental_dedup(batch, existing).collect()}
+    assert got == {1: True, 2: True}
