@@ -2026,6 +2026,38 @@ FROM dfp a JOIN dfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 2"""
 
 
+def q_text_keywords(spark, sf_dir):
+    """Per-doc tf-idf keywords (operators/search.keywords_tfidf):
+    top-5 terms by tf*ln(N/df), rank window reusing the postings
+    aggregate's doc partitioning (zero extra exchange); pinned weights,
+    lexicographic ties."""
+    from newscrawler_spark.operators.search import keywords_tfidf
+
+    return keywords_tfidf(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_KEYWORDS = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(l) AS w
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(coalesce(text, ''), '[ 	
+]+'),
+                           x -> x != '') AS l
+        FROM documents)),
+p AS (SELECT w AS term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+pd AS (SELECT term, doc_id, tf,
+              CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df
+       FROM p),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM pd),
+r AS (SELECT doc_id, term,
+             floor((tf * ln((SELECT n FROM nd) * 1.0 / df)) * 10000.0 + 0.5) / 10000.0 AS w_tfidf
+      FROM pd)
+SELECT doc_id, term, w_tfidf,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY w_tfidf DESC, term) AS INT) AS rnk
+FROM r QUALIFY rnk <= 5
+"""
+
+
 def q_quality_classifier_nb(spark, sf_dir):
     """Supervised hashed-unigram Naive Bayes (operators/classifier.py):
     fit on the md5-grid train split (label: lang == 'en'), score the
@@ -4512,6 +4544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_postings": q_index_postings,
         "search_tfidf": q_search_tfidf,
         "search_phrase": q_search_phrase,
+        "text_keywords": q_text_keywords,
         "cluster_kmeans": q_cluster_kmeans,
         "streaming_join": q_streaming_join,
         "dedup_winnow": q_dedup_winnow,
@@ -4614,6 +4647,7 @@ def oracle_sql() -> dict[str, str]:
         "index_postings": SQL_INDEX_POSTINGS,
         "search_tfidf": SQL_SEARCH_TFIDF,
         "search_phrase": SQL_SEARCH_PHRASE,
+        "text_keywords": SQL_TEXT_KEYWORDS,
         "cluster_kmeans": SQL_CLUSTER_KMEANS,
         "streaming_join": SQL_STREAMING_JOIN,
         "dedup_winnow": SQL_DEDUP_WINNOW,

@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "index_postings",
     "search_tfidf",
     "search_phrase",
+    "text_keywords",
     "quality_classifier_nb",
     "events_sessionize",
     "events_asof",

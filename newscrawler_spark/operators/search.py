@@ -429,3 +429,41 @@ def _re_split_ws(s: str) -> list[str]:
     import re
 
     return re.split(r"[ \t\n\r\f\x0b]+", s)
+
+
+def keywords_tfidf(
+    docs: DataFrame,
+    top_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document tf-idf keyword extraction — top-``top_k`` terms per
+    doc by ``tf · ln(N/df)`` (the reference stores extracted keywords
+    per article, src/database/models.py keywords column; this derives
+    them from corpus statistics instead of the HTML meta tags).
+
+    Built on :func:`build_postings`; the rank window partitions by doc
+    — the SAME key the postings aggregate already hash-partitioned on,
+    so Catalyst plans zero additional exchanges for the ranking (subset
+    rule).  ``N`` is one bounded scalar.  Weight pinned at 4dp, ties →
+    lexicographic term — decision-for-decision replayable (same ln
+    discipline as tfidf_topk / DSIR).
+    """
+    from pyspark.sql import Window
+
+    post = build_postings(docs, text_col=text_col, id_col=id_col).select(
+        "term", id_col, "tf", "df"
+    )
+    n_docs = post.select(id_col).distinct().count()
+    w = pinned_round(
+        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+    )
+    ranked = post.select(id_col, "term", w.alias("w_tfidf")).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy(F.desc("w_tfidf"), "term")
+        ),
+    )
+    return ranked.where(F.col("rnk") <= top_k).select(
+        id_col, "term", "w_tfidf", F.col("rnk").cast("int").alias("rnk")
+    )

@@ -485,3 +485,40 @@ def test_phrase_search_overlapping_and_duplicate_terms(spark):
         for r in phrase_search(docs, "a a").collect()
     }
     assert got == {1: (2, 1), 2: (2, 2)}
+
+
+def test_keywords_tfidf_python_spec(spark):
+    import math
+    import re
+
+    from newscrawler_spark.operators.search import keywords_tfidf
+
+    texts = {
+        1: "apple apple banana common",
+        2: "banana cherry common",
+        3: "cherry cherry cherry common date",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["rnk"]): (r["term"], r["w_tfidf"])
+        for r in keywords_tfidf(docs, top_k=2).collect()
+    }
+    # python spec
+    toks = {d: [t for t in re.split(r"[ \t\n\r\f\x0b]+", s) if t] for d, s in texts.items()}
+    df: dict[str, int] = {}
+    for d, ts in toks.items():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    want = {}
+    for d, ts in toks.items():
+        ws = sorted(
+            (
+                (-math.floor(ts.count(t) * math.log(3.0 / df[t]) * 10000 + 0.5) / 10000, t)
+                for t in set(ts)
+            )
+        )
+        for i, (nw, t) in enumerate(ws[:2], start=1):
+            want[(d, i)] = (t, -nw)
+    assert got == want
+    # 'common' appears in every doc -> ln(1) = 0 weight, never ranked 1
+    assert all(t != "common" for (d, r), (t, _) in got.items() if r == 1)
