@@ -2041,7 +2041,8 @@ WITH tok AS (
   SELECT doc_id, unnest(l) AS w
   FROM (SELECT doc_id,
                list_filter(regexp_split_to_array(coalesce(text, ''), '[ 	
-]+'),
+
+]+'),
                            x -> x != '') AS l
         FROM documents)),
 p AS (SELECT w AS term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
@@ -3571,6 +3572,45 @@ HAVING epoch(win_start) + 3600 <= epoch((SELECT max(ts) FROM events)) - 600
 """
 
 
+def q_streaming_sessions(spark, sf_dir):
+    """Native streaming sessionization (streaming/rounds.
+    session_window_counts): session_window(ts, 30 min) per user with
+    watermark state eviction — the stateful streaming twin of
+    events_sessionize.  Single-horizon bounded replay in complete mode
+    emits every session; the oracle replays the same strict break rule
+    as the batch twin (a gap STRICTLY greater than 30 min breaks —
+    pinned by the boundary pytest: an event at exactly last + gap
+    MERGES) with win_end = last + gap."""
+    from newscrawler_spark.streaming.rounds import (
+        run_to_completion,
+        session_window_counts,
+    )
+
+    stage = os.path.join(tempfile.gettempdir(), f"nc_streamsess_{_stable_id(sf_dir)}")
+    dst = os.path.join(stage, "events.parquet")
+    _stage_events(sf_dir, dst)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    agg = session_window_counts(spark, stage, schema)
+    return run_to_completion(agg, f"sess_{_stable_id(sf_dir)}")
+
+
+SQL_STREAMING_SESSIONS = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM e),
+b AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+                     THEN 1 ELSE 0 END AS brk FROM l),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM b)
+SELECT user_id,
+       make_timestamp(CAST(min(us) AS BIGINT)) AS win_start,
+       make_timestamp(CAST(max(us) + 1800000000 AS BIGINT)) AS win_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Streaming insert-if-absent (S8/U3 continuous twin):
     dropDuplicatesWithinWatermark emits each (event_type, user_id)'s
@@ -4547,6 +4587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_keywords": q_text_keywords,
         "cluster_kmeans": q_cluster_kmeans,
         "streaming_join": q_streaming_join,
+        "streaming_sessions": q_streaming_sessions,
         "dedup_winnow": q_dedup_winnow,
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "quality_classifier_nb": q_quality_classifier_nb,
@@ -4650,6 +4691,7 @@ def oracle_sql() -> dict[str, str]:
         "text_keywords": SQL_TEXT_KEYWORDS,
         "cluster_kmeans": SQL_CLUSTER_KMEANS,
         "streaming_join": SQL_STREAMING_JOIN,
+        "streaming_sessions": SQL_STREAMING_SESSIONS,
         "dedup_winnow": SQL_DEDUP_WINNOW,
         "dedup_winnow_pairs": SQL_DEDUP_WINNOW_PAIRS,
         "quality_classifier_nb": SQL_QUALITY_CLASSIFIER_NB,

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     # round-3 additions: scale-safe streaming sink + RAG surface
     "streaming_append",
     "streaming_join",
+    "streaming_sessions",
     "streaming_dedup",
     "a4_histogram",
     "a4_percentiles",

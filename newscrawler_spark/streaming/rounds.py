@@ -307,3 +307,43 @@ def attribution_join_stream(
             F.unix_micros(F.col("buy_ts")) - F.unix_micros(F.col("view_ts"))
         ).cast("long").alias("latency_us"),
     )
+
+
+def session_window_counts(
+    spark: SparkSession,
+    events_dir: str,
+    schema: str,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """True streaming sessionization: ``session_window(ts, gap)`` per
+    user — the native stateful session primitive (the batch
+    gaps-and-islands twin is operators/events.sessionize; Flink's
+    session windows are the same shape).  State merges adjacent
+    sessions as events arrive and is evicted by the watermark, so
+    memory is bounded by ACTIVE sessions, not stream length.
+
+    Boundary pin (asserted by the boundary pytest): an event at
+    exactly ``last_ts + gap`` MERGES into the session — Spark treats
+    the session interval as closed for the merge test, so the break
+    rule is the batch twin's strict ``> gap``.  The DuckDB oracle
+    replays that rule with ``win_end = max(ts) + gap``.
+    """
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("n_errors"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n_events",
+            "n_errors",
+        )
+    )

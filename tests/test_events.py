@@ -196,3 +196,48 @@ def test_retention_cohorts_hand_data(spark):
         (day1 + 1, 0): 1,  # user 3 cohort
         (day1 + 1, 1): 1,
     }
+
+
+def test_streaming_session_window_boundary_rule(spark, tmp_path):
+    """session_window's half-open interval: an event at exactly
+    last + gap starts a NEW session; inside the gap it merges (state
+    merge across micro-batch arrival order is Spark's job — the
+    bounded replay pins the resulting relation)."""
+    import datetime as _dt
+
+    from newscrawler_spark.streaming.rounds import (
+        run_to_completion,
+        session_window_counts,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1)
+    sec = lambda s: t0 + _dt.timedelta(seconds=s)
+    gap = 60
+    rows = [
+        (1, sec(0), "view"),
+        (1, sec(59), "error"),        # 59 s after prev: merges
+        (1, sec(59 + gap), "view"),   # exactly prev + gap -> MERGES
+        (1, sec(59 + gap + gap + 1), "view"),  # gap + 1 -> NEW session
+        (2, sec(0), "view"),
+    ]
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [Row(user_id=u, ts=ts, event_type=et, event_id=i, value=0.0, props="")
+         for i, (u, ts, et) in enumerate(rows)],
+        "user_id long, ts timestamp, event_type string, event_id long, value double, props string",
+    ).coalesce(1).write.parquet(src, mode="overwrite")
+    schema = (
+        "user_id long, ts timestamp, event_type string, event_id long, "
+        "value double, props string"
+    )
+    agg = session_window_counts(spark, src, schema, gap="1 minute")
+    got = {
+        (r["user_id"], r["win_start"], r["win_end"]): (r["n_events"], r["n_errors"])
+        for r in run_to_completion(agg, "sess_boundary_test").collect()
+    }
+    g = _dt.timedelta(seconds=gap)
+    assert got == {
+        (1, sec(0), sec(119) + g): (3, 1),
+        (1, sec(180), sec(180) + g): (1, 0),
+        (2, sec(0), sec(0) + g): (1, 0),
+    }
