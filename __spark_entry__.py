@@ -2059,6 +2059,39 @@ FROM r QUALIFY rnk <= 5
 """
 
 
+def q_tokenizer_collocations(spark, sf_dir):
+    """PMI collocation mining (operators/tokenizer.collocations_pmi):
+    word2phrase association scores over adjacent bigrams — zip-of-tail
+    bigrams (no window), vocab-bounded marginal joins, two scalar
+    totals; PMI expression spelled identically in the twin, pinned 4dp,
+    min_count >= 5, lexicographic ties."""
+    from newscrawler_spark.operators.tokenizer import collocations_pmi
+
+    return collocations_pmi(_t(spark, sf_dir, "documents"))
+
+
+SQL_TOKENIZER_COLLOCATIONS = r"""
+WITH t AS (
+  SELECT list_filter(regexp_split_to_array(coalesce(text, ''), '[ 	
+]+'),
+                     x -> x != '') AS l
+  FROM documents),
+uni AS (SELECT unnest(l) AS w FROM t),
+u AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+pr AS (SELECT unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2 FROM t),
+b AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy FROM pr GROUP BY 1, 2),
+nu AS (SELECT CAST(sum(c) AS DOUBLE) AS v FROM u),
+nb AS (SELECT CAST(sum(c_xy) AS DOUBLE) AS v FROM b)
+SELECT b.w1, b.w2, b.c_xy,
+       floor(ln((CAST(b.c_xy AS DOUBLE) * (SELECT v FROM nu) * (SELECT v FROM nu))
+                / (CAST(ux.c AS DOUBLE) * uy.c * (SELECT v FROM nb))) * 10000.0 + 0.5)
+         / 10000.0 AS pmi
+FROM b JOIN u ux ON ux.w = b.w1 JOIN u uy ON uy.w = b.w2
+WHERE b.c_xy >= 5
+ORDER BY pmi DESC, b.w1, b.w2 LIMIT 20
+"""
+
+
 def q_quality_classifier_nb(spark, sf_dir):
     """Supervised hashed-unigram Naive Bayes (operators/classifier.py):
     fit on the md5-grid train split (label: lang == 'en'), score the
@@ -4572,6 +4605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_lines": q_text_gopher_lines,
         "pipeline_c4_clean": q_pipeline_c4_clean,
         "tokenizer_bpe_pairs": q_tokenizer_bpe_pairs,
+        "tokenizer_collocations": q_tokenizer_collocations,
         "tokenizer_bpe_encode": q_tokenizer_bpe_encode,
         "dedup_semantic": q_dedup_semantic,
         "pipeline_ccnet_buckets": q_pipeline_ccnet_buckets,
@@ -4676,6 +4710,7 @@ def oracle_sql() -> dict[str, str]:
         "text_gopher_lines": SQL_TEXT_GOPHER_LINES,
         "pipeline_c4_clean": SQL_PIPELINE_C4_CLEAN,
         "tokenizer_bpe_pairs": SQL_TOKENIZER_BPE_PAIRS,
+        "tokenizer_collocations": SQL_TOKENIZER_COLLOCATIONS,
         "tokenizer_bpe_encode": SQL_TOKENIZER_BPE_ENCODE,
         "dedup_semantic": SQL_DEDUP_SEMANTIC,
         "pipeline_ccnet_buckets": SQL_PIPELINE_CCNET,

@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "pipeline_c4_clean",
     "text_gopher_lines",
     "tokenizer_bpe_pairs",
+    "tokenizer_collocations",
     "tokenizer_bpe_encode",
     "dedup_semantic",
     "pipeline_ccnet_buckets",

@@ -111,3 +111,11 @@ def fingerprint(text: Column) -> Column:
     return F.md5(
         F.regexp_replace(F.lower(F.trim(text)), r"[ \t\n\r\f\x0b]+", " ")
     )
+
+
+def _ws_tokens(text_col):
+    """Nonempty tokens of the frozen explicit-ASCII whitespace split."""
+    return F.filter(
+        F.split(F.coalesce(text_col, F.lit("")), r"[ \t\n\r\f\x0b]+"),
+        lambda x: x != "",
+    )

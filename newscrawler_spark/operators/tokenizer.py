@@ -183,3 +183,65 @@ def bpe_pair_counts(
         .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
         .limit(topk)
     )
+
+
+def collocations_pmi(
+    docs: DataFrame,
+    min_count: int = 5,
+    top_k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """PMI collocation mining — the word2phrase step (Mikolov et al.
+    2013 §4) that promotes high-association bigrams into tokenizer
+    vocabulary units, complementing the frequency-driven BPE trainer
+    above: BPE merges what is FREQUENT, PMI surfaces what is
+    ASSOCIATED (frequent together relative to the parts' frequencies).
+
+        pmi(x, y) = ln( (c_xy / N_b) / ((c_x / N_u) * (c_y / N_u)) )
+
+    with c_xy adjacent-bigram counts, c_x unigram counts, N_b / N_u the
+    corpus totals.  Bigrams come from a zip of the token array with its
+    own tail — no window, no per-doc sort; counts partial-combine
+    map-side, the marginal joins key on the vocab-bounded unigram
+    relation, and the totals are two bounded scalar collects.  The PMI
+    double expression is spelled operation-for-operation identically in
+    the DuckDB twin and pinned at 4dp (the DSIR ln precedent);
+    ``min_count`` kills the low-count PMI explosion, ties break
+    lexicographically.
+
+    Output: top-``top_k`` rows (w1, w2, c_xy, pmi_e4 rank order).
+    """
+    from newscrawler_spark.functions.rounding import pinned_round
+    from newscrawler_spark.functions.text import _ws_tokens
+
+    arr = _ws_tokens(F.col(text_col))
+    toks = docs.select(F.explode(arr).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    pairs = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))).alias("w1"),
+                F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    big = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c_xy")
+    )
+    nu = uni.agg(F.sum("c")).collect()[0][0] or 0
+    nb = big.agg(F.sum("c_xy")).collect()[0][0] or 0
+    pmi = pinned_round(
+        F.log(
+            (F.col("c_xy").cast("double") * float(nu) * float(nu))
+            / (F.col("cx").cast("double") * F.col("cy") * float(nb))
+        ),
+        4,
+    )
+    return (
+        big.where(F.col("c_xy") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("cx")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("cy")), "w2")
+        .select("w1", "w2", "c_xy", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(top_k)
+    )

@@ -315,3 +315,46 @@ def test_semantic_dedup_plan_single_cid_shuffle(spark, sf_dir):
     plan = _plan(semantic_dedup(emb, n_centroids=4), "simple")
     assert "FlatMapGroupsInPandas" in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_collocations_pmi_python_spec(spark):
+    import math
+    import re
+
+    from newscrawler_spark.operators.tokenizer import collocations_pmi
+
+    texts = [
+        "new york new york new york new york new york",
+        "the cat the dog the cat the dog the fish",
+        "a b a b a b a b a b a b",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [(r["w1"], r["w2"], r["c_xy"], r["pmi"])
+           for r in collocations_pmi(docs, min_count=3, top_k=5).collect()]
+
+    toks = [[t for t in re.split(r"[ \t\n\r\f\x0b]+", s) if t] for s in texts]
+    uni: dict[str, int] = {}
+    big: dict[tuple, int] = {}
+    for ts in toks:
+        for w in ts:
+            uni[w] = uni.get(w, 0) + 1
+        for x, y in zip(ts, ts[1:]):
+            big[(x, y)] = big.get((x, y), 0) + 1
+    nu = float(sum(uni.values()))
+    nb = float(sum(big.values()))
+    cand = []
+    for (x, y), c in big.items():
+        if c >= 3:
+            pmi = math.floor(
+                math.log((c * nu * nu) / (float(uni[x]) * uni[y] * nb)) * 10000 + 0.5
+            ) / 10000
+            cand.append((x, y, c, pmi))
+    want = sorted(cand, key=lambda r: (-r[3], r[0], r[1]))[:5]
+    assert got == want
+    # 'new york' is a perfect collocation and must rank in the top-5;
+    # the promiscuous 'the' pairs must not
+    top_pairs = [(w1, w2) for w1, w2, _, _ in got]
+    assert ("new", "york") in top_pairs
+    assert ("the", "cat") not in top_pairs
