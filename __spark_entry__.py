@@ -896,6 +896,42 @@ WHERE floor((shared * 1.0 / (sa.n_sh + sb.n_sh - shared)) * 10000.0 + 0.5) / 100
 """
 
 
+def q_sim_knn_graph(spark, sf_dir):
+    """Exact k-NN graph (operators/similarity.knn_graph): blocked
+    integer GEMM emitting per-row local top-k, rank-window merge of the
+    n*B*k candidates — never an n^2 shuffle.  Quantized-integer dots
+    make every cosine bit-identical in the DuckDB twin (a ranking
+    operator cannot tolerate float accumulation-order ulps)."""
+    from newscrawler_spark.operators.similarity import knn_graph
+
+    return knn_graph(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+SQL_SIM_KNN_GRAPH = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
+  FROM embeddings),
+n AS (
+  SELECT vec_id, v,
+         CASE WHEN list_sum(list_transform(v, x -> x * x)) = 0 THEN 1.0
+              ELSE sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE))
+         END AS nrm
+  FROM q),
+p AS (
+  SELECT a.vec_id, b.vec_id AS nbr,
+         floor(CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                                            i -> a.v[i] * b.v[i])) AS DOUBLE)
+               / (a.nrm * b.nrm) * 10000.0 + 0.5) / 10000.0 AS cosine
+  FROM n a JOIN n b ON a.vec_id != b.vec_id)
+SELECT vec_id, nbr, cosine,
+       CAST(row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cosine DESC, nbr) AS INT) AS rnk
+FROM p QUALIFY rnk <= 5
+"""
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental ingestion dedup (operators/dedup.incremental_dedup):
     a deterministic batch slice (doc_id % 5 == 0, plus re-keyed copies
@@ -2073,7 +2109,8 @@ def q_tokenizer_collocations(spark, sf_dir):
 SQL_TOKENIZER_COLLOCATIONS = r"""
 WITH t AS (
   SELECT list_filter(regexp_split_to_array(coalesce(text, ''), '[ 	
-]+'),
+
+]+'),
                      x -> x != '') AS l
   FROM documents),
 uni AS (SELECT unnest(l) AS w FROM t),
@@ -4588,6 +4625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
+        "sim_knn_graph": q_sim_knn_graph,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "text_lang_id": q_text_lang_id,
@@ -4693,6 +4731,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+        "sim_knn_graph": SQL_SIM_KNN_GRAPH,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
         "text_lang_id": SQL_TEXT_LANG,

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "sim_ivf_topk",
     "sim_pq_topk",
     "sim_neardup_pairs",
+    "sim_knn_graph",
     "sim_neardup_lsh",
     "sim_ann_lsh",
     "mm_media_features",

@@ -718,3 +718,125 @@ def pq_topk(
         .orderBy("adc", "vec_id")
         .limit(k)
     )
+
+
+# ---- k-NN graph (blocked GEMM, per-row top-k) ----------------------------
+
+
+def _knn_block_fn(k: int):
+    """applyInPandas body for one block-pair task: quantize (the pinned
+    1e4 integer contract — operators/cluster.QUANT), one EXACT int64
+    GEMM, per-row local top-k by (pinned cosine desc, nbr id asc).
+    Integer dots + IEEE sqrt/divide make every emitted cosine
+    bit-identical in any engine — no float-accumulation-order risk."""
+
+    empty = pd.DataFrame(
+        {
+            "vec_id": pd.Series(dtype="int64"),
+            "nbr": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+        }
+    )
+
+    def prep(part):
+        ids = part["vec_id"].to_numpy()
+        m = np.array(part["embedding"].tolist(), dtype=np.float64)
+        q = np.floor(m * 10000.0 + 0.5).astype(np.int64)
+        n2 = (q * q).sum(axis=1)
+        nrm = np.sqrt(n2.astype(np.float64))
+        nrm[nrm == 0.0] = 1.0
+        return ids, q, nrm
+
+    def topk(sims_row, nbr_ids, mask=None):
+        s = sims_row if mask is None else np.where(mask, sims_row, -np.inf)
+        order = np.lexsort((nbr_ids, -s))[:k]
+        order = order[np.isfinite(s[order])]
+        return nbr_ids[order], s[order]
+
+    def emit(out, vid, nbrs, sims):
+        for nb, sm in zip(nbrs, sims):
+            out[0].append(vid)
+            out[1].append(nb)
+            out[2].append(sm)
+
+    def body(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        out: tuple = ([], [], [])
+        a = pdf[pdf["side"] == 0]
+        if bool(pdf["cross"].iloc[0]):
+            b = pdf[pdf["side"] == 1]
+            if not len(a) or not len(b):
+                return empty
+            ia, qa, na = prep(a)
+            ib, qb, nb_ = prep(b)
+            dots = (qa @ qb.T).astype(np.float64)
+            sim = np.floor(dots / np.outer(na, nb_) * 10000.0 + 0.5) / 10000.0
+            for r in range(len(ia)):
+                emit(out, ia[r], *topk(sim[r], ib))
+            for c in range(len(ib)):
+                emit(out, ib[c], *topk(sim[:, c], ia))
+        else:
+            if not len(a):
+                return empty
+            ia, qa, na = prep(a)
+            dots = (qa @ qa.T).astype(np.float64)
+            sim = np.floor(dots / np.outer(na, na) * 10000.0 + 0.5) / 10000.0
+            notself = ~np.eye(len(ia), dtype=bool)
+            for r in range(len(ia)):
+                emit(out, ia[r], *topk(sim[r], ia, mask=notself[r]))
+        return pd.DataFrame(
+            {"vec_id": out[0], "nbr": out[1], "cosine": out[2]}
+        ).astype({"vec_id": "int64", "nbr": "int64"})
+
+    return body
+
+
+def knn_graph(
+    embeddings: DataFrame, k: int = 5, n_blocks: int = 8
+) -> DataFrame:
+    """Exact k-nearest-neighbor graph over the embedding table — the
+    substrate of graph-based curation (kNN-dedup, label propagation,
+    NN-descent seeds, UMAP/HNSW construction all start here).
+
+    Plan: the blocked-GEMM task map of the exact pair operator
+    (embedding_near_dup_pairs exact=True — B(B+1)/2 tasks, one matmul
+    each, the ×(B+1) replication equi-shuffle), but each task emits
+    only its rows' LOCAL top-k against the partner block, and a final
+    rank window merges the ≤ B·k candidates per vector — the shuffle
+    after the GEMM carries n·B·k rows, never n².  O(n²d) FLOPs are the
+    exact answer's cost; B scales with the cluster.
+
+    Cross-engine exactness: embeddings are quantized to the pinned 1e4
+    integer grid first, so the GEMM is INTEGER (numpy int64, exact) and
+    the oracle's fold reproduces every dot bit-for-bit; cosine =
+    dot / (sqrt(n2a)·sqrt(n2b)) in IEEE doubles, pinned 4dp, ties →
+    smaller nbr id.  (The float-GEMM pair operator tolerates
+    accumulation-order ulps because it only thresholds; a RANKING
+    operator cannot — hence the integer grid.)
+
+    Output: (vec_id, nbr, cosine, rnk 1..k).
+    """
+    from pyspark.sql import Window
+
+    spark = embeddings.sparkSession
+    rows = []
+    for bi in range(n_blocks):
+        for bj in range(bi, n_blocks):
+            task = bi * n_blocks + bj
+            rows.append((bi, task, 0, bj != bi))
+            if bj != bi:
+                rows.append((bj, task, 1, True))
+    tasks = spark.createDataFrame(rows, "blk int, task_id int, side int, cross boolean")
+    replicated = (
+        embeddings.select("vec_id", "embedding")
+        .withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
+        .join(F.broadcast(tasks), "blk")
+    )
+    cands = replicated.groupBy("task_id").applyInPandas(
+        _knn_block_fn(k), schema="vec_id long, nbr long, cosine double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "nbr")
+    return (
+        cands.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("vec_id", "nbr", "cosine", F.col("rnk").cast("int").alias("rnk"))
+    )

@@ -443,3 +443,34 @@ def test_incremental_dedup_never_pairs_within_batch(spark):
     )
     got = {r["doc_id"]: r["keep"] for r in incremental_dedup(batch, existing).collect()}
     assert got == {1: True, 2: True}
+
+
+def test_knn_graph_matches_bruteforce(spark, sf_dir):
+    """knn_graph == a pure-numpy brute force on the pinned integer
+    grid, including every rank and tie decision."""
+    import math
+
+    import numpy as np
+
+    from newscrawler_spark.operators.similarity import knn_graph
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(120)
+    got = [
+        (r["vec_id"], r["rnk"], r["nbr"], r["cosine"])
+        for r in knn_graph(emb, k=3, n_blocks=4).collect()
+    ]
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    q = np.floor(m * 10000.0 + 0.5).astype(np.int64)
+    nrm = np.sqrt((q * q).sum(axis=1).astype(np.float64))
+    nrm[nrm == 0.0] = 1.0
+    sim = np.floor((q @ q.T).astype(np.float64) / np.outer(nrm, nrm) * 10000.0 + 0.5) / 10000.0
+    want = []
+    for i in range(len(ids)):
+        cands = sorted(
+            ((-sim[i, j], ids[j]) for j in range(len(ids)) if j != i)
+        )[:3]
+        for rk, (ns, nb) in enumerate(cands, start=1):
+            want.append((ids[i], rk, int(nb), -ns))
+    assert sorted(got) == sorted(want)
