@@ -3302,6 +3302,168 @@ ORDER BY adc, vec_id LIMIT {k}
 SQL_SIM_PQ = _sql_sim_pq_topk()
 
 
+def q_sim_sq_topk(spark, sf_dir):
+    """Int8 scalar-quantized inner-product top-k
+    (operators/quantize.sq_topk; FAISS SQ8 / pgvector halfvec storage
+    answer to the reference's full-float pgvector scans,
+    src/vector/db.py): per-vector max-abs int8 codes + micro-quantized
+    scale, exact BIGINT dot against the query codes, ranking on the
+    float-free rank_key = dot_int * scale_micro.  Read path touches
+    4x-compressed codes only; plan is scan -> project ->
+    TakeOrderedAndProject (local top-k, k rows cross the wire)."""
+    from newscrawler_spark.operators.quantize import sq_topk
+
+    return sq_topk(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir))
+
+
+def _sql_sim_sq_topk(k: int = 20) -> str:
+    from newscrawler_spark.functions.rounding import pinned_round_sql as pin
+
+    approx = (
+        "CAST(dot_int * scale_micro AS DOUBLE)"
+        " * (CAST((SELECT qsm FROM q) AS DOUBLE) / 1000000000000.0 / 16129.0)"
+    )
+    return f"""
+WITH m AS (
+  SELECT vec_id, list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) AS ma
+  FROM embeddings),
+c AS (
+  SELECT e.vec_id,
+         CASE WHEN m.ma = 0.0 THEN [CAST(0 AS INT) FOR x IN e.embedding]
+              ELSE [CAST(floor((CAST(x AS DOUBLE) / m.ma) * 127.0 + 0.5) AS INT)
+                    FOR x IN e.embedding] END AS codes,
+         CAST(floor(m.ma * 1000000.0 + 0.5) AS BIGINT) AS scale_micro
+  FROM embeddings e JOIN m USING (vec_id)),
+q AS (SELECT codes AS qc, scale_micro AS qsm FROM c WHERE vec_id = 0),
+d AS (
+  SELECT c.vec_id, c.scale_micro,
+         CAST(list_sum([CAST(c.codes[i] AS BIGINT) * q.qc[i]
+                        FOR i IN range(1, len(c.codes) + 1)]) AS BIGINT) AS dot_int
+  FROM c, q)
+SELECT vec_id, dot_int, scale_micro, {pin(approx, 6)} AS approx_dot
+FROM d ORDER BY dot_int * scale_micro DESC, vec_id LIMIT {k}
+"""
+
+
+SQL_SIM_SQ = _sql_sim_sq_topk()
+
+
+def q_s14_merge_upsert(spark, sf_dir):
+    """CDC merge-upsert compaction (operators/upsert.merge_snapshot;
+    the reference's SQLAlchemy update/delete/insert-on-recrawl paths,
+    src/database/session.py, replayed as a lakehouse MERGE INTO):
+    documents is the base snapshot, a deterministic 4-part change log
+    (two stacked updates on doc_id%10==1 — last-wins on %20==1 —
+    a delete stripe, and an insert stripe at doc_id+1000000) folds in
+    via one key-window + one full-outer key join."""
+    from newscrawler_spark.operators.upsert import merge_snapshot
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def _ch(pred, key, seq, text_expr):
+        return docs.where(pred).select(
+            key.alias("doc_id"),
+            F.lit(seq).alias("seq"),
+            F.lit("U").alias("op"),
+            text_expr.alias("text"),
+            "source",
+        )
+
+    u1 = _ch(did % 10 == 1, did, 1, F.concat("text", F.lit(" [rev1]")))
+    u2 = _ch(did % 20 == 1, did, 2, F.concat("text", F.lit(" [rev2]")))
+    ins = _ch(did % 10 == 3, did + 1000000, 1, F.concat(F.lit("new:"), F.col("source")))
+    dels = docs.where(did % 10 == 2).select(
+        "doc_id",
+        F.lit(1).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("text"),
+        "source",
+    )
+    changes = u1.unionByName(u2).unionByName(dels).unionByName(ins)
+    snap = merge_snapshot(
+        docs.select("doc_id", "text", "source"), changes, "doc_id", ["text", "source"]
+    )
+    return snap.select(
+        "doc_id",
+        "version",
+        F.md5(F.coalesce("text", F.lit(""))).alias("content_md5"),
+        "source",
+    )
+
+
+SQL_S14_MERGE = """
+WITH ch AS (
+  SELECT doc_id AS k, 1 AS seq, 'U' AS op, text || ' [rev1]' AS text, source
+  FROM documents WHERE doc_id % 10 = 1
+  UNION ALL
+  SELECT doc_id, 2, 'U', text || ' [rev2]', source
+  FROM documents WHERE doc_id % 20 = 1
+  UNION ALL
+  SELECT doc_id, 1, 'D', CAST(NULL AS VARCHAR), source
+  FROM documents WHERE doc_id % 10 = 2
+  UNION ALL
+  SELECT doc_id + 1000000, 1, 'U', 'new:' || source, source
+  FROM documents WHERE doc_id % 10 = 3),
+last AS (
+  SELECT * FROM ch QUALIFY row_number() OVER (PARTITION BY k ORDER BY seq DESC) = 1),
+m AS (
+  SELECT COALESCE(b.doc_id, c.k) AS doc_id,
+         CASE WHEN c.k IS NOT NULL THEN c.text ELSE b.text END AS text,
+         CASE WHEN c.k IS NOT NULL THEN c.source ELSE b.source END AS source,
+         CAST(CASE WHEN c.k IS NOT NULL THEN c.seq ELSE 0 END AS BIGINT) AS version,
+         c.k IS NOT NULL AND c.op = 'D' AS dropped
+  FROM documents b FULL OUTER JOIN last c ON b.doc_id = c.k)
+SELECT doc_id, version, md5(COALESCE(text, '')) AS content_md5, source
+FROM m WHERE NOT dropped
+"""
+
+
+def q_lm_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM estimation
+    (operators/lm.kneser_ney_bigrams; the KenLM-style count job behind
+    CCNet's perplexity gate — the reference's quality gate is the
+    completeness score, src/scrapers/base_scraper.py:69-117, and this
+    is its data-scale LM sibling next to pipeline_ccnet_buckets).
+    Counts are exact BIGINTs; p_kn is the single pinned division of
+    the 4*c1*B-scaled integer numerator."""
+    from newscrawler_spark.operators.lm import kneser_ney_bigrams
+
+    return kneser_ney_bigrams(_t(spark, sf_dir, "documents"))
+
+
+def _sql_lm_kneser_ney(top: int = 200) -> str:
+    from newscrawler_spark.functions.rounding import pinned_round_sql as pin
+
+    p = (
+        "CAST((SELECT B FROM b) * greatest(4 * c12 - 3, 0)"
+        " + 3 * nf * np AS DOUBLE)"
+        " / CAST(4 * c1 * (SELECT B FROM b) AS DOUBLE)"
+    )
+    return rf"""
+WITH t AS (
+  SELECT list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0b]+'),
+                     x -> x != '') AS w
+  FROM documents),
+pairs AS (
+  SELECT unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+  FROM t WHERE len(w) >= 2),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM pairs GROUP BY 1, 2),
+sc AS (
+  SELECT w1, w2, c12,
+         CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+         CAST(count(*) OVER (PARTITION BY w1) AS BIGINT) AS nf,
+         CAST(count(*) OVER (PARTITION BY w2) AS BIGINT) AS np
+  FROM bc),
+b AS (SELECT CAST(count(*) AS BIGINT) AS B FROM bc)
+SELECT w1, w2, c12, c1, nf, np, {pin(p, 8)} AS p_kn
+FROM sc ORDER BY c12 DESC, w1, w2 LIMIT {top}
+"""
+
+
+SQL_LM_KN = _sql_lm_kneser_ney()
+
+
 def q_sim_ivf_topk(spark, sf_dir):
     """IVF-flat ANN top-k (operators/similarity.ivf_topk): deterministic
     stride-sampled codebook (C=16), probe top-4 inverted lists, exact
@@ -4684,6 +4846,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
         "sim_pq_topk": q_sim_pq_topk,
+        "sim_sq_topk": q_sim_sq_topk,
+        "s14_merge_upsert": q_s14_merge_upsert,
+        "lm_kneser_ney": q_lm_kneser_ney,
         "sim_neardup_pairs": q_sim_neardup_pairs,
         "sim_neardup_lsh": q_sim_neardup_lsh,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -4789,6 +4954,9 @@ def oracle_sql() -> dict[str, str]:
         "sim_bruteforce_topk": SQL_SIM_TOPK,
         "sim_ivf_topk": SQL_SIM_IVF,
         "sim_pq_topk": SQL_SIM_PQ,
+        "sim_sq_topk": SQL_SIM_SQ,
+        "s14_merge_upsert": SQL_S14_MERGE,
+        "lm_kneser_ney": SQL_LM_KN,
         "sim_neardup_pairs": SQL_SIM_NEARDUP,
         "sim_neardup_lsh": SQL_SIM_NEARDUP_LSH,
         "sim_ann_lsh": _sql_sim_ann_lsh(),

@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     "sim_bruteforce_topk",
     "sim_ivf_topk",
     "sim_pq_topk",
+    "sim_sq_topk",
+    "s14_merge_upsert",
+    "lm_kneser_ney",
     "sim_neardup_pairs",
     "sim_knn_graph",
     "sim_neardup_lsh",
