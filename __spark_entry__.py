@@ -2295,6 +2295,62 @@ FROM c GROUP BY 1, 2
 """
 
 
+def q_events_markov(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event-type
+    sequences (operators/events.markov_transitions): lag window on one
+    user-keyed shuffle, (prev,next) micro-aggregate, row-normalised
+    probability as the pinned integer ppm form (n*10^6 div row_total —
+    floor division of positives, identical in Spark div and DuckDB //).
+    Ties pinned by (us, event_id)."""
+    from newscrawler_spark.operators.events import markov_transitions
+
+    return markov_transitions(_t(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_MARKOV = """
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+t AS (SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+             AS prev_type,
+             event_type AS next_type
+      FROM e),
+c AS (SELECT prev_type, next_type, count(*) AS n FROM t
+      WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, next_type, CAST(n AS BIGINT) AS n_transitions,
+       CAST(n * 1000000 // sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+         AS p_ppm
+FROM c
+"""
+
+
+def q_events_zscore(spark, sf_dir):
+    """Per-type z-score anomalies (operators/events.zscore_anomalies):
+    integer-cents quantisation, division-free z test
+    (x*n - S)^2 >= 9*(SS*n - S^2) in DECIMAL(38,0) (HUGEINT in the
+    oracle) — no float division/sqrt in the contract.  Stats dim
+    broadcast back over the stream (never a window over the few-types
+    key)."""
+    from newscrawler_spark.operators.events import zscore_anomalies
+
+    return zscore_anomalies(_t(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_ZSCORE = """
+WITH v AS (SELECT event_id, user_id, event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents
+           FROM events),
+s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v_cents) AS BIGINT) AS s1,
+             sum(CAST(v_cents AS HUGEINT) * v_cents) AS s2
+      FROM v GROUP BY 1)
+SELECT v.event_id, v.user_id, v.event_type, v.v_cents,
+       CAST(v.v_cents * s.n - s.s1 AS BIGINT) AS dev_scaled
+FROM v JOIN s USING (event_type)
+WHERE CAST(v.v_cents * s.n - s.s1 AS HUGEINT)
+      * CAST(v.v_cents * s.n - s.s1 AS HUGEINT)
+      >= 9 * (s.s2 * s.n - CAST(s.s1 AS HUGEINT) * s.s1)
+"""
+
+
 def q_events_asof(spark, sf_dir):
     """As-of join (operators/events.asof_join): every non-error event
     annotated with the user's latest error at or before it — union-tag
@@ -4829,6 +4885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
+        "events_markov": q_events_markov,
+        "events_zscore": q_events_zscore,
         "text_topics": q_text_topics,
         "text_entities": q_text_entities,
         "entity_lookup": q_entity_lookup,
@@ -4938,6 +4996,8 @@ def oracle_sql() -> dict[str, str]:
         "events_asof": SQL_EVENTS_ASOF,
         "events_funnel": SQL_EVENTS_FUNNEL,
         "events_retention": SQL_EVENTS_RETENTION,
+        "events_markov": SQL_EVENTS_MARKOV,
+        "events_zscore": SQL_EVENTS_ZSCORE,
         "text_topics": SQL_TEXT_TOPICS,
         "text_entities": SQL_TEXT_ENTITIES,
         "entity_lookup": SQL_ENTITY_LOOKUP,

@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "events_asof",
     "events_funnel",
     "events_retention",
+    "events_markov",
+    "events_zscore",
     "pipeline_c4_clean",
     "text_gopher_lines",
     "tokenizer_bpe_pairs",

@@ -183,6 +183,104 @@ def funnel(
     )
 
 
+def markov_transitions(
+    events: DataFrame, user_col: str = "user_id"
+) -> DataFrame:
+    """First-order Markov transition matrix over the per-user event-type
+    sequence: for every ordered pair (prev_type, next_type) of
+    CONSECUTIVE events of one user, the transition count and its
+    row-normalised probability in parts-per-million.  Output
+    ``(prev_type, next_type, n_transitions, p_ppm)``.
+
+    Spark-first shape: one user-keyed window shuffle for the ``lag``
+    (the inherent cost of sequencing), then a (prev, next) aggregate
+    whose result is at most ``|types|²`` rows, so the row-normalising
+    window over ``prev_type`` runs on a micro-relation — never a
+    join-back to the event stream.  The probability is the pinned
+    integer form ``n · 10⁶ div row_total`` (floor division of positive
+    integers — identical in Spark ``div`` and DuckDB ``//``); no float
+    division enters the contract.
+
+    Order ties resolve by ``(us, event_id)`` — the repo-wide explicit
+    deterministic tie rule (CLAUDE.md), spelled identically in the SQL
+    twin.
+    """
+    w = Window.partitionBy(user_col).orderBy("us", "event_id")
+    t = (
+        events.select(
+            F.col(user_col), "event_id", "event_type", _us().alias("us")
+        )
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+    )
+    c = t.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count("*").cast("long").alias("n_transitions"))
+    return c.withColumn(
+        "p_ppm",
+        F.expr(
+            "CAST(n_transitions * 1000000L div "
+            "sum(n_transitions) OVER (PARTITION BY prev_type) AS BIGINT)"
+        ),
+    ).select("prev_type", "next_type", "n_transitions", "p_ppm")
+
+
+def zscore_anomalies(
+    events: DataFrame, sigma: int = 3
+) -> DataFrame:
+    """Per-event-type z-score anomaly flags: events whose ``value``
+    deviates from the type's mean by ≥ ``sigma`` population standard
+    deviations.  Output ``(event_id, user_id, event_type, v_cents,
+    dev_scaled)`` where ``v_cents = floor(value·100 + 0.5)`` (the
+    pinned integer-cents quantisation) and
+    ``dev_scaled = v_cents·n − Σv`` (the mean-deviation scaled by the
+    type count — exact bigint, sortable anomaly magnitude).
+
+    The z test is evaluated WITHOUT division — cross-engine float
+    division/sqrt never enters the contract.  With per-type
+    ``n, S=Σv, SS=Σv²``::
+
+        (x − S/n)² ≥ σ²·(SS·n − S²)/n²   ⟺   (x·n − S)² ≥ σ²·(SS·n − S²)
+
+    Both sides exceed int64 at scale (≈10²² at 2M rows/type), so the
+    comparison runs in DECIMAL(38,0) on the Spark side and HUGEINT in
+    the DuckDB twin — both exact integer arithmetic.
+
+    Plan: one partial-aggregated groupBy to a ``|types|``-row stats dim,
+    broadcast back over the stream, filter — a single scan-sized
+    shuffle, no window over the skewed few-types key (a
+    ``partitionBy(event_type)`` window would drag every row of a type
+    to one task — the anti-pattern this dim-join avoids).
+    """
+    v = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("v_cents"),
+    )
+    stats = v.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v_cents").cast("long").alias("s1"),
+        F.sum(F.col("v_cents").cast("decimal(38,0)") * F.col("v_cents"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    j = v.join(F.broadcast(stats), "event_type")
+    dev = (F.col("v_cents") * F.col("n") - F.col("s1")).cast("long")
+    lhs = dev.cast("decimal(38,0)") * dev
+    rhs = (
+        F.lit(sigma * sigma).cast("decimal(38,0)")
+        * (F.col("s2") * F.col("n") - F.col("s1").cast("decimal(38,0)") * F.col("s1"))
+    )
+    return (
+        j.withColumn("dev_scaled", dev)
+        .where(lhs >= rhs)
+        .select("event_id", "user_id", "event_type", "v_cents", "dev_scaled")
+    )
+
+
 #: integer day index: microseconds div one day (exact, UTC-pinned).
 _DAY_US = 86_400_000_000
 

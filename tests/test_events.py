@@ -241,3 +241,83 @@ def test_streaming_session_window_boundary_rule(spark, tmp_path):
         (1, sec(180), sec(180) + g): (1, 0),
         (2, sec(0), sec(0) + g): (1, 0),
     }
+
+
+def test_markov_transitions_hand_data(spark):
+    """Hand-checkable chain: user 1 emits A,B,A,B; user 2 emits A,A.
+    Transitions: A->B x2, B->A x1, A->A x1; row-normalised ppm by
+    floor division."""
+    import datetime as _dt
+
+    from newscrawler_spark.operators.events import markov_transitions
+
+    t0 = _dt.datetime(2024, 1, 1)
+    s = lambda k: t0 + _dt.timedelta(seconds=k)
+    rows = [
+        (1, s(0), "A", 10),
+        (1, s(1), "B", 11),
+        (1, s(2), "A", 12),
+        (1, s(3), "B", 13),
+        (2, s(0), "A", 20),
+        (2, s(1), "A", 21),
+    ]
+    df = spark.createDataFrame(
+        [Row(user_id=u, ts=ts, event_type=et, event_id=i) for u, ts, et, i in rows],
+        "user_id long, ts timestamp, event_type string, event_id long",
+    )
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n_transitions"], r["p_ppm"])
+        for r in markov_transitions(df).collect()
+    }
+    assert got == {
+        ("A", "B"): (2, 666666),   # 2*10^6 div 3
+        ("A", "A"): (1, 333333),
+        ("B", "A"): (1, 1000000),
+    }
+
+
+def test_markov_tie_resolves_by_event_id(spark):
+    """Two events at the SAME timestamp order by event_id — the pinned
+    tie rule; flipping the ids flips the transition."""
+    import datetime as _dt
+
+    from newscrawler_spark.operators.events import markov_transitions
+
+    t0 = _dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=t0, event_type="X", event_id=2),
+            Row(user_id=1, ts=t0, event_type="Y", event_id=1),
+        ],
+        "user_id long, ts timestamp, event_type string, event_id long",
+    )
+    got = [
+        (r["prev_type"], r["next_type"])
+        for r in markov_transitions(df).collect()
+    ]
+    assert got == [("Y", "X")]
+
+
+def test_zscore_anomalies_matches_numpy(spark, sf_dir):
+    """Engine flags == numpy population z>=3 flags on the real events
+    table (per type, integer cents) — an independent float-path
+    implementation agreeing with the division-free integer predicate."""
+    import numpy as np
+    import pandas as pd
+
+    from newscrawler_spark.operators.events import zscore_anomalies
+
+    pdf = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    v = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    expect = set()
+    for et in pdf["event_type"].unique():
+        m = (pdf["event_type"] == et).to_numpy()
+        x = v[m].astype(np.float64)
+        mu, var = x.mean(), x.var()
+        ids = pdf.loc[m, "event_id"].to_numpy()
+        z = np.abs(x - mu) >= 3 * np.sqrt(var)
+        expect.update(ids[z].tolist())
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    got = {r["event_id"] for r in zscore_anomalies(ev).collect()}
+    assert got == expect
+    assert len(got) > 0  # non-vacuous at sf0.001+
