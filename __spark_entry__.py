@@ -4739,6 +4739,84 @@ FROM h
 """
 
 
+def q_dedup_fuzzy_pairs(spark, sf_dir):
+    """Blocked fuzzy record linkage (operators/dedup.fuzzy_title_pairs):
+    whitespace-collapsed 64-char titles, (lang, prefix-4) blocking, DP
+    levenshtein <= 8 on block-local pairs after a necessary-condition
+    length filter.  One equi-shuffle on the block key; no O(n^2)
+    stage.  Edit distance is integer-exact in both engines."""
+    from newscrawler_spark.operators.dedup import fuzzy_title_pairs
+
+    return fuzzy_title_pairs(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_FUZZY_PAIRS = """
+WITH t AS (
+  SELECT doc_id, lang,
+         substr(regexp_replace(text, '[ \t\n\r\f\x0b]+', ' ', 'g'), 1, 64)
+           AS title
+  FROM documents
+),
+t2 AS (SELECT doc_id, lang, title, length(title) AS tlen,
+              substr(title, 1, 4) AS blk FROM t)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+FROM t2 a JOIN t2 b
+  ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE abs(a.tlen - b.tlen) <= 8 AND levenshtein(a.title, b.title) <= 8
+"""
+
+
+def q_layout_zorder(spark, sf_dir):
+    """Z-order layout statistics (operators/layout.zorder_file_stats):
+    (user, day) range-normalised to 8-bit buckets against exact
+    min/max (a broadcast 1-row stats dim — the deterministic twin of
+    Delta's sampled range binning), Morton-interleaved to 16-bit
+    z-values, 256 layout files from the top 8 z bits; per-file min/max
+    of BOTH dimensions is the pruning evidence.  The assignment is a
+    projection (mask-shift integer chain, identical in DuckDB); the
+    only row-scaled shuffle is the file-count aggregate."""
+    from newscrawler_spark.operators.layout import zorder_file_stats
+
+    return zorder_file_stats(_t(spark, sf_dir, "events"))
+
+
+def _sql_spread8(x: str) -> str:
+    e = x
+    for shift, mask in ((4, 0x0F0F), (2, 0x3333), (1, 0x5555)):
+        e = f"(({e} | ({e} << {shift})) & {mask})"
+    return e
+
+
+SQL_LAYOUT_ZORDER = f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+st AS (
+  SELECT min(user_id) AS u_lo, max(user_id) AS u_hi,
+         min(day) AS d_lo, max(day) AS d_hi
+  FROM e
+),
+b AS (
+  SELECT event_id, user_id, day,
+         (user_id - u_lo) * 256 // (u_hi - u_lo + 1) AS ub,
+         (day - d_lo) * 256 // (d_hi - d_lo + 1) AS db
+  FROM e CROSS JOIN st
+),
+z AS (
+  SELECT event_id, user_id, day,
+         ({_sql_spread8('ub')} | ({_sql_spread8('db')} << 1)) AS z
+  FROM b
+)
+SELECT CAST(z // 256 AS BIGINT) AS file_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(user_id) AS BIGINT) AS u_min,
+       CAST(max(user_id) AS BIGINT) AS u_max,
+       CAST(min(day) AS BIGINT) AS d_min, CAST(max(day) AS BIGINT) AS d_max
+FROM z GROUP BY 1
+"""
+
+
 # =========================================================================
 # driver contract
 # =========================================================================
@@ -4887,6 +4965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "events_markov": q_events_markov,
         "events_zscore": q_events_zscore,
+        "dedup_fuzzy_pairs": q_dedup_fuzzy_pairs,
+        "layout_zorder": q_layout_zorder,
         "text_topics": q_text_topics,
         "text_entities": q_text_entities,
         "entity_lookup": q_entity_lookup,
@@ -4998,6 +5078,8 @@ def oracle_sql() -> dict[str, str]:
         "events_retention": SQL_EVENTS_RETENTION,
         "events_markov": SQL_EVENTS_MARKOV,
         "events_zscore": SQL_EVENTS_ZSCORE,
+        "dedup_fuzzy_pairs": SQL_DEDUP_FUZZY_PAIRS,
+        "layout_zorder": SQL_LAYOUT_ZORDER,
         "text_topics": SQL_TEXT_TOPICS,
         "text_entities": SQL_TEXT_ENTITIES,
         "entity_lookup": SQL_ENTITY_LOOKUP,

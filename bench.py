@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "events_retention",
     "events_markov",
     "events_zscore",
+    "dedup_fuzzy_pairs",
+    "layout_zorder",
     "pipeline_c4_clean",
     "text_gopher_lines",
     "tokenizer_bpe_pairs",

@@ -660,3 +660,56 @@ def incremental_dedup(
             (~F.col("exact_dup") & (F.coalesce("n_near", F.lit(0)) == 0)).alias("keep"),
         )
     )
+
+
+def fuzzy_title_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    title_len: int = 64,
+    max_dist: int = 8,
+) -> DataFrame:
+    """Record linkage by edit distance — the classic blocked
+    fuzzy-match: normalise a "title" (first `title_len` chars of the
+    whitespace-collapsed text — the pinned ASCII class, never ``\\s``),
+    block on ``(lang, 4-char prefix)``, and keep same-block pairs with
+    ``levenshtein(title_a, title_b) <= max_dist``.  Output
+    ``(doc_id_a, doc_id_b, dist)`` with ``doc_id_a < doc_id_b``.
+
+    The reference resolves near-identical article titles during
+    re-scrape reconciliation (``/root/reference/src/scraper/
+    base_scraper.py`` title fallback chain); this is the set-level twin.
+
+    Spark-first shape: the pair generation is an equi self-join on the
+    block key — one hash shuffle, no O(n²) stage; the quadratic cost is
+    confined within a block (prefix blocking bounds block size the way
+    ``max_df`` bounds posting lists).  A necessary-condition length
+    filter (``|len_a − len_b| <= max_dist``) prunes before the DP
+    distance runs.  ``levenshtein`` is the textbook DP edit distance in
+    both engines (JVM codegen in Spark, native in DuckDB) — integer,
+    exact, no float in the contract.
+    """
+    title = F.regexp_replace(
+        F.col(text_col), _WS_CLASS, " "
+    ).substr(1, title_len)
+    t = df.select(
+        F.col("doc_id"),
+        F.col("lang"),
+        title.alias("title"),
+        F.length(title).alias("tlen"),
+        title.substr(1, 4).alias("blk"),
+    )
+    a = t.alias("a")
+    b = t.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).where(
+        F.abs(F.col("a.tlen") - F.col("b.tlen")) <= max_dist
+    )
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_id_a"),
+        F.col("b.doc_id").alias("doc_id_b"),
+        F.levenshtein(F.col("a.title"), F.col("b.title")).cast("long").alias("dist"),
+    ).where(F.col("dist") <= max_dist)
