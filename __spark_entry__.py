@@ -4816,6 +4816,86 @@ SELECT CAST(z // 256 AS BIGINT) AS file_id,
 FROM z GROUP BY 1
 """
 
+_COMPACT_TARGET_ROWS = 300
+
+
+def q_layout_compaction(spark, sf_dir):
+    """Compaction planner (operators/layout.compaction_plan): greedy
+    fixed-capacity pack of z-ADJACENT layout files into rewrite jobs —
+    adjacency keeps the Morton clustering the per-file min/max pruning
+    depends on.  Runs on the metadata-scale file-stats table (the one
+    ordering window is over ~file-count rows, ~10⁶ at 100 TB, not the
+    data); job assignment is one integer div of the exclusive running
+    sum."""
+    from newscrawler_spark.operators.layout import compaction_plan
+
+    return compaction_plan(
+        _t(spark, sf_dir, "events"), target_rows=_COMPACT_TARGET_ROWS
+    )
+
+
+SQL_LAYOUT_COMPACTION = f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+st AS (
+  SELECT min(user_id) AS u_lo, max(user_id) AS u_hi,
+         min(day) AS d_lo, max(day) AS d_hi
+  FROM e
+),
+b AS (
+  SELECT event_id,
+         (user_id - u_lo) * 256 // (u_hi - u_lo + 1) AS ub,
+         (day - d_lo) * 256 // (d_hi - d_lo + 1) AS db
+  FROM e CROSS JOIN st
+),
+z AS (
+  SELECT ({_sql_spread8('ub')} | ({_sql_spread8('db')} << 1)) AS z FROM b
+),
+fs AS (SELECT z // 256 AS file_id, count(*) AS n_rows FROM z GROUP BY 1),
+p AS (
+  SELECT file_id, n_rows,
+         COALESCE(SUM(n_rows) OVER (ORDER BY file_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // {_COMPACT_TARGET_ROWS} AS job_id
+  FROM fs
+)
+SELECT CAST(job_id AS BIGINT) AS job_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n_rows) AS BIGINT) AS total_rows,
+       CAST(min(file_id) AS BIGINT) AS file_lo,
+       CAST(max(file_id) AS BIGINT) AS file_hi
+FROM p GROUP BY 1
+"""
+
+_SPLIT_SALT = "split:v1"
+
+
+def q_pipeline_split(spark, sf_dir):
+    """Deterministic train/valid/test split (operators/quality.
+    three_way_split): content-addressed salted-md5 uniform thresholded
+    at 90/95% — re-ingestion never migrates a doc across splits, unlike
+    randomSplit.  Zero-shuffle codegen projection."""
+    from newscrawler_spark.operators.quality import three_way_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return three_way_split(docs, salt=_SPLIT_SALT).select(
+        "doc_id", "lang", "split"
+    )
+
+
+SQL_PIPELINE_SPLIT = f"""
+SELECT doc_id, lang,
+       CASE WHEN u < 9000 THEN 'train'
+            WHEN u < 9500 THEN 'valid'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, lang,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+           || ':{_SPLIT_SALT}'), 1, 15)) AS BIGINT) % 10000 AS u
+  FROM documents)
+"""
+
 
 # =========================================================================
 # driver contract
@@ -4967,6 +5047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zscore": q_events_zscore,
         "dedup_fuzzy_pairs": q_dedup_fuzzy_pairs,
         "layout_zorder": q_layout_zorder,
+        "layout_compaction": q_layout_compaction,
+        "pipeline_split": q_pipeline_split,
         "text_topics": q_text_topics,
         "text_entities": q_text_entities,
         "entity_lookup": q_entity_lookup,
@@ -5080,6 +5162,8 @@ def oracle_sql() -> dict[str, str]:
         "events_zscore": SQL_EVENTS_ZSCORE,
         "dedup_fuzzy_pairs": SQL_DEDUP_FUZZY_PAIRS,
         "layout_zorder": SQL_LAYOUT_ZORDER,
+        "layout_compaction": SQL_LAYOUT_COMPACTION,
+        "pipeline_split": SQL_PIPELINE_SPLIT,
         "text_topics": SQL_TEXT_TOPICS,
         "text_entities": SQL_TEXT_ENTITIES,
         "entity_lookup": SQL_ENTITY_LOOKUP,

@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "events_zscore",
     "dedup_fuzzy_pairs",
     "layout_zorder",
+    "layout_compaction",
+    "pipeline_split",
     "pipeline_c4_clean",
     "text_gopher_lines",
     "tokenizer_bpe_pairs",

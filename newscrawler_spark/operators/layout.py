@@ -76,6 +76,44 @@ def zorder_values(events: DataFrame) -> DataFrame:
     )
 
 
+def compaction_plan(events: DataFrame, target_rows: int = 300) -> DataFrame:
+    """Small-file compaction planner (Delta ``OPTIMIZE`` bin-packing,
+    Iceberg ``rewrite_data_files``) over the z-layout: walk the 256
+    layout files in z order and greedily pack z-ADJACENT files into
+    jobs of ~``target_rows`` — adjacency preserves the Morton
+    clustering that pruning depends on (a size-sorted bin-pack, what
+    Delta does by default, would interleave distant z ranges and
+    destroy both dimensions' per-file min/max tightness).
+
+    Each file lands in job ``cum_rows_before div target`` — the
+    fixed-capacity sequential pack, one integer expression, identical
+    in DuckDB.  The plan runs on the FILE-STATS table (metadata scale:
+    ~1 row per 100 MB file, so ~10⁶ rows at 100 TB), so the single
+    unpartitioned ordering window costs nothing next to the data it
+    plans for; the row-scaled work is only ``zorder_file_stats``'s own
+    aggregate.  Output ``(job_id, n_files, total_rows, file_lo,
+    file_hi)`` — contiguous file ranges, the mv-list a rewrite job
+    executes.
+    """
+    from pyspark.sql import Window
+
+    stats = zorder_file_stats(events).select("file_id", "n_rows")
+    w = Window.orderBy("file_id").rowsBetween(Window.unboundedPreceding, -1)
+    before = F.coalesce(F.sum("n_rows").over(w), F.lit(0)).cast("long")
+    jobs = stats.withColumn("rows_before", before).withColumn(
+        "job_id", F.expr(f"rows_before div {target_rows}")
+    )
+    return (
+        jobs.groupBy("job_id")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("n_rows").cast("long").alias("total_rows"),
+            F.min("file_id").cast("long").alias("file_lo"),
+            F.max("file_id").cast("long").alias("file_hi"),
+        )
+    )
+
+
 def zorder_file_stats(events: DataFrame) -> DataFrame:
     """Per-layout-file pruning statistics — the observable value of the
     z-ordering: for each z-range file, the row count and the min/max of

@@ -126,6 +126,28 @@ def stratified_sample(
     return docs.where(u < rate)
 
 
+def three_way_split(
+    docs: DataFrame,
+    train_bp: int = 9000,
+    valid_bp: int = 9500,
+    salt: str = "split:v1",
+) -> DataFrame:
+    """Deterministic train/valid/test assignment: the same salted-md5
+    uniform as ``stratified_sample`` thresholded at ``train_bp`` /
+    ``valid_bp`` basis points.  Content-addressed splits are the only
+    kind that survive a growing corpus — re-running after ingesting new
+    docs never migrates an old doc across splits (``df.randomSplit``
+    reshuffles everything), so eval sets stay uncontaminated.  Pure
+    codegen projection: zero shuffle at any scale."""
+    u = stratified_sample_hash(F.col("doc_id"), salt)
+    split = (
+        F.when(u < train_bp, F.lit("train"))
+        .when(u < valid_bp, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.withColumn("split", split)
+
+
 def decontaminate_ngram(
     train: DataFrame, eval_docs: DataFrame, n: int = 8
 ) -> DataFrame:

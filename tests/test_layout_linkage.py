@@ -107,3 +107,64 @@ def test_fuzzy_pairs_whitespace_class_pinned(spark):
     )
     got = fuzzy_title_pairs(df).collect()
     assert len(got) == 1 and got[0]["dist"] == 0
+
+def test_compaction_plan_packs_adjacent_files(spark, sf_dir):
+    """Jobs are contiguous z-ranges covering every file exactly once;
+    each job stops at the first file crossing the target; totals
+    reconcile with the file stats."""
+    from newscrawler_spark.operators.layout import (
+        compaction_plan,
+        zorder_file_stats,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    stats = {
+        r["file_id"]: r["n_rows"] for r in zorder_file_stats(ev).collect()
+    }
+    target = 300
+    plan = sorted(
+        compaction_plan(ev, target_rows=target).collect(),
+        key=lambda r: r["job_id"],
+    )
+    # contiguous, non-overlapping coverage of the file list in z order
+    files_in_order = sorted(stats)
+    walked = []
+    for job in plan:
+        rng = [f for f in files_in_order if job["file_lo"] <= f <= job["file_hi"]]
+        assert job["n_files"] == len(rng)
+        assert job["total_rows"] == sum(stats[f] for f in rng)
+        walked.extend(rng)
+    assert walked == files_in_order
+    # greedy pack twin: job_id == rows_before // target per file
+    before = 0
+    expect_jobs = {}
+    for f in files_in_order:
+        expect_jobs.setdefault(before // target, []).append(f)
+        before += stats[f]
+    assert len(plan) == len(expect_jobs)
+    for job in plan:
+        assert expect_jobs[job["job_id"]][0] == job["file_lo"]
+        assert expect_jobs[job["job_id"]][-1] == job["file_hi"]
+
+
+def test_three_way_split_deterministic_and_stable(spark):
+    """Split fractions track the 90/95 thresholds, assignment is a pure
+    function of doc_id (append-stability: a superset corpus preserves
+    every earlier assignment), and all three splits appear."""
+    from newscrawler_spark.operators.quality import three_way_split
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang="en", text="t") for i in range(400)],
+        "doc_id long, lang string, text string",
+    )
+    got = {r["doc_id"]: r["split"] for r in three_way_split(docs).collect()}
+    frac_train = sum(1 for s in got.values() if s == "train") / len(got)
+    assert 0.84 <= frac_train <= 0.96
+    assert set(got.values()) == {"train", "valid", "test"}
+    # append-stability: half corpus assigns identically
+    half = spark.createDataFrame(
+        [Row(doc_id=i, lang="en", text="t") for i in range(200)],
+        "doc_id long, lang string, text string",
+    )
+    got_half = {r["doc_id"]: r["split"] for r in three_way_split(half).collect()}
+    assert all(got[i] == got_half[i] for i in range(200))
