@@ -4897,6 +4897,167 @@ FROM (
 """
 
 
+def q_events_pivot(spark, sf_dir):
+    """Daily event-type pivot (operators/events.pivot_daily_counts):
+    explicit-value-list pivot → ONE hash aggregate with per-type
+    conditional counts (no driver-side distinct scan, data-independent
+    schema); absent cells are 0 so the report is total."""
+    from newscrawler_spark.operators.events import pivot_daily_counts
+
+    return pivot_daily_counts(_t(spark, sf_dir, "events"))
+
+
+def _sql_events_pivot() -> str:
+    from newscrawler_spark.operators.events import EVENT_TYPES
+
+    cells = ", ".join(
+        f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in EVENT_TYPES
+    )
+    return f"""
+SELECT day, {cells}
+FROM (SELECT epoch_us(ts) // 86400000000 AS day, event_type FROM events)
+GROUP BY day
+"""
+
+
+SQL_EVENTS_PIVOT = _sql_events_pivot()
+
+
+def q_a8_rollup_report(spark, sf_dir):
+    """Hierarchical rollup report (A4/A1 completeness — the reference's
+    nested dashboard totals, src/api/routers/metrics.py): per
+    (source, lang), per source, and grand-total doc/token counts in ONE
+    aggregate via ``rollup`` — Spark's Expand emits the 3 grouping sets
+    map-side, so the corpus is scanned once and one shuffle carries the
+    partial aggregates (vs 3 separate scan+agg jobs).  ``grouping_id``
+    disambiguates rolled-up NULLs from data NULLs."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source", "lang", ws_token_count(F.col("text")).alias("ws")
+        )
+        .rollup("source", "lang")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("ws").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+SQL_A8_ROLLUP = r"""
+SELECT source, lang,
+       CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0b]+'))
+                END) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY ROLLUP (source, lang)
+"""
+
+_CHECKSUM_BUCKETS = 64
+
+
+def q_storage_checksum(spark, sf_dir):
+    """Table reconciliation fingerprints (operators/reconcile.
+    table_checksum): per doc_id-bucket XOR of 60-bit row hashes — the
+    Merkle-style anti-entropy summary that diffs two 100 TB replicas by
+    comparing a 64-row table; XOR is order-independent and map-side
+    partial, so the scan is the only row-scaled work."""
+    from newscrawler_spark.operators.reconcile import table_checksum
+
+    return table_checksum(
+        _t(spark, sf_dir, "documents"), buckets=_CHECKSUM_BUCKETS
+    )
+
+
+SQL_STORAGE_CHECKSUM = f"""
+SELECT doc_id % {_CHECKSUM_BUCKETS} AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+             || ':' || md5(COALESCE(text, ''))), 1, 15)) AS BIGINT))
+            AS BIGINT) AS xor_hash,
+       CAST(min(doc_id) AS BIGINT) AS id_lo,
+       CAST(max(doc_id) AS BIGINT) AS id_hi
+FROM documents GROUP BY 1
+"""
+
+
+def q_s15_incr_agg(spark, sf_dir):
+    """Incremental materialized-view maintenance (operators/upsert.
+    incremental_group_stats): the s14 CDC log applied to stored
+    per-source (count, token-sum) aggregates WITHOUT recomputing over
+    the snapshot — last-wins window on the log, before-image join,
+    per-group delta added to the MV.  All BIGINT arithmetic, so the
+    result is hash-identical to the full recompute the DuckDB oracle
+    performs over the merged snapshot (the strongest form of the
+    incremental-equals-batch proof)."""
+    from newscrawler_spark.operators.upsert import incremental_group_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    toks = ws_token_count(F.col("text"))
+
+    def _ch(pred, key, seqn, text_expr, opv="U"):
+        return docs.where(pred).select(
+            key.alias("doc_id"),
+            F.lit(seqn).alias("seq"),
+            F.lit(opv).alias("op"),
+            text_expr.alias("text"),
+            "source",
+        )
+
+    u1 = _ch(did % 10 == 1, did, 1, F.concat("text", F.lit(" [rev1]")))
+    u2 = _ch(did % 20 == 1, did, 2, F.concat("text", F.lit(" [rev2]")))
+    ins = _ch(
+        did % 10 == 3, did + 1000000, 1, F.concat(F.lit("new:"), F.col("source"))
+    )
+    dels = _ch(did % 10 == 2, did, 1, F.lit(None).cast("string"), "D")
+    changes = (
+        u1.unionByName(u2)
+        .unionByName(ins)
+        .unionByName(dels)
+        .withColumn("toks", ws_token_count(F.col("text")))
+    )
+    base = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(toks).cast("long").alias("total"),
+    )
+    before = docs.select("doc_id", "source", toks.alias("toks"))
+    return incremental_group_stats(base, changes, before)
+
+
+SQL_S15_INCR_AGG = r"""
+WITH ch AS (
+  SELECT doc_id AS k, 1 AS seq, 'U' AS op, text || ' [rev1]' AS text, source
+  FROM documents WHERE doc_id % 10 = 1
+  UNION ALL
+  SELECT doc_id, 2, 'U', text || ' [rev2]', source
+  FROM documents WHERE doc_id % 20 = 1
+  UNION ALL
+  SELECT doc_id + 1000000, 1, 'U', 'new:' || source, source
+  FROM documents WHERE doc_id % 10 = 3
+  UNION ALL
+  SELECT doc_id, 1, 'D', CAST(NULL AS VARCHAR), source
+  FROM documents WHERE doc_id % 10 = 2),
+last AS (
+  SELECT * FROM ch QUALIFY row_number() OVER (PARTITION BY k ORDER BY seq DESC) = 1),
+m AS (
+  SELECT COALESCE(b.doc_id, c.k) AS doc_id,
+         CASE WHEN c.k IS NOT NULL THEN c.text ELSE b.text END AS text,
+         CASE WHEN c.k IS NOT NULL THEN c.source ELSE b.source END AS source,
+         c.k IS NOT NULL AND c.op = 'D' AS dropped
+  FROM documents b FULL OUTER JOIN last c ON b.doc_id = c.k)
+SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0b]+'))
+                END) AS BIGINT) AS total
+FROM m WHERE NOT dropped GROUP BY source
+"""
+
+
 # =========================================================================
 # driver contract
 # =========================================================================
@@ -5049,6 +5210,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_zorder": q_layout_zorder,
         "layout_compaction": q_layout_compaction,
         "pipeline_split": q_pipeline_split,
+        "events_pivot": q_events_pivot,
+        "a8_rollup_report": q_a8_rollup_report,
+        "storage_checksum": q_storage_checksum,
+        "s15_incr_agg": q_s15_incr_agg,
         "text_topics": q_text_topics,
         "text_entities": q_text_entities,
         "entity_lookup": q_entity_lookup,
@@ -5164,6 +5329,10 @@ def oracle_sql() -> dict[str, str]:
         "layout_zorder": SQL_LAYOUT_ZORDER,
         "layout_compaction": SQL_LAYOUT_COMPACTION,
         "pipeline_split": SQL_PIPELINE_SPLIT,
+        "events_pivot": SQL_EVENTS_PIVOT,
+        "a8_rollup_report": SQL_A8_ROLLUP,
+        "storage_checksum": SQL_STORAGE_CHECKSUM,
+        "s15_incr_agg": SQL_S15_INCR_AGG,
         "text_topics": SQL_TEXT_TOPICS,
         "text_entities": SQL_TEXT_ENTITIES,
         "entity_lookup": SQL_ENTITY_LOOKUP,

@@ -110,6 +110,10 @@ BENCH_QUERIES = [
     "layout_zorder",
     "layout_compaction",
     "pipeline_split",
+    "events_pivot",
+    "a8_rollup_report",
+    "storage_checksum",
+    "s15_incr_agg",
     "pipeline_c4_clean",
     "text_gopher_lines",
     "tokenizer_bpe_pairs",

@@ -315,3 +315,38 @@ def retention_cohorts(events: DataFrame, user_col: str = "user_id") -> DataFrame
         )
         .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
     )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_daily_counts(
+    events: DataFrame, types: tuple[str, ...] = EVENT_TYPES
+) -> DataFrame:
+    """Daily event-type pivot — the wide per-day activity report
+    (one column per event type, the reference's per-status dashboard
+    rollup shape, src/api/routers/metrics.py).
+
+    ``pivot`` is given the EXPLICIT value list: without it Spark runs a
+    driver-side distinct job over the pivot column first (an extra full
+    scan + collect) and the output schema becomes data-dependent — both
+    wrong at 100 TB.  With the list, the pivot compiles to one
+    hash-aggregate with per-type conditional counts (map-side partial,
+    single shuffle on day); absent (day, type) cells are 0, not null,
+    so the report is total.  Output ``(day, n_<type>...)``."""
+    day = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+    wide = (
+        events.withColumn("day", day.cast("long"))
+        .groupBy("day")
+        .pivot("event_type", list(types))
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "day",
+        *[
+            F.coalesce(F.col(t).cast("long"), F.lit(0).cast("long")).alias(
+                f"n_{t}"
+            )
+            for t in types
+        ],
+    )

@@ -1,0 +1,117 @@
+"""Pivot report, rollup, reconciliation checksums, incremental MV."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def test_pivot_totals_reconcile(spark, sf_dir):
+    """Pivot cells sum to the plain groupBy counts; every (day, type)
+    cell is present (0, never null)."""
+    from newscrawler_spark.operators.events import (
+        EVENT_TYPES,
+        pivot_daily_counts,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    wide = pivot_daily_counts(ev).collect()
+    by_type = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    for t in EVENT_TYPES:
+        assert sum(r[f"n_{t}"] for r in wide) == by_type.get(t, 0)
+    assert all(r[f"n_{t}"] is not None for r in wide for t in EVENT_TYPES)
+
+
+def test_rollup_levels_reconcile(spark, sf_dir):
+    """Grand total row equals the table count; per-source rows equal
+    the sum of their (source, lang) leaves; gid encodes the level."""
+    import __spark_entry__ as m
+
+    rows = m.q_a8_rollup_report(spark, sf_dir).collect()
+    leaves = [r for r in rows if r["gid"] == 0]
+    per_source = {r["source"]: r for r in rows if r["gid"] == 1}
+    grand = [r for r in rows if r["gid"] == 3]
+    assert len(grand) == 1
+    assert grand[0]["n_docs"] == sum(r["n_docs"] for r in leaves)
+    for s, row in per_source.items():
+        mine = [r for r in leaves if r["source"] == s]
+        assert row["n_docs"] == sum(r["n_docs"] for r in mine)
+        assert row["total_tokens"] == sum(r["total_tokens"] for r in mine)
+
+
+def test_checksum_flags_exactly_the_changed_bucket(spark):
+    """Two snapshots differing in one row differ in exactly one bucket
+    fingerprint; identical snapshots produce identical summaries."""
+    from newscrawler_spark.operators.reconcile import table_checksum
+
+    rows = [Row(doc_id=i, text=f"doc {i} body") for i in range(200)]
+    a = spark.createDataFrame(rows, "doc_id long, text string")
+    b_rows = [
+        Row(doc_id=i, text=("TAMPERED" if i == 137 else f"doc {i} body"))
+        for i in range(200)
+    ]
+    b = spark.createDataFrame(b_rows, "doc_id long, text string")
+
+    fa = {r["bucket"]: r for r in table_checksum(a, buckets=16).collect()}
+    fb = {r["bucket"]: r for r in table_checksum(b, buckets=16).collect()}
+    assert set(fa) == set(fb)
+    diff = [k for k in fa if fa[k]["xor_hash"] != fb[k]["xor_hash"]]
+    assert diff == [137 % 16]
+    assert all(fa[k]["n_rows"] == fb[k]["n_rows"] for k in fa)
+    fa2 = {r["bucket"]: r for r in table_checksum(a, buckets=16).collect()}
+    assert all(fa[k] == fa2[k] for k in fa)
+
+
+def test_incremental_stats_equal_full_recompute(spark, sf_dir):
+    """The incrementally-maintained per-source aggregates equal a full
+    recompute over the merged snapshot — on the gate's own CDC log."""
+    import __spark_entry__ as m
+    from newscrawler_spark.functions.text import ws_token_count
+    from newscrawler_spark.operators.upsert import merge_snapshot
+
+    incr = {
+        r["source"]: (r["n_rows"], r["total"])
+        for r in m.q_s15_incr_agg(spark, sf_dir).collect()
+    }
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    did = F.col("doc_id")
+
+    def _ch(pred, key, seqn, text_expr, opv="U"):
+        return docs.where(pred).select(
+            key.alias("doc_id"),
+            F.lit(seqn).alias("seq"),
+            F.lit(opv).alias("op"),
+            text_expr.alias("text"),
+            "source",
+        )
+
+    changes = (
+        _ch(did % 10 == 1, did, 1, F.concat("text", F.lit(" [rev1]")))
+        .unionByName(_ch(did % 20 == 1, did, 2, F.concat("text", F.lit(" [rev2]"))))
+        .unionByName(
+            _ch(did % 10 == 3, did + 1000000, 1,
+                F.concat(F.lit("new:"), F.col("source")))
+        )
+        .unionByName(_ch(did % 10 == 2, did, 1,
+                         F.lit(None).cast("string"), "D"))
+    )
+    snap = merge_snapshot(
+        docs.select("doc_id", "text", "source"), changes, "doc_id",
+        ["text", "source"],
+    )
+    full = {
+        r["source"]: (r["n"], r["t"])
+        for r in snap.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(ws_token_count(F.col("text"))).alias("t"),
+        )
+        .collect()
+    }
+    assert incr == full
