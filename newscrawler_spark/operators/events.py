@@ -327,26 +327,25 @@ def pivot_daily_counts(
     (one column per event type, the reference's per-status dashboard
     rollup shape, src/api/routers/metrics.py).
 
-    ``pivot`` is given the EXPLICIT value list: without it Spark runs a
-    driver-side distinct job over the pivot column first (an extra full
-    scan + collect) and the output schema becomes data-dependent — both
-    wrong at 100 TB.  With the list, the pivot compiles to one
-    hash-aggregate with per-type conditional counts (map-side partial,
-    single shuffle on day); absent (day, type) cells are 0, not null,
-    so the report is total.  Output ``(day, n_<type>...)``."""
+    Expressed as EXPLICIT conditional aggregation, not ``df.pivot``:
+    Spark's pivot (even with a value list) plans a (day, type)
+    pre-aggregate plus a second pivotfirst exchange, and without the
+    list it additionally runs a driver-side distinct scan and makes
+    the schema data-dependent.  The conditional form compiles to ONE
+    hash aggregate over one scan with a single day-keyed exchange
+    (map-side partial counts), and the fixed column list keeps the
+    schema data-independent; absent (day, type) cells are 0, not
+    null, so the report is total.  Output ``(day, n_<type>...)``."""
     day = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
-    wide = (
-        events.withColumn("day", day.cast("long"))
+    return (
+        events.select(day.cast("long").alias("day"), "event_type")
         .groupBy("day")
-        .pivot("event_type", list(types))
-        .agg(F.count(F.lit(1)))
-    )
-    return wide.select(
-        "day",
-        *[
-            F.coalesce(F.col(t).cast("long"), F.lit(0).cast("long")).alias(
-                f"n_{t}"
-            )
-            for t in types
-        ],
+        .agg(
+            *[
+                F.count(F.when(F.col("event_type") == t, F.lit(1)))
+                .cast("long")
+                .alias(f"n_{t}")
+                for t in types
+            ]
+        )
     )

@@ -407,3 +407,41 @@ def test_kmeans_assignment_zero_shuffle(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     plan = kmeans_lloyd(emb)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_pivot_single_aggregate_no_distinct_job(spark, sf_dir):
+    """The explicit-value pivot must compile to ONE hash aggregate over
+    one scan with a single day-keyed exchange — no driver-side distinct
+    job over the pivot column, no per-type scan."""
+    from newscrawler_spark.operators.events import pivot_daily_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = pivot_daily_counts(ev)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_rollup_one_scan_one_exchange(spark, sf_dir):
+    """GROUP BY ROLLUP must Expand the 3 grouping sets map-side over a
+    single corpus scan and shuffle once — not plan one scan+agg per
+    level."""
+    import __spark_entry__ as m
+
+    df = m.q_a8_rollup_report(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_checksum_single_scan_partial_agg(spark, sf_dir):
+    """The reconciliation fingerprint is one scan + map-side partial
+    XOR/count into a buckets-sized exchange — the scan is the only
+    row-scaled work."""
+    import __spark_entry__ as m
+
+    df = m.q_storage_checksum(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_bit_xor" in plan or "partial" in plan.lower(), plan
