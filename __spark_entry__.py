@@ -5058,6 +5058,85 @@ FROM m WHERE NOT dropped GROUP BY source
 """
 
 
+def q_text_langid_confusion(spark, sf_dir):
+    """Lang-ID confusion matrix — the classifier-eval surface for the
+    frozen n-gram heuristic (functions/text.lang_id): per (true lang,
+    predicted lang) counts with the per-true-lang total alongside.
+    One scan + one tiny aggregate; the total is a whole-frame window
+    OVER THE AGGREGATE (langs² rows), never an agg-and-join-back (which
+    Catalyst would plan as a second corpus scan — PLANS.md)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = docs.select("lang", lang_id(F.col("text")).alias("lang_pred"))
+    agg = pred.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("lang")
+    return agg.withColumn(
+        "lang_total", F.sum("n").over(w).cast("long")
+    )
+
+
+SQL_LANGID_CONFUSION = r"""
+WITH s AS (
+  SELECT lang,
+    len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS en,
+    len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|los|un)\b')) AS es,
+    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein|zu)\b')) AS de
+  FROM documents),
+p AS (
+  SELECT lang,
+    CASE WHEN en >= es AND en >= de AND en > 0 THEN 'en'
+         WHEN es >= de AND es > 0 THEN 'es'
+         WHEN de > 0 THEN 'de' ELSE 'und' END AS lang_pred
+  FROM s),
+a AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+      FROM p GROUP BY 1, 2)
+SELECT lang, lang_pred, n,
+       CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_total
+FROM a
+"""
+
+
+def q_pipeline_length_filter(spark, sf_dir):
+    """Per-language percentile length gate (operators/quality.
+    length_filter_percentile): keep docs inside the lang's [p5, p95]
+    token-count percentile-disc bounds.  Bounds come from the integer
+    CDF over the DISTINCT (lang, token-count) VALUE table — never a
+    row-ordering window over the corpus (the ccnet-buckets lesson);
+    the 5-row bounds dim broadcasts back, so the corpus never
+    shuffles."""
+    from newscrawler_spark.operators.quality import length_filter_percentile
+
+    return length_filter_percentile(_t(spark, sf_dir, "documents"))
+
+
+SQL_LENGTH_FILTER = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0b]+'))
+    END AS ws_tokens
+  FROM documents),
+vt AS (SELECT lang, ws_tokens, count(*) AS c FROM t GROUP BY 1, 2),
+cdf AS (
+  SELECT lang, ws_tokens,
+         sum(c) OVER (PARTITION BY lang ORDER BY ws_tokens
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM vt),
+b AS (
+  SELECT lang,
+         CAST(min(CASE WHEN 100 * cum >= 5 * n THEN ws_tokens END) AS BIGINT) AS lo,
+         CAST(min(CASE WHEN 100 * cum >= 95 * n THEN ws_tokens END) AS BIGINT) AS hi
+  FROM cdf GROUP BY lang)
+SELECT doc_id, t.lang, CAST(ws_tokens AS BIGINT) AS ws_tokens, lo, hi
+FROM t JOIN b ON t.lang = b.lang
+WHERE ws_tokens BETWEEN lo AND hi
+"""
+
+
 # =========================================================================
 # driver contract
 # =========================================================================
@@ -5214,6 +5293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_rollup_report": q_a8_rollup_report,
         "storage_checksum": q_storage_checksum,
         "s15_incr_agg": q_s15_incr_agg,
+        "text_langid_confusion": q_text_langid_confusion,
+        "pipeline_length_filter": q_pipeline_length_filter,
         "text_topics": q_text_topics,
         "text_entities": q_text_entities,
         "entity_lookup": q_entity_lookup,
@@ -5333,6 +5414,8 @@ def oracle_sql() -> dict[str, str]:
         "a8_rollup_report": SQL_A8_ROLLUP,
         "storage_checksum": SQL_STORAGE_CHECKSUM,
         "s15_incr_agg": SQL_S15_INCR_AGG,
+        "text_langid_confusion": SQL_LANGID_CONFUSION,
+        "pipeline_length_filter": SQL_LENGTH_FILTER,
         "text_topics": SQL_TEXT_TOPICS,
         "text_entities": SQL_TEXT_ENTITIES,
         "entity_lookup": SQL_ENTITY_LOOKUP,

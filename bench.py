@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "a8_rollup_report",
     "storage_checksum",
     "s15_incr_agg",
+    "text_langid_confusion",
+    "pipeline_length_filter",
     "pipeline_c4_clean",
     "text_gopher_lines",
     "tokenizer_bpe_pairs",

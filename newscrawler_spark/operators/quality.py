@@ -435,3 +435,55 @@ def gopher_line_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         pinned_round(dupc, 4).alias("dup_char_frac"),
         keep.alias("keep"),
     )
+
+
+def length_filter_percentile(
+    docs: DataFrame, lo_pct: int = 5, hi_pct: int = 95
+) -> DataFrame:
+    """Per-language length-outlier trim: keep docs whose whitespace
+    token count lies within the language's [lo_pct, hi_pct]
+    percentile-DISC bounds (truncated boilerplate stubs below, run-on
+    concatenation artifacts above — the standard corpus length gate).
+
+    The bounds are computed over the DISTINCT (lang, token-count)
+    VALUE table with cumulative counts — an integer CDF — never a
+    row-ordering window over the corpus (a per-lang full sort at
+    100 TB; the value table is bounded by the token-count range).
+    Percentile-disc on the CDF: bound = min value v with
+    100·cum_count(≤v) ≥ pct·n — pure integer arithmetic, identical in
+    any engine.  The 5-row bounds dim broadcasts back onto the corpus:
+    scan + one value-table shuffle, no corpus shuffle.  Output
+    ``(doc_id, lang, ws_tokens, lo, hi)`` for kept docs."""
+    from pyspark.sql import Window
+
+    from newscrawler_spark.functions.text import ws_token_count
+
+    t = docs.select(
+        "doc_id", "lang", ws_token_count(F.col("text")).alias("ws_tokens")
+    )
+    vt = t.groupBy("lang", "ws_tokens").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("ws_tokens")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("lang")
+    cdf = vt.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(wn)
+    )
+    bounds = cdf.groupBy("lang").agg(
+        F.min(
+            F.when(100 * F.col("cum") >= lo_pct * F.col("n"), F.col("ws_tokens"))
+        )
+        .cast("long")
+        .alias("lo"),
+        F.min(
+            F.when(100 * F.col("cum") >= hi_pct * F.col("n"), F.col("ws_tokens"))
+        )
+        .cast("long")
+        .alias("hi"),
+    )
+    j = t.join(F.broadcast(bounds), "lang")
+    return j.where(
+        (F.col("ws_tokens") >= F.col("lo")) & (F.col("ws_tokens") <= F.col("hi"))
+    ).select("doc_id", "lang", F.col("ws_tokens").cast("long").alias("ws_tokens"), "lo", "hi")

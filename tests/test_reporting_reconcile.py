@@ -115,3 +115,75 @@ def test_incremental_stats_equal_full_recompute(spark, sf_dir):
         .collect()
     }
     assert incr == full
+
+
+def test_langid_confusion_totals(spark, sf_dir):
+    """Row counts reconcile: per-lang totals equal the table's lang
+    counts; diagonal + off-diagonal sum to the total per lang."""
+    import __spark_entry__ as m
+
+    rows = m.q_text_langid_confusion(spark, sf_dir).collect()
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    truth = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    per_lang: dict = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], []).append(r)
+    for lang, cells in per_lang.items():
+        assert sum(c["n"] for c in cells) == truth[lang]
+        assert all(c["lang_total"] == truth[lang] for c in cells)
+
+
+def test_length_filter_bounds_are_percentile_disc(spark, sf_dir):
+    """The kept range per lang matches a pure-Python percentile-disc
+    twin over the token counts, and every kept doc is inside it."""
+    from newscrawler_spark.functions.text import ws_token_count
+    from newscrawler_spark.operators.quality import length_filter_percentile
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = {
+        (r["doc_id"], r["lang"]): r["t"]
+        for r in docs.select(
+            "doc_id", "lang", ws_token_count(F.col("text")).alias("t")
+        ).collect()
+    }
+    by_lang: dict = {}
+    for (_, lang), t in toks.items():
+        by_lang.setdefault(lang, []).append(t)
+
+    def disc(vals, pct):
+        vals = sorted(vals)
+        n = len(vals)
+        for i, v in enumerate(vals, start=1):
+            if 100 * i >= pct * n:
+                return v
+
+    kept = length_filter_percentile(docs).collect()
+    for r in kept:
+        lo = disc(by_lang[r["lang"]], 5)
+        hi = disc(by_lang[r["lang"]], 95)
+        assert r["lo"] == lo and r["hi"] == hi
+        assert lo <= r["ws_tokens"] <= hi
+    # trim is real: some docs dropped, most kept
+    assert 0 < len(kept) < len(toks)
+    assert len(kept) > 0.8 * len(toks)
+
+
+def test_length_filter_no_corpus_shuffle(spark, sf_dir):
+    """The corpus side must reach the bounds join without an Exchange:
+    only the distinct-value table shuffles; the bounds dim broadcasts."""
+    from newscrawler_spark.operators.quality import length_filter_percentile
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    plan = (
+        length_filter_percentile(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    # exchanges: value-table agg (1) + its window repartition (1); the
+    # corpus side contributes only the broadcast exchange
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
