@@ -5136,6 +5136,35 @@ FROM t JOIN b ON t.lang = b.lang
 WHERE ws_tokens BETWEEN lo AND hi
 """
 
+_SKEW_PARTS = 32
+
+
+def q_diag_skew(spark, sf_dir):
+    """Shuffle-skew report (operators/diag.skew_report): keys holding
+    >2 fair shares of a 32-way shuffle on event_type (5 values over
+    10k·sf rows — the politeness queue's hot-domain shape), each with
+    its basis-point share and the smallest salt factor restoring the
+    fair share.  The per-key count map-side combines, so the
+    diagnostic survives the skew it measures."""
+    from newscrawler_spark.operators.diag import skew_report
+
+    return skew_report(
+        _t(spark, sf_dir, "events"), "event_type", target_partitions=_SKEW_PARTS
+    )
+
+
+SQL_DIAG_SKEW = f"""
+WITH c AS (
+  SELECT event_type AS key, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+SELECT key, cnt,
+       CAST((cnt * 10000) // total AS BIGINT) AS share_bp,
+       CAST((cnt * {_SKEW_PARTS} + total - 1) // total AS BIGINT) AS salt
+FROM c CROSS JOIN t
+WHERE cnt * {_SKEW_PARTS} > 2 * total
+"""
+
 
 # =========================================================================
 # driver contract
@@ -5295,6 +5324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s15_incr_agg": q_s15_incr_agg,
         "text_langid_confusion": q_text_langid_confusion,
         "pipeline_length_filter": q_pipeline_length_filter,
+        "diag_skew": q_diag_skew,
         "text_topics": q_text_topics,
         "text_entities": q_text_entities,
         "entity_lookup": q_entity_lookup,
@@ -5416,6 +5446,7 @@ def oracle_sql() -> dict[str, str]:
         "s15_incr_agg": SQL_S15_INCR_AGG,
         "text_langid_confusion": SQL_LANGID_CONFUSION,
         "pipeline_length_filter": SQL_LENGTH_FILTER,
+        "diag_skew": SQL_DIAG_SKEW,
         "text_topics": SQL_TEXT_TOPICS,
         "text_entities": SQL_TEXT_ENTITIES,
         "entity_lookup": SQL_ENTITY_LOOKUP,

@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "s15_incr_agg",
     "text_langid_confusion",
     "pipeline_length_filter",
+    "diag_skew",
     "pipeline_c4_clean",
     "text_gopher_lines",
     "tokenizer_bpe_pairs",

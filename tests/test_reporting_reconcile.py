@@ -187,3 +187,20 @@ def test_length_filter_no_corpus_shuffle(spark, sf_dir):
     # exchanges: value-table agg (1) + its window repartition (1); the
     # corpus side contributes only the broadcast exchange
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_skew_report_hand_data(spark):
+    """One hot key (60% of rows) among many cold ones: only the hot key
+    is reported; salt restores the fair share; cold keys stay silent."""
+    from newscrawler_spark.operators.diag import skew_report
+
+    rows = [Row(k="hot") for _ in range(600)] + [
+        Row(k=f"cold{i % 40}") for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "k string")
+    got = {r["key"]: r for r in skew_report(df, "k", target_partitions=10).collect()}
+    assert set(got) == {"hot"}
+    r = got["hot"]
+    assert r["cnt"] == 600 and r["share_bp"] == 6000
+    # ceil(600*10/1000) = 6 sub-keys -> largest slice ~100 = fair share
+    assert r["salt"] == 6
