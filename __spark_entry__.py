@@ -4061,6 +4061,21 @@ def q_graph_hits(spark, sf_dir):
     return host_hits(pages)
 
 
+def q_graph_triangles(spark, sf_dir):
+    """Per-host triangle counts (operators/graph.host_triangles) —
+    the clustering signal rank misses (link farms close no triangles):
+    degree-ordered wedge enumeration (Suri-Vassilvitskii WWW'11) over
+    the same frozen host edge extraction; orientation bounds wedges by
+    out-deg² under (degree, host) rank, killing the power-law hub
+    blowup.  DuckDB-oracled via oracle_sql.host_triangles_sql (shared
+    extraction head + the same orientation/wedge/closure CTEs)."""
+    from newscrawler_spark.operators.graph import host_triangles
+
+    _, paths = _crawl_store(spark, sf_dir)
+    pages = spark.read.parquet(paths["pages"])
+    return host_triangles(pages)
+
+
 def q_s4_feed_entries(spark, sf_dir):
     """S4: RSS/Atom feed source — posexplode of <item> entries with
     title/link/pubDate, capped at 20/feed (sources/feeds.feed_entries;
@@ -4173,6 +4188,7 @@ def _corpus_oracle_sql() -> dict[str, str]:
         crawl_order_sql,
         host_hits_sql,
         host_pagerank_sql,
+        host_triangles_sql,
     )
     from newscrawler_spark.sources.corpus import generate_corpus
 
@@ -4293,6 +4309,9 @@ FROM g QUALIFY rnk <= 5
             p["pages"], max_links=crawl_cfg.max_links_per_page
         ),
         "graph_hits": host_hits_sql(
+            p["pages"], max_links=crawl_cfg.max_links_per_page
+        ),
+        "graph_triangles": host_triangles_sql(
             p["pages"], max_links=crawl_cfg.max_links_per_page
         ),
         "crawl_articles": crawl_articles_sql(p["pages"], p["seeds"], crawl_cfg),
@@ -5217,6 +5236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_logs": q_crawl_logs,
         "graph_pagerank_hosts": q_graph_pagerank,
         "graph_hits": q_graph_hits,
+        "graph_triangles": q_graph_triangles,
         "s1_csv_source": q_s1_csv_source,
         "s2_due_sources": q_s2_due_sources,
         "s4_feed_entries": q_s4_feed_entries,

@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "pipeline_shuffle_epoch",
     "graph_pagerank_hosts",
     "graph_hits",
+    "graph_triangles",
     "cluster_kmeans",
     "dedup_incremental",
     "dedup_winnow",

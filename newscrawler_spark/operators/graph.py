@@ -337,3 +337,81 @@ def host_hits(
             F.coalesce("hub", F.lit(0)).cast("bigint").alias("hub"),
         )
     )
+
+
+def host_triangles(pages: DataFrame, max_links_per_page: int = 100) -> DataFrame:
+    """Per-host triangle counts over the undirected host link graph —
+    the clustering/community signal PageRank and HITS don't see (a
+    link farm has high rank but near-zero triangle closure; organic
+    topic clusters are triangle-dense).
+
+    Algorithm: DEGREE-ORDERED wedge counting (the MapReduce-triangles
+    construction of Suri & Vassilvitskii, WWW'11).  Every edge is
+    oriented from its lower-(degree, host)-rank endpoint to the
+    higher; each triangle then has exactly one vertex with two
+    out-edges (its minimum-rank vertex), so enumerating wedges from
+    out-edge pairs and semi-joining the closing edge counts each
+    triangle once — and the wedge count is bounded by sum(out-deg²)
+    under degree orientation, O(m^1.5) worst case instead of the
+    hub-degree² blowup a lexicographic orientation suffers on a
+    power-law web graph (a 10⁶-degree hub would otherwise emit 10¹²
+    wedges from one node).
+
+    All joins are on the host-level relations (edges/degrees —
+    O(host-graph), tiny next to the pages table); the degree dim
+    broadcasts.  Output ``(host, n_triangles)`` for hosts in ≥1
+    triangle.
+    """
+    e = host_link_edges(pages, max_links_per_page).select("src", "dst")
+    return triangles_from_edges(e)
+
+
+def triangles_from_edges(e: DataFrame) -> DataFrame:
+    """Degree-ordered triangle counting over an undirected edge
+    relation ``(src, dst)`` — the core of :func:`host_triangles`,
+    exposed so tests and other graphs (near-dup pair graphs, entity
+    co-occurrence) can drive it directly."""
+    und = (
+        e.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("host"))
+        .unionAll(und.select(F.col("b").alias("host")))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    da = deg.select(F.col("host").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("host").alias("b"), F.col("d").alias("db"))
+    j = und.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = j.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("s"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("t"),
+    )
+    o1, o2 = o.alias("o1"), o.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.s") == F.col("o2.s")) & (F.col("o1.t") < F.col("o2.t")),
+    ).select(
+        F.col("o1.s").alias("v1"),
+        F.col("o1.t").alias("v2"),
+        F.col("o2.t").alias("v3"),
+    )
+    closing = und.select(F.col("a").alias("ca"), F.col("b").alias("cb"))
+    tri = wedges.join(
+        closing,
+        (F.least("v2", "v3") == F.col("ca"))
+        & (F.greatest("v2", "v3") == F.col("cb")),
+        "left_semi",
+    )
+    return (
+        tri.select(F.explode(F.array("v1", "v2", "v3")).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )

@@ -442,3 +442,43 @@ edges AS (
   FROM el WHERE src <> dst AND dst IN (SELECT host FROM hosts)
   GROUP BY src, dst
 )"""
+
+
+def host_triangles_sql(pages_path: str, max_links: int = 100) -> str:
+    """Degree-ordered triangle counting as one SQL statement (DuckDB
+    oracle twin of operators/graph.host_triangles) — shares the frozen
+    edge extraction head with the PageRank/HITS oracles, then the
+    Suri-Vassilvitskii construction: orient edges by (degree, host)
+    rank, enumerate out-edge wedges, close them against the undirected
+    edge set, attribute each triangle to its three hosts."""
+    head = _host_graph_head_sql(pages_path, max_links)
+    return head + """,
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst),
+deg AS (
+  SELECT h AS host, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT a AS h FROM und UNION ALL SELECT b AS h FROM und)
+  GROUP BY 1),
+o AS (
+  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+              THEN u.a ELSE u.b END AS s,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+              THEN u.b ELSE u.a END AS t
+  FROM und u JOIN deg da ON u.a = da.host JOIN deg db ON u.b = db.host),
+w AS (
+  SELECT o1.s AS v1, o1.t AS v2, o2.t AS v3
+  FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.t < o2.t),
+tri AS (
+  SELECT v1, v2, v3
+  FROM w
+  WHERE EXISTS (SELECT 1 FROM und
+                WHERE und.a = least(w.v2, w.v3)
+                  AND und.b = greatest(w.v2, w.v3))),
+hosts3 AS (
+  SELECT v1 AS host FROM tri
+  UNION ALL SELECT v2 FROM tri
+  UNION ALL SELECT v3 FROM tri)
+SELECT host, CAST(count(*) AS BIGINT) AS n_triangles
+FROM hosts3 GROUP BY host
+"""

@@ -260,3 +260,50 @@ def test_host_hits_hand_graph(spark):
         "c.example": (0, 1_000_000),
         "b.example": (1_000_000, 0),
     }
+
+
+def test_host_triangles_matches_pure_python(spark, tmp_path):
+    """Engine triangles == brute-force itertools over the engine's own
+    edge relation (independent closure logic), and a hand graph with a
+    known count checks attribution."""
+    import itertools
+
+    from newscrawler_spark.operators.graph import (
+        host_link_edges,
+        host_triangles,
+    )
+    from newscrawler_spark.sources.corpus import generate_corpus
+
+    p = generate_corpus(str(tmp_path / "corpus"), n_pages=300, n_hosts=6, seed=17)
+    pages = spark.read.parquet(p["pages"])
+    got = {r["host"]: r["n_triangles"] for r in host_triangles(pages).collect()}
+
+    und = {
+        tuple(sorted((r["src"], r["dst"])))
+        for r in host_link_edges(pages).collect()
+        if r["src"] != r["dst"]
+    }
+    nodes = sorted({n for e in und for n in e})
+    want: dict = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if ((a, b) in und and (b, c) in und and (a, c) in und):
+            for h in (a, b, c):
+                want[h] = want.get(h, 0) + 1
+    assert got == want
+    assert sum(got.values()) % 3 == 0 and got  # every triangle hits 3 hosts
+
+
+def test_host_triangles_hand_graph_shapes(spark):
+    """K4 minus one edge = 2 triangles sharing an edge; the two shared
+    hosts count 2 each, the endpoints 1 each."""
+    from newscrawler_spark.operators.graph import triangles_from_edges
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d")],
+        "src string, dst string",
+    )
+    got = {
+        r["host"]: r["n_triangles"]
+        for r in triangles_from_edges(edges).collect()
+    }
+    assert got == {"a": 2, "b": 2, "c": 1, "d": 1}
