@@ -5184,6 +5184,54 @@ FROM c CROSS JOIN t
 WHERE cnt * {_SKEW_PARTS} > 2 * total
 """
 
+_HDR_PCTS = (50, 90, 99)
+
+
+def q_sketch_hdr_quantiles(spark, sf_dir):
+    """Mergeable HDR-histogram quantiles (operators/sketch.
+    hdr_quantiles) — the percentile shape that scales: integer
+    log-bucket histogram (bit_length via bin() string length, no float
+    log2), one map-side-combined shuffle of ≤ bucket-count rows,
+    merge = count sum; p50/p90/p99 read off the ≤10³-row CDF with ≤
+    1/16 relative error.  Exact twin a4_percentiles documents the
+    per-key-sort trade; approx_percentile/t-digest are engine-specific
+    float sketches that can't be hash-gated — this one can."""
+    from newscrawler_spark.operators.sketch import hdr_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    return hdr_quantiles(ev, cents, list(_HDR_PCTS))
+
+
+def _sql_sketch_hdr() -> str:
+    pcts = ", ".join(str(p) for p in _HDR_PCTS)
+    return f"""
+WITH v AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+b AS (
+  SELECT CASE WHEN length(bin(c)) - 1 > 4
+              THEN (c >> (length(bin(c)) - 5)) << (length(bin(c)) - 5)
+              ELSE c END AS lb
+  FROM v),
+h AS (SELECT lb, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY lb),
+cdf AS (
+  SELECT lb, cnt,
+         sum(cnt) OVER (ORDER BY lb
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER () AS n
+  FROM h),
+f AS (SELECT cdf.*, p.pct FROM cdf CROSS JOIN (
+        SELECT unnest([{pcts}]) AS pct) p)
+SELECT CAST(pct AS BIGINT) AS pct,
+       CAST(min(lb) AS BIGINT) AS est,
+       CAST(max(n) AS BIGINT) AS n_rows
+FROM f WHERE 100 * cum >= pct * n
+GROUP BY pct
+"""
+
+
+SQL_SKETCH_HDR = _sql_sketch_hdr()
+
 
 # =========================================================================
 # driver contract
@@ -5345,6 +5393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid_confusion": q_text_langid_confusion,
         "pipeline_length_filter": q_pipeline_length_filter,
         "diag_skew": q_diag_skew,
+        "sketch_hdr_quantiles": q_sketch_hdr_quantiles,
         "text_topics": q_text_topics,
         "text_entities": q_text_entities,
         "entity_lookup": q_entity_lookup,
@@ -5467,6 +5516,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid_confusion": SQL_LANGID_CONFUSION,
         "pipeline_length_filter": SQL_LENGTH_FILTER,
         "diag_skew": SQL_DIAG_SKEW,
+        "sketch_hdr_quantiles": SQL_SKETCH_HDR,
         "text_topics": SQL_TEXT_TOPICS,
         "text_entities": SQL_TEXT_ENTITIES,
         "entity_lookup": SQL_ENTITY_LOOKUP,

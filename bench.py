@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "text_langid_confusion",
     "pipeline_length_filter",
     "diag_skew",
+    "sketch_hdr_quantiles",
     "pipeline_c4_clean",
     "text_gopher_lines",
     "tokenizer_bpe_pairs",

@@ -369,3 +369,62 @@ SELECT p.key, ({cond}) AS maybe
 FROM p
 {joins}
 """
+
+
+def hdr_bucket_lb(v: Column, sub_bits: int = 4) -> Column:
+    """HDR-histogram bucket lower bound of a non-negative BIGINT: zero
+    all but the top ``sub_bits``+1 significant bits — ``(v >> s) << s``
+    with ``s = max(bit_length(v) - 1 - sub_bits, 0)``.  bit_length
+    comes from ``length(bin(v))`` (a string op, identical in Spark and
+    DuckDB — no float log2, whose boundary values differ in the last
+    ulp between engines).  Relative bucket width ≤ 2^-sub_bits, so any
+    quantile read off the histogram has ≤ 1/16 relative error at
+    sub_bits=4 — the HdrHistogram guarantee."""
+    e = F.length(F.bin(v)) - 1
+    s = F.greatest(e - sub_bits, F.lit(0))
+    # F.shiftright/shiftleft take only literal ints in the Python API;
+    # the SQL functions accept a column shift amount
+    return F.call_function("shiftleft", F.call_function("shiftright", v, s), s)
+
+
+def hdr_histogram(df: DataFrame, value: Column) -> DataFrame:
+    """Mergeable integer histogram: ``(lb, cnt)`` per occupied HDR
+    bucket.  One map-side-combined shuffle of ≤ bucket-count rows
+    (64 · 16 possible buckets over the full int64 range), O(buckets)
+    memory per partition — the percentile shape that actually scales:
+    exact per-key percentiles need a per-key SORT of the data
+    (a4_percentiles documents that trade), approx_percentile/t-digest
+    are engine-specific float sketches that can't be hash-gated.
+    Merging shards/windows = summing counts."""
+    return (
+        df.select(hdr_bucket_lb(value).alias("lb"))
+        .groupBy("lb")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def hdr_quantiles(df: DataFrame, value: Column, pcts: list[int]) -> DataFrame:
+    """Percentile-disc read off the HDR histogram: for each pct the
+    smallest bucket lower bound whose cumulative count crosses
+    pct·n/100.  The CDF window runs over the HISTOGRAM (≤ ~10³ rows at
+    any data size), never the data.  Output ``(pct, est, n_rows)``."""
+    from pyspark.sql import Window
+
+    h = hdr_histogram(df, value)
+    w = Window.orderBy("lb").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = h.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy())
+    )
+    # one plan for all pcts (per-pct branches would each re-scan the
+    # data — Catalyst CSEs neither exchanges nor aggregate subtrees)
+    fanned = cdf.withColumn(
+        "pct", F.explode(F.array(*[F.lit(int(p)) for p in pcts]))
+    )
+    return (
+        fanned.where(100 * F.col("cum") >= F.col("pct") * F.col("n"))
+        .groupBy(F.col("pct").cast("long").alias("pct"))
+        .agg(
+            F.min("lb").cast("long").alias("est"),
+            F.max("n").cast("long").alias("n_rows"),
+        )
+    )

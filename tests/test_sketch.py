@@ -126,3 +126,38 @@ def test_bloom_merges_by_bit_or(spark):
         for r in bloom_build(part, "k").collect():
             merged[r["word"]] = merged.get(r["word"], 0) | r["bits"]
     assert direct == merged
+
+
+def test_hdr_quantiles_error_bound_and_mergeability(spark, sf_dir):
+    """HDR estimates are within the 1/16 relative-error bound of the
+    exact percentile-disc values, and the histogram of a union equals
+    the summed histograms of the parts (mergeability)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from newscrawler_spark.operators.sketch import (
+        hdr_histogram,
+        hdr_quantiles,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    cents_expr = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+    cents = F.expr(cents_expr)
+
+    got = {r["pct"]: r["est"] for r in hdr_quantiles(ev, cents, [50, 90, 99]).collect()}
+    vals = sorted(r["c"] for r in ev.selectExpr(f"{cents_expr} AS c").collect())
+    n = len(vals)
+    for pct, est in got.items():
+        exact = next(v for i, v in enumerate(vals, 1) if 100 * i >= pct * n)
+        assert est <= exact  # bucket lower bound never overshoots
+        assert exact <= est + max(est // 16, 1) + 1  # within one bucket width
+
+    # mergeability: histogram(a ∪ b) == histogram(a) + histogram(b)
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    whole = {r["lb"]: r["cnt"] for r in hdr_histogram(ev, cents).collect()}
+    ha = {r["lb"]: r["cnt"] for r in hdr_histogram(a, cents).collect()}
+    hb = {r["lb"]: r["cnt"] for r in hdr_histogram(b, cents).collect()}
+    merged = {k: ha.get(k, 0) + hb.get(k, 0) for k in set(ha) | set(hb)}
+    assert merged == whole
