@@ -5232,6 +5232,104 @@ GROUP BY pct
 
 SQL_SKETCH_HDR = _sql_sketch_hdr()
 
+_RRF_K = 60
+
+
+def q_search_rrf(spark, sf_dir):
+    """Reciprocal-rank fusion of the BM25 and cosine rankers
+    (operators/search.rrf_fuse, Cormack et al. SIGIR'09) — the
+    score-free hybrid alternative to search_hybrid's weighted blend.
+    Fusion runs on the two top-pool reductions (≤45 rows): ranks over
+    each ranker's pinned score with doc_id ties, full-outer merge,
+    Σ 1/(60+rank); the corpus-scaled work is the rankers' own
+    documented scans."""
+    from newscrawler_spark.operators.search import rrf_fuse
+
+    return rrf_fuse(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        _query_vec(spark, sf_dir),
+        _BM25_TERMS,
+        k=20,
+        kw_pool=_BM25_K,
+        sem_pool=20,
+        k_rrf=_RRF_K,
+    )
+
+
+def _sql_search_rrf() -> str:
+    from newscrawler_spark.functions.rounding import pinned_round_sql
+    from newscrawler_spark.operators.search import BM25_B, BM25_K1, term_pattern
+
+    ws = r"[ \t\n\r\f\x0b]+"
+    idx = range(len(_BM25_TERMS))
+    tf_defs = ",\n         ".join(
+        f"len(regexp_extract_all(lower(text), '{term_pattern(t)}')) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_defs = ",\n         ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}" for i in idx
+    )
+    avgdl = "(CAST(sum_dl AS DOUBLE) / n_docs)"
+    score = "\n       + ".join(
+        f"ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * (tf_{i} * {BM25_K1 + 1.0!r})"
+        f" / (tf_{i} + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * (dl / {avgdl})))"
+        for i in idx
+    )
+    n_hits = " + ".join(f"tf_{i}" for i in idx)
+    kr60 = f"{float(_RRF_K)!r}"
+    return rf"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '{ws}')) END AS dl,
+         {tf_defs}
+  FROM documents),
+s AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+         {df_defs}
+  FROM p),
+sc AS (SELECT doc_id, {n_hits} AS n_hits, {score} AS sc FROM p, s),
+kw AS (
+  SELECT doc_id, {pinned_round_sql("sc", 4)} AS sb
+  FROM sc WHERE n_hits > 0 ORDER BY sc DESC, doc_id LIMIT {_BM25_K}),
+kr AS (SELECT doc_id, row_number() OVER (ORDER BY sb DESC, doc_id) AS r_kw FROM kw),
+q AS (
+  SELECT CAST(unnest(embedding) AS DOUBLE) AS qv,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id = 0),
+e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+d AS (
+  SELECT vec_id, sum(ev * qv) AS dot, sum(ev * ev) AS nn
+  FROM e JOIN q USING (i) GROUP BY vec_id),
+qn AS (SELECT sum(qv * qv) AS qq FROM q),
+sem AS (
+  SELECT vec_id,
+         floor((dot / (sqrt(nn) * sqrt((SELECT qq FROM qn)))) * 10000.0 + 0.5) / 10000.0 AS cosine
+  FROM d ORDER BY cosine DESC, vec_id LIMIT 20),
+sr AS (SELECT vec_id AS doc_id,
+              row_number() OVER (ORDER BY cosine DESC, vec_id) AS r_sem
+       FROM sem),
+f AS (
+  SELECT COALESCE(kr.doc_id, sr.doc_id) AS doc_id, r_kw, r_sem
+  FROM kr FULL OUTER JOIN sr ON kr.doc_id = sr.doc_id),
+g AS (
+  SELECT doc_id, r_kw, r_sem,
+         (CASE WHEN r_kw IS NOT NULL THEN 1.0 / ({kr60} + r_kw) ELSE 0.0 END)
+       + (CASE WHEN r_sem IS NOT NULL THEN 1.0 / ({kr60} + r_sem) ELSE 0.0 END) AS rrf
+  FROM f)
+SELECT doc_id, CAST(r_kw AS BIGINT) AS r_kw, CAST(r_sem AS BIGINT) AS r_sem,
+       {pinned_round_sql("rrf", 4)} AS rrf
+FROM g ORDER BY rrf DESC, doc_id LIMIT 20
+"""
+
+
+SQL_SEARCH_RRF = _sql_search_rrf()
+
 
 # =========================================================================
 # driver contract
@@ -5394,6 +5492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_length_filter": q_pipeline_length_filter,
         "diag_skew": q_diag_skew,
         "sketch_hdr_quantiles": q_sketch_hdr_quantiles,
+        "search_rrf": q_search_rrf,
         "text_topics": q_text_topics,
         "text_entities": q_text_entities,
         "entity_lookup": q_entity_lookup,
@@ -5517,6 +5616,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_length_filter": SQL_LENGTH_FILTER,
         "diag_skew": SQL_DIAG_SKEW,
         "sketch_hdr_quantiles": SQL_SKETCH_HDR,
+        "search_rrf": SQL_SEARCH_RRF,
         "text_topics": SQL_TEXT_TOPICS,
         "text_entities": SQL_TEXT_ENTITIES,
         "entity_lookup": SQL_ENTITY_LOOKUP,

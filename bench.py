@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "pipeline_length_filter",
     "diag_skew",
     "sketch_hdr_quantiles",
+    "search_rrf",
     "pipeline_c4_clean",
     "text_gopher_lines",
     "tokenizer_bpe_pairs",

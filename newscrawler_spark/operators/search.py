@@ -467,3 +467,67 @@ def keywords_tfidf(
     return ranked.where(F.col("rnk") <= top_k).select(
         id_col, "term", "w_tfidf", F.col("rnk").cast("int").alias("rnk")
     )
+
+
+def rrf_fuse(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_vec: list[float],
+    terms: list[str],
+    k: int = 20,
+    kw_pool: int = 25,
+    sem_pool: int = 20,
+    k_rrf: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher SIGIR'09) of
+    the BM25 keyword ranking and the exact cosine semantic ranking —
+    the score-free alternative to ``hybrid_search``'s weighted blend:
+    rrf = Σ 1/(60 + rank_i) over the lists that retrieved the doc,
+    immune to the two scores living on different scales.
+
+    Scale shape: both input rankings are already top-pool reductions
+    (TakeOrderedAndProject), so the fusion operates on ≤ kw_pool +
+    sem_pool rows — the ranks, the full-outer merge, and the final
+    top-k cost nothing at any corpus size; the corpus-scaled work is
+    the two rankers' own documented scans.
+
+    Determinism contract: ranks are assigned over each ranker's PINNED
+    emitted score with doc_id tiebreak (both engines see identical
+    4dp values), and the 1/(60+r) arithmetic is the same IEEE754
+    expression tree in the DuckDB oracle.  Output
+    ``(doc_id, r_kw, r_sem, rrf)`` — null rank = not retrieved by
+    that list."""
+    from pyspark.sql import Window
+
+    from .similarity import cosine_topk
+
+    kw = bm25_rank(docs, terms, k=kw_pool)
+    wk = Window.orderBy(F.desc("score_bm25"), "doc_id")
+    kw_r = kw.select("doc_id", F.row_number().over(wk).alias("r_kw"))
+    sem = cosine_topk(embeddings, query_vec, k=sem_pool)
+    ws = Window.orderBy(F.desc("cosine"), "vec_id")
+    sem_r = sem.select(
+        F.col("vec_id").alias("doc_id"), F.row_number().over(ws).alias("r_sem")
+    )
+    j = kw_r.join(sem_r, "doc_id", "full_outer")
+
+    def _contrib(col: str):
+        return F.when(
+            F.col(col).isNotNull(),
+            F.lit(1.0) / (F.lit(float(k_rrf)) + F.col(col)),
+        ).otherwise(F.lit(0.0))
+
+    rrf = _contrib("r_kw") + _contrib("r_sem")
+    return (
+        j.select(
+            "doc_id",
+            F.col("r_kw").cast("long").alias("r_kw"),
+            F.col("r_sem").cast("long").alias("r_sem"),
+            rrf.alias("_rrf"),
+        )
+        .orderBy(F.desc("_rrf"), "doc_id")
+        .limit(k)
+        .select(
+            "doc_id", "r_kw", "r_sem", pinned_round(F.col("_rrf"), 4).alias("rrf")
+        )
+    )

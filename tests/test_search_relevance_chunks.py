@@ -522,3 +522,43 @@ def test_keywords_tfidf_python_spec(spark):
     assert got == want
     # 'common' appears in every doc -> ln(1) = 0 weight, never ranked 1
     assert all(t != "common" for (d, r), (t, _) in got.items() if r == 1)
+
+
+def test_rrf_consistent_with_standalone_rankers(spark, sf_dir):
+    """RRF ranks reproduce the standalone BM25 and cosine orderings,
+    the rrf value is exactly sum(1/(60+r)), and a doc retrieved by both
+    lists outscores any doc retrieved by one list at equal rank."""
+    import os
+
+    import __spark_entry__ as m
+    from newscrawler_spark.operators.search import bm25_rank
+    from newscrawler_spark.operators.similarity import cosine_topk
+
+    rows = m.q_search_rrf(spark, sf_dir).collect()
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qv = m._query_vec(spark, sf_dir)
+
+    kw = bm25_rank(docs, m._BM25_TERMS, k=m._BM25_K).collect()
+    kw_rank = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(
+            sorted(kw, key=lambda r: (-r["score_bm25"], r["doc_id"]))
+        )
+    }
+    sem = cosine_topk(emb, qv, k=20).collect()
+    sem_rank = {
+        r["vec_id"]: i + 1
+        for i, r in enumerate(sorted(sem, key=lambda r: (-r["cosine"], r["vec_id"])))
+    }
+    for r in rows:
+        assert r["r_kw"] == kw_rank.get(r["doc_id"])
+        assert r["r_sem"] == sem_rank.get(r["doc_id"])
+        want = sum(
+            1.0 / (60.0 + rr) for rr in (r["r_kw"], r["r_sem"]) if rr is not None
+        )
+        assert abs(r["rrf"] - want) < 1e-4
+    both = [r for r in rows if r["r_kw"] and r["r_sem"]]
+    single = [r for r in rows if (r["r_kw"] is None) != (r["r_sem"] is None)]
+    if both and single:
+        assert max(r["rrf"] for r in both) > min(r["rrf"] for r in single)
