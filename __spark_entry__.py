@@ -4076,6 +4076,21 @@ def q_graph_triangles(spark, sf_dir):
     return host_triangles(pages)
 
 
+def q_graph_cocitation(spark, sf_dir):
+    """Host co-citation Jaccard (operators/graph.cocitation_jaccard,
+    Small 1973) — the third classic graph signal next to rank and
+    triangles: hosts linked by the same sources.  Directory hubs with
+    out-degree > 20 are dropped before pairing (the max_df stopword
+    rule for graphs — one D-degree hub emits D² pairs and no signal);
+    in-degrees use the same filtered edges so the denominator is
+    consistent.  DuckDB-oracled via oracle_sql.cocitation_sql."""
+    from newscrawler_spark.operators.graph import cocitation_jaccard
+
+    _, paths = _crawl_store(spark, sf_dir)
+    pages = spark.read.parquet(paths["pages"])
+    return cocitation_jaccard(pages)
+
+
 def q_s4_feed_entries(spark, sf_dir):
     """S4: RSS/Atom feed source — posexplode of <item> entries with
     title/link/pubDate, capped at 20/feed (sources/feeds.feed_entries;
@@ -4186,6 +4201,7 @@ def _corpus_oracle_sql() -> dict[str, str]:
     from newscrawler_spark.oracle_sql import (
         crawl_articles_sql,
         crawl_order_sql,
+        cocitation_sql,
         host_hits_sql,
         host_pagerank_sql,
         host_triangles_sql,
@@ -4312,6 +4328,9 @@ FROM g QUALIFY rnk <= 5
             p["pages"], max_links=crawl_cfg.max_links_per_page
         ),
         "graph_triangles": host_triangles_sql(
+            p["pages"], max_links=crawl_cfg.max_links_per_page
+        ),
+        "graph_cocitation": cocitation_sql(
             p["pages"], max_links=crawl_cfg.max_links_per_page
         ),
         "crawl_articles": crawl_articles_sql(p["pages"], p["seeds"], crawl_cfg),
@@ -5331,6 +5350,49 @@ FROM g ORDER BY rrf DESC, doc_id LIMIT 20
 SQL_SEARCH_RRF = _sql_search_rrf()
 
 
+def q_events_rolling(spark, sf_dir):
+    """Per-user 3-day rolling spend (RANGE window over integer epoch
+    days — event-time, not row-count, so sparse/bursty users get the
+    same semantics): for each event, the count and integer-cents sum
+    of the user's events in [day-2, day].  ONE user-keyed exchange
+    carries the window; integer cents (floor(value·100+0.5)) keep the
+    running sum hash-exact.  The 100 TB shape: bounded range frames
+    stream in one sort pass per partition — no self-join blowup (the
+    naive t1×t2 interval join squares the per-user cost)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+        .cast("long")
+        .alias("day"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("day").rangeBetween(-2, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "day",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_3d"),
+        F.sum("cents").over(w).cast("long").alias("cents_3d"),
+    )
+
+
+SQL_EVENTS_ROLLING = """
+SELECT event_id, user_id, day,
+       CAST(count(*) OVER w AS BIGINT) AS n_3d,
+       CAST(sum(cents) OVER w AS BIGINT) AS cents_3d
+FROM (
+  SELECT event_id, user_id,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY day
+             RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
 # =========================================================================
 # driver contract
 # =========================================================================
@@ -5383,6 +5445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_hosts": q_graph_pagerank,
         "graph_hits": q_graph_hits,
         "graph_triangles": q_graph_triangles,
+        "graph_cocitation": q_graph_cocitation,
         "s1_csv_source": q_s1_csv_source,
         "s2_due_sources": q_s2_due_sources,
         "s4_feed_entries": q_s4_feed_entries,
@@ -5493,6 +5556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diag_skew": q_diag_skew,
         "sketch_hdr_quantiles": q_sketch_hdr_quantiles,
         "search_rrf": q_search_rrf,
+        "events_rolling": q_events_rolling,
         "text_topics": q_text_topics,
         "text_entities": q_text_entities,
         "entity_lookup": q_entity_lookup,
@@ -5617,6 +5681,7 @@ def oracle_sql() -> dict[str, str]:
         "diag_skew": SQL_DIAG_SKEW,
         "sketch_hdr_quantiles": SQL_SKETCH_HDR,
         "search_rrf": SQL_SEARCH_RRF,
+        "events_rolling": SQL_EVENTS_ROLLING,
         "text_topics": SQL_TEXT_TOPICS,
         "text_entities": SQL_TEXT_ENTITIES,
         "entity_lookup": SQL_ENTITY_LOOKUP,

@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "diag_skew",
     "sketch_hdr_quantiles",
     "search_rrf",
+    "events_rolling",
     "pipeline_c4_clean",
     "text_gopher_lines",
     "tokenizer_bpe_pairs",
@@ -130,6 +131,7 @@ BENCH_QUERIES = [
     "graph_pagerank_hosts",
     "graph_hits",
     "graph_triangles",
+    "graph_cocitation",
     "cluster_kmeans",
     "dedup_incremental",
     "dedup_winnow",

@@ -415,3 +415,58 @@ def triangles_from_edges(e: DataFrame) -> DataFrame:
         .groupBy("host")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
+
+
+def cocitation_jaccard(
+    pages: DataFrame,
+    max_links_per_page: int = 100,
+    max_out: int = 20,
+    min_inter: int = 2,
+) -> DataFrame:
+    """Host co-citation similarity: Jaccard of in-link source sets —
+    two hosts are related when the same sources link both (Small 1973's
+    co-citation, the SimRank-0 kernel); complements triangles (local
+    clustering) and rank (global authority) as the third classic graph
+    signal.
+
+    Skew discipline: a directory host linking D others emits D² pairs
+    from one source row, so sources with out-degree > ``max_out`` are
+    DROPPED before pairing — the max_df stopword rule transplanted to
+    graphs (a link-to-everything hub carries no similarity signal, just
+    like 'the' carries no topical signal).  In-degrees are computed
+    over the SAME filtered edge set so the Jaccard denominator is
+    consistent.  Pair shuffle is keyed on the shared source; the
+    per-pair rollup is the standard (a, b) aggregate.  Output
+    ``(host_a, host_b, inter, da, db, jaccard)`` for pairs co-cited ≥
+    ``min_inter`` times."""
+    e = host_link_edges(pages, max_links_per_page).select("src", "dst")
+    keep = e.groupBy("src").agg(F.count(F.lit(1)).alias("outd")).where(
+        F.col("outd") <= max_out
+    )
+    e2 = e.join(F.broadcast(keep.select("src")), "src")
+    deg = e2.groupBy("dst").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a = e2.select("src", F.col("dst").alias("ha"))
+    b = e2.select("src", F.col("dst").alias("hb"))
+    pairs = (
+        a.join(b, "src")
+        .where(F.col("ha") < F.col("hb"))
+        .groupBy("ha", "hb")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+        .where(F.col("inter") >= min_inter)
+    )
+    da = deg.select(F.col("dst").alias("ha"), F.col("d").alias("da"))
+    db = deg.select(F.col("dst").alias("hb"), F.col("d").alias("db"))
+    j = pairs.join(F.broadcast(da), "ha").join(F.broadcast(db), "hb")
+    jac = F.col("inter").cast("double") / (
+        F.col("da") + F.col("db") - F.col("inter")
+    )
+    from newscrawler_spark.functions.rounding import pinned_round
+
+    return j.select(
+        F.col("ha").alias("host_a"),
+        F.col("hb").alias("host_b"),
+        "inter",
+        "da",
+        "db",
+        pinned_round(jac, 4).alias("jaccard"),
+    )

@@ -482,3 +482,31 @@ hosts3 AS (
 SELECT host, CAST(count(*) AS BIGINT) AS n_triangles
 FROM hosts3 GROUP BY host
 """
+
+
+def cocitation_sql(
+    pages_path: str,
+    max_links: int = 100,
+    max_out: int = 20,
+    min_inter: int = 2,
+) -> str:
+    """Co-citation Jaccard as one SQL statement (DuckDB oracle twin of
+    operators/graph.cocitation_jaccard) — shared extraction head, then
+    the max_out source cap, shared-source pairing, and the consistent
+    filtered in-degree denominator."""
+    head = _host_graph_head_sql(pages_path, max_links)
+    return head + f""",
+keep AS (SELECT src FROM edges GROUP BY src HAVING count(*) <= {max_out}),
+e2 AS (SELECT src, dst FROM edges WHERE src IN (SELECT src FROM keep)),
+deg AS (SELECT dst, CAST(count(*) AS BIGINT) AS d FROM e2 GROUP BY dst),
+pr AS (
+  SELECT a.dst AS ha, b.dst AS hb, CAST(count(*) AS BIGINT) AS inter
+  FROM e2 a JOIN e2 b ON a.src = b.src AND a.dst < b.dst
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_inter})
+SELECT ha AS host_a, hb AS host_b, inter,
+       da.d AS da, db.d AS db,
+       floor((CAST(inter AS DOUBLE) / (da.d + db.d - inter)) * 10000.0 + 0.5)
+         / 10000.0 AS jaccard
+FROM pr JOIN deg da ON pr.ha = da.dst JOIN deg db ON pr.hb = db.dst
+"""

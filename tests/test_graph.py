@@ -307,3 +307,46 @@ def test_host_triangles_hand_graph_shapes(spark):
         for r in triangles_from_edges(edges).collect()
     }
     assert got == {"a": 2, "b": 2, "c": 1, "d": 1}
+
+
+def test_cocitation_jaccard_matches_pure_python(spark, tmp_path):
+    """Engine co-citation == pure-Python sets over the engine's own
+    edge relation, including the max_out hub drop and the filtered
+    in-degree denominator."""
+    from newscrawler_spark.operators.graph import (
+        cocitation_jaccard,
+        host_link_edges,
+    )
+    from newscrawler_spark.sources.corpus import generate_corpus
+
+    p = generate_corpus(str(tmp_path / "corpus"), n_pages=300, n_hosts=6, seed=19)
+    pages = spark.read.parquet(p["pages"])
+    max_out, min_inter = 3, 1
+    got = {
+        (r["host_a"], r["host_b"]): (r["inter"], r["da"], r["db"], r["jaccard"])
+        for r in cocitation_jaccard(
+            pages, max_out=max_out, min_inter=min_inter
+        ).collect()
+    }
+
+    edges = [(r["src"], r["dst"]) for r in host_link_edges(pages).collect()]
+    out: dict = {}
+    for s, d in edges:
+        out.setdefault(s, set()).add(d)
+    kept = {s: ds for s, ds in out.items() if len(ds) <= max_out}
+    in_links: dict = {}
+    for s, ds in kept.items():
+        for d in ds:
+            in_links.setdefault(d, set()).add(s)
+    want = {}
+    hosts = sorted(in_links)
+    for i, a in enumerate(hosts):
+        for b in hosts[i + 1 :]:
+            inter = len(in_links[a] & in_links[b])
+            if inter >= min_inter:
+                un = len(in_links[a]) + len(in_links[b]) - inter
+                import math
+
+                jac = math.floor((inter / un) * 10000.0 + 0.5) / 10000.0
+                want[(a, b)] = (inter, len(in_links[a]), len(in_links[b]), jac)
+    assert got == want
