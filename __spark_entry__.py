@@ -5393,6 +5393,114 @@ WINDOW w AS (PARTITION BY user_id ORDER BY day
 """
 
 
+def q_storage_diff(spark, sf_dir):
+    """Targeted snapshot diff (operators/reconcile.table_diff) — the
+    second pass the checksum promises: snapshot B is a deterministic
+    tamper of documents (update stripe %97=13, delete stripe %101=7,
+    insert stripe %103=11); fingerprints flag the disagreeing buckets,
+    then both sides are FILTERED to those buckets before the
+    (doc_id, content-md5) anti-joins — with bucketed storage the row
+    diff reads changed/64ths of each table, never the whole 100 TB."""
+    from newscrawler_spark.operators.reconcile import table_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    upd = F.when(
+        did % 97 == 13, F.concat("text", F.lit(" [tampered]"))
+    ).otherwise(F.col("text"))
+    b_base = docs.where(did % 101 != 7).select(
+        "doc_id", upd.alias("text")
+    )
+    b_ins = (
+        _t(spark, sf_dir, "documents")
+        .where(did % 103 == 11)
+        .select(
+            (did + 2000000).alias("doc_id"),
+            F.concat(F.lit("added:"), F.col("source")).alias("text"),
+        )
+    )
+    return table_diff(docs, b_base.unionByName(b_ins))
+
+
+SQL_STORAGE_DIFF = """
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 13 THEN text || ' [tampered]'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 101 != 7
+  UNION ALL
+  SELECT doc_id + 2000000, 'added:' || source
+  FROM documents WHERE doc_id % 103 = 11),
+ka AS (
+  SELECT doc_id % 64 AS bucket, doc_id, md5(COALESCE(text, '')) AS cmd5
+  FROM documents),
+kb AS (
+  SELECT doc_id % 64 AS bucket, doc_id, md5(COALESCE(text, '')) AS cmd5
+  FROM b),
+fa AS (
+  SELECT bucket,
+         bit_xor(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+           || ':' || cmd5), 1, 15)) AS BIGINT)) AS h, count(*) AS n
+  FROM ka GROUP BY 1),
+fb AS (
+  SELECT bucket,
+         bit_xor(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+           || ':' || cmd5), 1, 15)) AS BIGINT)) AS h, count(*) AS n
+  FROM kb GROUP BY 1),
+ch AS (
+  SELECT COALESCE(fa.bucket, fb.bucket) AS bucket
+  FROM fa FULL OUTER JOIN fb ON fa.bucket = fb.bucket
+  WHERE fa.h IS NULL OR fb.h IS NULL OR fa.h != fb.h OR fa.n != fb.n)
+SELECT CAST(ka.bucket AS BIGINT) AS bucket, ka.doc_id, 'a' AS side
+FROM ka JOIN ch ON ka.bucket = ch.bucket
+WHERE NOT EXISTS (SELECT 1 FROM kb
+                  WHERE kb.doc_id = ka.doc_id AND kb.cmd5 = ka.cmd5)
+UNION ALL
+SELECT CAST(kb.bucket AS BIGINT) AS bucket, kb.doc_id, 'b' AS side
+FROM kb JOIN ch ON kb.bucket = ch.bucket
+WHERE NOT EXISTS (SELECT 1 FROM ka
+                  WHERE ka.doc_id = kb.doc_id AND ka.cmd5 = kb.cmd5)
+"""
+
+# 20 of the synthetic corpus's 31 distinct words: the tail 11 are OOV,
+# so the gate row checks real per-doc fractions (500 would be vacuous —
+# every word in-vocab, zero OOV everywhere)
+_VOCAB_SIZE = 20
+
+
+def q_tokenizer_coverage(spark, sf_dir):
+    """Vocab coverage / OOV-rate report (operators/tokenizer.
+    vocab_coverage): per-doc fraction of tokens outside the corpus
+    top-500 word vocabulary — the report that drives vocab-size and
+    merge-count decisions.  Fit-then-score (dsir/bm25 pattern): one
+    token aggregate → TakeOrdered vocab → broadcast probe on the
+    scoring scan."""
+    from newscrawler_spark.operators.tokenizer import vocab_coverage
+
+    return vocab_coverage(_t(spark, sf_dir, "documents"), _VOCAB_SIZE)
+
+
+SQL_TOKENIZER_COVERAGE = rf"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)),
+                        '[ \t\n\r\f\x0b]+')) AS w
+  FROM documents WHERE trim(text) != ''),
+v AS (
+  SELECT w FROM (
+    SELECT w, count(*) AS c FROM w GROUP BY w
+    ORDER BY c DESC, w LIMIT {_VOCAB_SIZE})),
+pd AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+  FROM w LEFT JOIN v ON w.w = v.w
+  GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_oov,
+       floor((CAST(n_oov AS DOUBLE) / n_tokens) * 10000.0 + 0.5) / 10000.0
+         AS oov_frac
+FROM pd
+"""
+
+
 # =========================================================================
 # driver contract
 # =========================================================================
@@ -5557,6 +5665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hdr_quantiles": q_sketch_hdr_quantiles,
         "search_rrf": q_search_rrf,
         "events_rolling": q_events_rolling,
+        "storage_diff": q_storage_diff,
+        "tokenizer_coverage": q_tokenizer_coverage,
         "text_topics": q_text_topics,
         "text_entities": q_text_entities,
         "entity_lookup": q_entity_lookup,
@@ -5682,6 +5792,8 @@ def oracle_sql() -> dict[str, str]:
         "sketch_hdr_quantiles": SQL_SKETCH_HDR,
         "search_rrf": SQL_SEARCH_RRF,
         "events_rolling": SQL_EVENTS_ROLLING,
+        "storage_diff": SQL_STORAGE_DIFF,
+        "tokenizer_coverage": SQL_TOKENIZER_COVERAGE,
         "text_topics": SQL_TEXT_TOPICS,
         "text_entities": SQL_TEXT_ENTITIES,
         "entity_lookup": SQL_ENTITY_LOOKUP,

@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "sketch_hdr_quantiles",
     "search_rrf",
     "events_rolling",
+    "storage_diff",
+    "tokenizer_coverage",
     "pipeline_c4_clean",
     "text_gopher_lines",
     "tokenizer_bpe_pairs",

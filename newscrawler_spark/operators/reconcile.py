@@ -64,3 +64,57 @@ def table_checksum(docs: DataFrame, buckets: int = 64) -> DataFrame:
             F.max("doc_id").cast("long").alias("id_hi"),
         )
     )
+
+
+def table_diff(
+    snap_a: DataFrame, snap_b: DataFrame, buckets: int = 64
+) -> DataFrame:
+    """The targeted second pass ``table_checksum`` promises: given two
+    snapshots, compare the per-bucket fingerprints, then row-diff ONLY
+    the buckets whose fingerprints differ — rows present on one side
+    but not the other (by doc_id + content md5), tagged with their
+    side.
+
+    Scale shape: the first pass is two checksum aggregates (scan-only,
+    64-row outputs); the row diff filters both sides to the changed
+    buckets BEFORE the anti-joins, so with doc_id-bucketed storage the
+    second pass reads changed-buckets/``buckets`` of each table —
+    partition pruning turns a 100 TB diff into a scan of just the
+    disagreeing slices.  The anti-joins key on (doc_id, content_md5):
+    hash-partitioned, no broadcast of anything row-scaled (the changed
+    bucket list itself is ≤ 64 values, broadcast as an IN filter).
+    Output ``(bucket, doc_id, side)`` — 'a' = only in A (deleted or
+    old content), 'b' = only in B (inserted or new content).
+    """
+    fa = table_checksum(snap_a, buckets).select(
+        "bucket", F.col("xor_hash").alias("ha"), F.col("n_rows").alias("na")
+    )
+    fb = table_checksum(snap_b, buckets).select(
+        "bucket", F.col("xor_hash").alias("hb"), F.col("n_rows").alias("nb")
+    )
+    changed = (
+        fa.join(fb, "bucket", "full_outer")
+        .where(
+            (F.col("ha").isNull())
+            | (F.col("hb").isNull())
+            | (F.col("ha") != F.col("hb"))
+            | (F.col("na") != F.col("nb"))
+        )
+        .select("bucket")
+    )
+
+    def _keyed(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.pmod(F.col("doc_id"), F.lit(buckets)).cast("long").alias("bucket"),
+            "doc_id",
+            F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("cmd5"),
+        ).join(F.broadcast(changed), "bucket")
+
+    ka, kb = _keyed(snap_a), _keyed(snap_b)
+    only_a = ka.join(kb, ["doc_id", "cmd5"], "left_anti").select(
+        "bucket", "doc_id", F.lit("a").alias("side")
+    )
+    only_b = kb.join(ka, ["doc_id", "cmd5"], "left_anti").select(
+        "bucket", "doc_id", F.lit("b").alias("side")
+    )
+    return only_a.unionByName(only_b)

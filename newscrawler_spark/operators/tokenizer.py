@@ -245,3 +245,42 @@ def collocations_pmi(
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(top_k)
     )
+
+
+def vocab_coverage(docs: DataFrame, vocab_size: int = 500) -> DataFrame:
+    """Per-document OOV rate against the corpus top-``vocab_size`` word
+    vocabulary — the coverage report every tokenizer build ends with
+    (what fraction of the stream falls outside the vocab drives the
+    UNK rate and therefore vocab-size/merge decisions).
+
+    Fit-then-score, two deliberate corpus scans (the dsir/bm25
+    pattern): the vocabulary is ONE token-count aggregate reduced to a
+    TakeOrdered top-K — deterministic (count desc, word asc) — and
+    broadcasts back as a build-side hash probe; scoring re-scans with
+    a map-side join, so nothing token-scaled shuffles twice.  Output
+    ``(doc_id, n_tokens, n_oov, oov_frac)`` with the fraction pinned
+    to 4dp."""
+    from newscrawler_spark.functions.rounding import pinned_round
+
+    t = F.lower(F.trim(F.col("text")))
+    words = docs.where(t != "").select(
+        "doc_id", F.explode(F.split(t, _WS)).alias("w")
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(vocab_size)
+        .select("w", F.lit(1).alias("iv"))
+    )
+    j = words.join(F.broadcast(vocab), "w", "left")
+    per_doc = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("iv").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+    )
+    frac = F.col("n_oov").cast("double") / F.col("n_tokens")
+    return per_doc.select(
+        "doc_id", "n_tokens", "n_oov", pinned_round(frac, 4).alias("oov_frac")
+    )

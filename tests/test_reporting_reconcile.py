@@ -204,3 +204,47 @@ def test_skew_report_hand_data(spark):
     assert r["cnt"] == 600 and r["share_bp"] == 6000
     # ceil(600*10/1000) = 6 sub-keys -> largest slice ~100 = fair share
     assert r["salt"] == 6
+
+
+def test_table_diff_finds_exact_rows(spark):
+    """Update shows as (a, b) pair; delete as a; insert as b; identical
+    rows never appear."""
+    from newscrawler_spark.operators.reconcile import table_diff
+
+    a = spark.createDataFrame(
+        [Row(doc_id=i, text=f"body {i}") for i in range(100)],
+        "doc_id long, text string",
+    )
+    b_rows = (
+        [Row(doc_id=i, text=f"body {i}") for i in range(100) if i != 7]  # del 7
+        + [Row(doc_id=200, text="inserted")]                              # ins
+    )
+    b_rows = [
+        Row(doc_id=r.doc_id, text=("CHANGED" if r.doc_id == 13 else r.text))
+        for r in b_rows
+    ]
+    b = spark.createDataFrame(b_rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["side"]) for r in table_diff(a, b, buckets=8).collect()}
+    assert got == {(7, "a"), (13, "a"), (13, "b"), (200, "b")}
+
+
+def test_vocab_coverage_hand_corpus(spark):
+    """With vocab_size=2 the two most frequent words are in-vocab and
+    everything else counts as OOV; fractions are exact."""
+    from newscrawler_spark.operators.tokenizer import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat the dog"),
+            Row(doc_id=2, text="the cat zebra"),
+            Row(doc_id=3, text="quark"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in vocab_coverage(docs, vocab_size=2).collect()}
+    # freqs: the=3, cat=2, dog=1, zebra=1, quark=1 -> vocab {the, cat}
+    assert (got[1]["n_tokens"], got[1]["n_oov"]) == (4, 1)
+    assert (got[2]["n_tokens"], got[2]["n_oov"]) == (3, 1)
+    assert (got[3]["n_tokens"], got[3]["n_oov"]) == (1, 1)
+    assert got[1]["oov_frac"] == 0.25
+    assert got[3]["oov_frac"] == 1.0
