@@ -445,3 +445,48 @@ def test_checksum_single_scan_partial_agg(spark, sf_dir):
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "partial_bit_xor" in plan or "partial" in plan.lower(), plan
+
+
+def test_rolling_window_single_exchange(spark, sf_dir):
+    """The RANGE-frame rolling aggregate must shuffle once on user_id
+    over one scan — bounded frames stream in the partition sort pass."""
+    import __spark_entry__ as m
+
+    plan = (
+        m.q_events_rolling(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan  # never the interval self-join shape
+
+
+def test_graph_pair_ops_no_nested_loop(spark, sf_dir):
+    """Triangles and co-citation must plan hash joins only — a
+    BroadcastNestedLoopJoin would mean a non-equi pair blowup."""
+    import __spark_entry__ as m
+
+    for qname in ("graph_triangles", "graph_cocitation"):
+        df = m.queries()[qname](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, (qname, plan)
+        assert "CartesianProduct" not in plan, (qname, plan)
+
+
+def test_storage_diff_bucket_filter_is_broadcast(spark, sf_dir):
+    """The changed-bucket list must reach both snapshot scans as a
+    broadcast hash join (the partition-pruning surrogate), and the row
+    anti-joins must be keyed (no nested loop)."""
+    import __spark_entry__ as m
+
+    plan = (
+        m.q_storage_diff(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftAnti" in plan, plan
