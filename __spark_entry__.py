@@ -1557,6 +1557,55 @@ FROM wq, zt
 
 SQL_PIPELINE_MIX = _sql_pipeline_domain_mix()
 
+# ~the sf0.01 corpus token mass: temperature flattening pushes small
+# domains past one epoch (epochs_bp > 10000) and large ones under, so
+# the gate row checks both regimes of the repetition arithmetic
+_MIX_BUDGET_TOKENS = 25_000
+
+
+def q_pipeline_mix_budget(spark, sf_dir):
+    """Token-budget allocation under the temperature mix
+    (operators/packing.mix_budget): per-domain integer token grants
+    budget·q div Σq over the same sqrt-smoothing grid as domain_mix,
+    and the implied epochs in basis points (>10000 = deliberate data
+    repetition on flattened-up small domains).  Pure integer division —
+    engine-exact; one corpus reduction + #domains-row windows."""
+    from newscrawler_spark.operators.packing import mix_budget
+
+    return mix_budget(_t(spark, sf_dir, "documents"), _MIX_BUDGET_TOKENS)
+
+
+def _sql_pipeline_mix_budget() -> str:
+    from newscrawler_spark.operators.packing import MIX_ALPHA_SCALE
+
+    ws = r"[ \t\n\r\f\x0b]+"
+    return rf"""
+WITH per AS (
+  SELECT source AS domain,
+         CAST(sum(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '{ws}')) END) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY 1),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM per),
+wq AS (
+  SELECT domain, n_tokens,
+         CAST(floor(sqrt(n_tokens / CAST(total AS DOUBLE)) * {float(MIX_ALPHA_SCALE)})
+              AS BIGINT) AS q
+  FROM per, tot),
+zt AS (SELECT CAST(sum(q) AS BIGINT) AS z FROM wq),
+al AS (
+  SELECT domain, n_tokens,
+         CAST(CAST({_MIX_BUDGET_TOKENS} AS BIGINT) * q // z AS BIGINT)
+           AS alloc_tokens
+  FROM wq, zt)
+SELECT domain, n_tokens, alloc_tokens,
+       CAST(alloc_tokens * 10000 // n_tokens AS BIGINT) AS epochs_bp
+FROM al
+"""
+
+
+SQL_PIPELINE_MIX_BUDGET = _sql_pipeline_mix_budget()
+
 
 def q_text_gopher_ngrams(spark, sf_dir):
     """Gopher table-A1 n-gram repetition rules
@@ -5667,6 +5716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling": q_events_rolling,
         "storage_diff": q_storage_diff,
         "tokenizer_coverage": q_tokenizer_coverage,
+        "pipeline_mix_budget": q_pipeline_mix_budget,
         "text_topics": q_text_topics,
         "text_entities": q_text_entities,
         "entity_lookup": q_entity_lookup,
@@ -5794,6 +5844,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling": SQL_EVENTS_ROLLING,
         "storage_diff": SQL_STORAGE_DIFF,
         "tokenizer_coverage": SQL_TOKENIZER_COVERAGE,
+        "pipeline_mix_budget": SQL_PIPELINE_MIX_BUDGET,
         "text_topics": SQL_TEXT_TOPICS,
         "text_entities": SQL_TEXT_ENTITIES,
         "entity_lookup": SQL_ENTITY_LOOKUP,

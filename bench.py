@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "events_rolling",
     "storage_diff",
     "tokenizer_coverage",
+    "pipeline_mix_budget",
     "pipeline_c4_clean",
     "text_gopher_lines",
     "tokenizer_bpe_pairs",

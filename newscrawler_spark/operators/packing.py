@@ -155,3 +155,45 @@ def shuffle_assign(
     return base.select(
         "doc_id", "shard", "sort_key", F.row_number().over(w).cast("long").alias("pos")
     )
+
+
+def mix_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Token-budget allocation for a temperature-flattened training
+    mix — the planning step after :func:`domain_mix`: given a global
+    training budget, how many tokens to draw from each domain and how
+    many epochs of that domain's data that implies (epochs > 1 = the
+    deliberate data repetition temperature flattening causes on small
+    domains, the quantity scaling-law work budgets for).
+
+    All allocation arithmetic is INTEGER: alloc = budget·q div Σq over
+    the same floor(sqrt(p)·1e9) smoothing grid as ``domain_mix``, and
+    epochs are basis points ``alloc·10⁴ div n_tokens`` — so the plan is
+    engine-exact and the gate hashes it.  Same two-stage shape as
+    domain_mix: ONE corpus reduction, then whole-frame windows over the
+    #domains-row table.  Output ``(domain, n_tokens, alloc_tokens,
+    epochs_bp)``."""
+    per = docs.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.sum(ws_token_count(F.col(text_col))).cast("long").alias("n_tokens")
+    )
+    wall = Window.partitionBy(F.lit(0))
+    scaled = per.withColumn(
+        "total", F.sum("n_tokens").over(wall).cast("long")
+    ).withColumn(
+        "q",
+        F.floor(
+            F.sqrt(F.col("n_tokens") / F.col("total")) * F.lit(float(MIX_ALPHA_SCALE))
+        ).cast("long"),
+    )
+    z = F.sum("q").over(wall).cast("long")
+    alloc = F.expr(f"CAST({budget_tokens} AS BIGINT) * q div z")
+    return (
+        scaled.withColumn("z", z)
+        .withColumn("alloc_tokens", alloc.cast("long"))
+        .withColumn("epochs_bp", F.expr("alloc_tokens * 10000 div n_tokens"))
+        .select("domain", "n_tokens", "alloc_tokens", "epochs_bp")
+    )

@@ -165,3 +165,22 @@ def test_shuffle_assign_single_exchange(spark):
     df = spark.createDataFrame([Row(doc_id=i) for i in range(10)])
     plan = _plan(shuffle_assign(df), "simple")
     assert plan.count("Exchange") == 1, plan
+
+
+def test_mix_budget_allocation_properties(spark, sf_dir):
+    """Allocations never exceed the budget (floor rounding), track the
+    sqrt-flattened shares (smaller domain => higher epochs), and
+    epochs_bp = alloc*1e4 // n_tokens exactly."""
+    import os
+
+    from newscrawler_spark.operators.packing import mix_budget
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    budget = 25_000
+    rows = mix_budget(docs, budget).collect()
+    assert sum(r["alloc_tokens"] for r in rows) <= budget
+    for r in rows:
+        assert r["epochs_bp"] == r["alloc_tokens"] * 10000 // r["n_tokens"]
+    smallest = min(rows, key=lambda r: r["n_tokens"])
+    largest = max(rows, key=lambda r: r["n_tokens"])
+    assert smallest["epochs_bp"] > largest["epochs_bp"]
