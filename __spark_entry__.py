@@ -1607,6 +1607,7 @@ FROM al
 SQL_PIPELINE_MIX_BUDGET = _sql_pipeline_mix_budget()
 
 
+
 def q_text_gopher_ngrams(spark, sf_dir):
     """Gopher table-A1 n-gram repetition rules
     (operators/quality.gopher_ngram_stats): top-2-gram and duplicated
@@ -1916,6 +1917,85 @@ FROM sc WHERE n_hits > 0 ORDER BY sc DESC, doc_id LIMIT {_BM25_K}
 
 
 SQL_SEARCH_BM25 = _sql_search_bm25()
+
+def q_search_bm25f(spark, sf_dir):
+    """BM25F field-weighted ranking (operators/search.bm25f_rank,
+    Zaragoza CIKM'04): title (w=2, b=0.5) and body (w=1, b=0.75)
+    combine at the tf level then saturate ONCE — a per-field BM25 sum
+    would over-reward the same term in both fields.  Same plan shape
+    as bm25: codegen field projections, one broadcast stats row,
+    TakeOrderedAndProject."""
+    from newscrawler_spark.operators.search import bm25f_rank
+
+    return bm25f_rank(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=_BM25_K)
+
+
+def _sql_search_bm25f() -> str:
+    from newscrawler_spark.functions.rounding import pinned_round_sql
+    from newscrawler_spark.operators.search import (
+        BM25_K1,
+        BM25F_B_BODY,
+        BM25F_B_TITLE,
+        BM25F_W_BODY,
+        BM25F_W_TITLE,
+        TITLE_LEN,
+        term_pattern,
+    )
+
+    ws = r"[ \t\n\r\f\x0b]+"
+    idx = range(len(_BM25_TERMS))
+    ws_count = (
+        "CASE WHEN trim({f}) = '' THEN 0 "
+        "ELSE len(regexp_split_to_array(trim({f}), '" + ws + "')) END"
+    )
+    tf_defs = ",\n         ".join(
+        f"len(regexp_extract_all(tl, '{term_pattern(t)}')) AS tt_{i},\n         "
+        f"len(regexp_extract_all(bl, '{term_pattern(t)}')) AS tb_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_defs = ",\n         ".join(
+        f"sum(CASE WHEN tt_{i} + tb_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in idx
+    )
+    avg_lt = "(CAST(sum_lt AS DOUBLE) / n_docs)"
+    avg_lb = "(CAST(sum_lb AS DOUBLE) / n_docs)"
+    bt = f"({1.0 - BM25F_B_TITLE!r} + {BM25F_B_TITLE!r} * (lt / {avg_lt}))"
+    bb = f"({1.0 - BM25F_B_BODY!r} + {BM25F_B_BODY!r} * (lb / {avg_lb}))"
+    score_terms = []
+    for i in idx:
+        tfc = (
+            f"({BM25F_W_TITLE!r} * (tt_{i} / {bt})"
+            f" + {BM25F_W_BODY!r} * (tb_{i} / {bb}))"
+        )
+        idf = f"ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        score_terms.append(f"{idf} * {tfc} / ({BM25_K1!r} + {tfc})")
+    score = "\n       + ".join(score_terms)
+    n_hits = " + ".join(f"tt_{i} + tb_{i}" for i in idx)
+    return rf"""
+WITH fl AS (
+  SELECT doc_id,
+         lower(substring(text, 1, {TITLE_LEN})) AS tl,
+         lower(substring(text, {TITLE_LEN + 1}, 2000000000)) AS bl
+  FROM documents),
+p AS (
+  SELECT doc_id,
+         {ws_count.format(f="tl")} AS lt,
+         {ws_count.format(f="bl")} AS lb,
+         {tf_defs}
+  FROM fl),
+s AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(lt) AS BIGINT) AS sum_lt, CAST(sum(lb) AS BIGINT) AS sum_lb,
+         {df_defs}
+  FROM p),
+sc AS (SELECT doc_id, {n_hits} AS n_hits, {score} AS sc FROM p, s)
+SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+       {pinned_round_sql("sc", 4)} AS score_bm25f
+FROM sc WHERE n_hits > 0 ORDER BY sc DESC, doc_id LIMIT {_BM25_K}
+"""
+
+
+SQL_SEARCH_BM25F = _sql_search_bm25f()
 
 
 def q_index_postings(spark, sf_dir):
@@ -5717,6 +5797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "storage_diff": q_storage_diff,
         "tokenizer_coverage": q_tokenizer_coverage,
         "pipeline_mix_budget": q_pipeline_mix_budget,
+        "search_bm25f": q_search_bm25f,
         "text_topics": q_text_topics,
         "text_entities": q_text_entities,
         "entity_lookup": q_entity_lookup,
@@ -5845,6 +5926,7 @@ def oracle_sql() -> dict[str, str]:
         "storage_diff": SQL_STORAGE_DIFF,
         "tokenizer_coverage": SQL_TOKENIZER_COVERAGE,
         "pipeline_mix_budget": SQL_PIPELINE_MIX_BUDGET,
+        "search_bm25f": SQL_SEARCH_BM25F,
         "text_topics": SQL_TEXT_TOPICS,
         "text_entities": SQL_TEXT_ENTITIES,
         "entity_lookup": SQL_ENTITY_LOOKUP,

@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "storage_diff",
     "tokenizer_coverage",
     "pipeline_mix_budget",
+    "search_bm25f",
     "pipeline_c4_clean",
     "text_gopher_lines",
     "tokenizer_bpe_pairs",

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from newscrawler_spark.functions.rounding import pinned_round
@@ -529,5 +529,92 @@ def rrf_fuse(
         .limit(k)
         .select(
             "doc_id", "r_kw", "r_sem", pinned_round(F.col("_rrf"), 4).alias("rrf")
+        )
+    )
+
+
+BM25F_W_TITLE = 2.0
+BM25F_W_BODY = 1.0
+BM25F_B_TITLE = 0.5
+BM25F_B_BODY = 0.75
+
+
+def bm25f_rank(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    k: int = 20,
+) -> DataFrame:
+    """BM25F — field-weighted BM25 (Zaragoza et al. CIKM'04, the
+    ranker behind structured-document search everywhere Lucene's
+    per-field boosts are used): the title field (the reference UI's
+    headline match, weight 2.0, gentle length normalisation b=0.5)
+    and the body (weight 1.0, b=0.75) combine at the TERM-FREQUENCY
+    level — tf_c = Σ_f w_f·tf_f/B_f with B_f the per-field length
+    norm — then saturate once: idf · tf_c/(k1 + tf_c).  Combining
+    before saturation is the point of BM25F (a per-field BM25 sum
+    over-rewards matching the same term in both fields).
+
+    Fields are deterministic char splits of ``text`` (title =
+    first TITLE_LEN chars — the frozen title_expr contract — body =
+    the rest), so the DuckDB oracle reproduces them byte-for-byte.
+    Same plan shape as :func:`bm25_rank`: codegen per-field tf/len
+    projections, ONE broadcast stats row, TakeOrderedAndProject —
+    nothing corpus-scaled shuffles."""
+    lt_col = F.lower(F.substring(F.col(text_col), 1, TITLE_LEN))
+    lb_col = F.lower(F.substring(F.col(text_col), TITLE_LEN + 1, 2_000_000_000))
+
+    def _tf(field: Column, t: str):
+        return F.size(
+            F.regexp_extract_all(field, F.lit(term_pattern(t)), F.lit(0))
+        )
+
+    perdoc = docs.select(
+        "doc_id",
+        ws_token_count(lt_col).alias("lt"),
+        ws_token_count(lb_col).alias("lb"),
+        *[_tf(lt_col, t).alias(f"tt_{i}") for i, t in enumerate(terms)],
+        *[_tf(lb_col, t).alias(f"tb_{i}") for i, t in enumerate(terms)],
+    )
+    stats = perdoc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("lt").alias("sum_lt"),
+        F.sum("lb").alias("sum_lb"),
+        *[
+            F.sum(((F.col(f"tt_{i}") + F.col(f"tb_{i}")) > 0).cast("int")).alias(
+                f"df_{i}"
+            )
+            for i in range(len(terms))
+        ],
+    )
+    scored = perdoc.crossJoin(F.broadcast(stats))
+    avg_lt = F.col("sum_lt").cast("double") / F.col("n_docs")
+    avg_lb = F.col("sum_lb").cast("double") / F.col("n_docs")
+    bt_norm = F.lit(1.0 - BM25F_B_TITLE) + F.lit(BM25F_B_TITLE) * (
+        F.col("lt") / avg_lt
+    )
+    bb_norm = F.lit(1.0 - BM25F_B_BODY) + F.lit(BM25F_B_BODY) * (
+        F.col("lb") / avg_lb
+    )
+    score = F.lit(0.0)
+    n_hits = F.lit(0)
+    for i in range(len(terms)):
+        tt, tb, df = F.col(f"tt_{i}"), F.col(f"tb_{i}"), F.col(f"df_{i}")
+        tfc = F.lit(BM25F_W_TITLE) * (tt / bt_norm) + F.lit(BM25F_W_BODY) * (
+            tb / bb_norm
+        )
+        idf = F.log(
+            F.lit(1.0) + (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5))
+        )
+        score = score + idf * tfc / (F.lit(k1) + tfc)
+        n_hits = n_hits + tt + tb
+    return (
+        scored.select("doc_id", n_hits.cast("long").alias("n_hits"), score.alias("_s"))
+        .where(F.col("n_hits") > 0)
+        .orderBy(F.desc("_s"), "doc_id")
+        .limit(k)
+        .select(
+            "doc_id", "n_hits", pinned_round(F.col("_s"), 4).alias("score_bm25f")
         )
     )

@@ -562,3 +562,26 @@ def test_rrf_consistent_with_standalone_rankers(spark, sf_dir):
     single = [r for r in rows if (r["r_kw"] is None) != (r["r_sem"] is None)]
     if both and single:
         assert max(r["rrf"] for r in both) > min(r["rrf"] for r in single)
+
+
+def test_bm25f_title_weighting(spark):
+    """A term in the title (first 60 chars) outranks the same single
+    occurrence deep in the body, given equal doc shapes — the w_title=2
+    field boost; a doc without the term never appears."""
+    from pyspark.sql import Row
+
+    from newscrawler_spark.operators.search import bm25f_rank
+
+    filler = "lorem ipsum dolor sit amet " * 4          # > 60 chars
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="zebra " + filler),       # term in title
+            Row(doc_id=2, text=filler + " zebra"),       # term in body
+            Row(doc_id=3, text=filler),                  # no term
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25f_rank(docs, ["zebra"], k=10).collect()
+    got = {r["doc_id"]: r["score_bm25f"] for r in rows}
+    assert set(got) == {1, 2}
+    assert got[1] > got[2]
