@@ -4161,6 +4161,22 @@ def q_crawl_logs(spark, sf_dir):
     return store.read_rounds(spark, "crawl_logs")
 
 
+def q_crawl_budget_report(spark, sf_dir):
+    """Politeness audit (W2 attestation in the gate): per (round,
+    host) admitted-fetch counts from the seen store — the observable
+    consequence of the per-host token budget; the DuckDB twin re-counts
+    them from the unrolled-SQL crawl replay, so a budget-admission
+    divergence in ANY round flips this row red.  One aggregate over the
+    (already tiny) admitted relation."""
+    from newscrawler_spark.crawler import read_crawl_order
+
+    store, _ = _crawl_store(spark, sf_dir)
+    o = read_crawl_order(spark, store)
+    return o.groupBy(
+        F.col("round_id").cast("long").alias("round_id"), "host"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_admitted"))
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Integer-exact PageRank over the corpus host link graph — the
     link-structure frontier-priority signal (the reference's static
@@ -4330,6 +4346,7 @@ def _corpus_oracle_sql() -> dict[str, str]:
     from newscrawler_spark.oracle_sql import (
         crawl_articles_sql,
         crawl_order_sql,
+        crawl_sql,
         cocitation_sql,
         host_hits_sql,
         host_pagerank_sql,
@@ -4450,6 +4467,13 @@ FROM g QUALIFY rnk <= 5
         # statement (newscrawler_spark/oracle_sql.py): global fetch
         # order and article rows incl. the weighted quality score.
         "crawl_order": crawl_order_sql(p["pages"], p["seeds"], crawl_cfg),
+        "crawl_budget_report": (
+            "SELECT CAST(round_id AS BIGINT) AS round_id,"
+            " source_domain AS host,"
+            " CAST(count(*) AS BIGINT) AS n_admitted FROM ("
+            + crawl_sql(p["pages"], p["seeds"], crawl_cfg)
+            + ") GROUP BY 1, 2"
+        ),
         "graph_pagerank_hosts": host_pagerank_sql(
             p["pages"], max_links=crawl_cfg.max_links_per_page
         ),
@@ -5679,6 +5703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_articles": q_crawl_articles,
         "crawl_order": q_crawl_order,
         "crawl_logs": q_crawl_logs,
+        "crawl_budget_report": q_crawl_budget_report,
         "graph_pagerank_hosts": q_graph_pagerank,
         "graph_hits": q_graph_hits,
         "graph_triangles": q_graph_triangles,

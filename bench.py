@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "tokenizer_coverage",
     "pipeline_mix_budget",
     "search_bm25f",
+    "crawl_budget_report",
     "pipeline_c4_clean",
     "text_gopher_lines",
     "tokenizer_bpe_pairs",

@@ -80,3 +80,16 @@ def test_global_order_is_total_and_deterministic(spark, skewed_frontier):
     assert out1[0]["fetch_seq"] == 11
     keys = [(r["priority"], r["discovered_round"], r["url_hash"]) for r in out1]
     assert keys == sorted(keys)
+
+
+def test_budget_report_respects_host_budget(spark, sf_dir):
+    """Every (round, host) admitted count in the gate's crawl store is
+    within the config's per-host budget (round_budget=8, no robots
+    delay above 1 in the gate corpus ⇒ budget 8)."""
+    import __spark_entry__ as m
+
+    rows = m.q_crawl_budget_report(spark, sf_dir).collect()
+    assert rows
+    budget = m._GATE_CRAWL_ARGS["round_budget"]
+    for r in rows:
+        assert 0 < r["n_admitted"] <= budget, (r, budget)
