@@ -1998,6 +1998,110 @@ FROM sc WHERE n_hits > 0 ORDER BY sc DESC, doc_id LIMIT {_BM25_K}
 SQL_SEARCH_BM25F = _sql_search_bm25f()
 
 
+def q_quality_percentile_norm(spark, sf_dir):
+    """Per-source quality-score calibration (the FineWeb-style fix for
+    mixing heterogeneous sources: raw scores aren't comparable across
+    sources, percentile ranks are): each doc's strictly-below rank in
+    its source's quality distribution, in basis points.  The CDF runs
+    over the DISTINCT (source, 4dp-score) VALUE table (≤10⁴ values per
+    source at the pinned grid — metadata scale), then broadcasts back:
+    the corpus never shuffles (the ccnet/length-filter lesson, third
+    application)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    qd = docs.select(
+        "doc_id", "source", quality_score(F.col("text")).alias("q")
+    )
+    vt = qd.groupBy("source", "q").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("source")
+    cdf = (
+        vt.withColumn("cum", F.sum("c").over(w))
+        .withColumn("n", F.sum("c").over(wn))
+        .withColumn("cum_lt", F.col("cum") - F.col("c"))
+    )
+    bounds = cdf.select(
+        "source", "q", F.expr("10000 * cum_lt div n").cast("long").alias("pct_bp")
+    )
+    return qd.join(F.broadcast(bounds), ["source", "q"]).select(
+        "doc_id", "source", "q", "pct_bp"
+    )
+
+
+SQL_QUALITY_PCTNORM = r"""
+WITH m AS (
+  SELECT doc_id, source, length(text) AS n_chars,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+    len(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0b]+')) AS toks,
+    len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS stop
+  FROM documents),
+qd AS (
+  SELECT doc_id, source,
+    floor((0.4 * least(n_chars / 500.0, 1.0)
+        + 0.3 * (CASE WHEN n_chars > 0 THEN n_alpha * 1.0 / n_chars ELSE 0.0 END)
+        + 0.3 * (CASE WHEN toks > 0 THEN least(stop * 8.0 / toks, 1.0) ELSE 0.0 END))
+        * 10000.0 + 0.5) / 10000.0 AS q
+  FROM m),
+vt AS (SELECT source, q, count(*) AS c FROM qd GROUP BY 1, 2),
+cdf AS (
+  SELECT source, q, c,
+         sum(c) OVER (PARTITION BY source ORDER BY q
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS cum_lt,
+         sum(c) OVER (PARTITION BY source) AS n
+  FROM vt)
+SELECT doc_id, qd.source, qd.q,
+       CAST(10000 * cum_lt // n AS BIGINT) AS pct_bp
+FROM qd JOIN cdf ON qd.source = cdf.source AND qd.q = cdf.q
+"""
+
+
+def q_events_topk_daily(spark, sf_dir):
+    """Top-3 spenders per day — grouped top-k through a rank window
+    with the filter ON the rank: Spark 3.5+ rewrites this to
+    WindowGroupLimit (each mapper keeps only k rows per group BEFORE
+    the shuffle), so the exchange carries ≤ k·groups rows instead of
+    the corpus — the grouped twin of TakeOrderedAndProject
+    (plan-asserted).  Integer cents, (spend, user) deterministic
+    order."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+        .cast("long")
+        .alias("day"),
+        "user_id",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    spend = ev.groupBy("day", "user_id").agg(
+        F.sum("cents").cast("long").alias("cents")
+    )
+    w = Window.partitionBy("day").orderBy(F.desc("cents"), "user_id")
+    return (
+        spend.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .withColumn("rnk", F.col("rnk").cast("long"))
+    )
+
+
+SQL_EVENTS_TOPK_DAILY = """
+WITH s AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, user_id,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2)
+SELECT day, user_id, cents, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT day, user_id, cents,
+         row_number() OVER (PARTITION BY day ORDER BY cents DESC, user_id) AS rnk
+  FROM s)
+WHERE rnk <= 3
+"""
+
+
 def q_index_postings(spark, sf_dir):
     """Positional inverted index (operators/search.build_postings):
     (term, doc) rows with tf, sorted 1-based positions, and df — the
@@ -5823,6 +5927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_coverage": q_tokenizer_coverage,
         "pipeline_mix_budget": q_pipeline_mix_budget,
         "search_bm25f": q_search_bm25f,
+        "quality_percentile_norm": q_quality_percentile_norm,
+        "events_topk_daily": q_events_topk_daily,
         "text_topics": q_text_topics,
         "text_entities": q_text_entities,
         "entity_lookup": q_entity_lookup,
@@ -5952,6 +6058,8 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_coverage": SQL_TOKENIZER_COVERAGE,
         "pipeline_mix_budget": SQL_PIPELINE_MIX_BUDGET,
         "search_bm25f": SQL_SEARCH_BM25F,
+        "quality_percentile_norm": SQL_QUALITY_PCTNORM,
+        "events_topk_daily": SQL_EVENTS_TOPK_DAILY,
         "text_topics": SQL_TEXT_TOPICS,
         "text_entities": SQL_TEXT_ENTITIES,
         "entity_lookup": SQL_ENTITY_LOOKUP,

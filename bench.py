@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "pipeline_mix_budget",
     "search_bm25f",
     "crawl_budget_report",
+    "quality_percentile_norm",
+    "events_topk_daily",
     "pipeline_c4_clean",
     "text_gopher_lines",
     "tokenizer_bpe_pairs",

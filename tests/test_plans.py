@@ -490,3 +490,18 @@ def test_storage_diff_bucket_filter_is_broadcast(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "LeftAnti" in plan, plan
+
+
+def test_grouped_topk_uses_window_group_limit(spark, sf_dir):
+    """rank<=k on a row_number window must trigger Spark's
+    WindowGroupLimit rewrite — mappers keep k rows per group before
+    the shuffle, the grouped twin of TakeOrderedAndProject."""
+    import __spark_entry__ as m
+
+    plan = (
+        m.q_events_topk_daily(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan

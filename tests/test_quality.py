@@ -279,3 +279,30 @@ def test_url_filter_verdict_precedence(spark):
         2: "kept",
         3: "blocked_host",
     }
+
+
+def test_percentile_norm_matches_python_cdf(spark, sf_dir):
+    """pct_bp equals the strictly-below integer CDF computed in pure
+    Python over the same pinned scores, per source."""
+    import os
+
+    import __spark_entry__ as m
+    from newscrawler_spark.functions.text import quality_score
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    scores = [
+        (r["source"], r["doc_id"], r["q"])
+        for r in docs.select(
+            "source", "doc_id", quality_score(F.col("text")).alias("q")
+        ).collect()
+    ]
+    by_src: dict = {}
+    for s, d, q in scores:
+        by_src.setdefault(s, []).append(q)
+    got = {r["doc_id"]: r["pct_bp"] for r in
+           m.q_quality_percentile_norm(spark, sf_dir).collect()}
+    for s, d, q in scores:
+        vals = by_src[s]
+        want = 10000 * sum(1 for v in vals if v < q) // len(vals)
+        assert got[d] == want, (d, got[d], want)
