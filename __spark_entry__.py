@@ -2102,6 +2102,57 @@ WHERE rnk <= 3
 """
 
 
+def q_events_mad(spark, sf_dir):
+    """Robust MAD anomaly flags (operators/events.mad_anomalies) — the
+    median twin of events_zscore: mean/σ are dragged by the outliers
+    they flag; median/MAD have a 50% breakdown point.  Integer cents
+    throughout; BOTH medians come from the distinct-value CDF — the
+    deviation distribution is derived from the value table itself, so
+    the corpus is scanned twice total (value table + broadcast-dim flag
+    pass), never windowed per type."""
+    from newscrawler_spark.operators.events import mad_anomalies
+
+    return mad_anomalies(_t(spark, sf_dir, "events"), k=3)
+
+
+SQL_EVENTS_MAD = """
+WITH v AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents
+  FROM events),
+vt AS (SELECT event_type, v_cents, count(*) AS c FROM v GROUP BY 1, 2),
+mc AS (
+  SELECT event_type, v_cents, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY v_cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM vt),
+med AS (
+  SELECT event_type,
+         CAST(min(CASE WHEN 2 * cum >= n THEN v_cents END) AS BIGINT) AS med
+  FROM mc GROUP BY event_type),
+dv AS (
+  SELECT vt.event_type, abs(v_cents - med) AS adev, CAST(sum(c) AS BIGINT) AS c
+  FROM vt JOIN med ON vt.event_type = med.event_type
+  GROUP BY 1, 2),
+dc AS (
+  SELECT event_type, adev, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY adev
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM dv),
+mad AS (
+  SELECT event_type,
+         CAST(min(CASE WHEN 2 * cum >= n THEN adev END) AS BIGINT) AS mad
+  FROM dc GROUP BY event_type)
+SELECT v.event_id, v.user_id, v.event_type, v.v_cents, med.med, mad.mad,
+       CAST(abs(v_cents - med) AS BIGINT) AS adev
+FROM v JOIN med ON v.event_type = med.event_type
+       JOIN mad ON v.event_type = mad.event_type
+WHERE abs(v_cents - med) > 3 * mad
+"""
+
+
 def q_index_postings(spark, sf_dir):
     """Positional inverted index (operators/search.build_postings):
     (term, doc) rows with tf, sorted 1-based positions, and df — the
@@ -5929,6 +5980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25f": q_search_bm25f,
         "quality_percentile_norm": q_quality_percentile_norm,
         "events_topk_daily": q_events_topk_daily,
+        "events_mad": q_events_mad,
         "text_topics": q_text_topics,
         "text_entities": q_text_entities,
         "entity_lookup": q_entity_lookup,
@@ -6060,6 +6112,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25f": SQL_SEARCH_BM25F,
         "quality_percentile_norm": SQL_QUALITY_PCTNORM,
         "events_topk_daily": SQL_EVENTS_TOPK_DAILY,
+        "events_mad": SQL_EVENTS_MAD,
         "text_topics": SQL_TEXT_TOPICS,
         "text_entities": SQL_TEXT_ENTITIES,
         "entity_lookup": SQL_ENTITY_LOOKUP,

@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "crawl_budget_report",
     "quality_percentile_norm",
     "events_topk_daily",
+    "events_mad",
     "pipeline_c4_clean",
     "text_gopher_lines",
     "tokenizer_bpe_pairs",

@@ -349,3 +349,69 @@ def pivot_daily_counts(
             ]
         )
     )
+
+
+def _disc_median_over_counts(
+    vt: DataFrame, grp: str, val: str, cnt: str, out: str
+) -> DataFrame:
+    """Percentile-disc median from a (group, value, count) table: the
+    smallest value whose cumulative count reaches half the group total
+    — integer arithmetic on the VALUE table, never a row window over
+    the data (the distinct-value-CDF pattern)."""
+    w = (
+        Window.partitionBy(grp)
+        .orderBy(val)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy(grp)
+    cdf = vt.withColumn("__cum", F.sum(cnt).over(w)).withColumn(
+        "__n", F.sum(cnt).over(wn)
+    )
+    return cdf.groupBy(grp).agg(
+        F.min(F.when(2 * F.col("__cum") >= F.col("__n"), F.col(val)))
+        .cast("long")
+        .alias(out)
+    )
+
+
+def mad_anomalies(events: DataFrame, k: int = 3) -> DataFrame:
+    """Median-absolute-deviation anomaly flags per event type — the
+    ROBUST twin of :func:`zscore_anomalies`: mean/stddev are themselves
+    dragged by the outliers they're meant to flag (one 1000× spike
+    inflates σ enough to hide 10× spikes); median and MAD have a 50%
+    breakdown point.
+
+    Everything is integer cents.  Both medians come from the
+    DISTINCT-value CDF: the per-type value table gives the median, and
+    the DEVIATION distribution is derived from that same value table
+    (|v − med| with counts re-aggregated — no second corpus pass for
+    the MAD), so the corpus is scanned exactly twice: once into the
+    value table, once for the final broadcast-dim flag filter.  Output
+    ``(event_id, user_id, event_type, v_cents, med, mad, adev)`` for
+    rows with ``adev > k·mad``."""
+    v = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("v_cents"),
+    )
+    vt = v.groupBy("event_type", "v_cents").agg(F.count(F.lit(1)).alias("c"))
+    med = _disc_median_over_counts(vt, "event_type", "v_cents", "c", "med")
+    dv = (
+        vt.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("v_cents") - F.col("med")).alias("adev"),
+            "c",
+        )
+        .groupBy("event_type", "adev")
+        .agg(F.sum("c").alias("c"))
+    )
+    mad = _disc_median_over_counts(dv, "event_type", "adev", "c", "mad")
+    dim = med.join(mad, "event_type")
+    out = v.join(F.broadcast(dim), "event_type").withColumn(
+        "adev", F.abs(F.col("v_cents") - F.col("med")).cast("long")
+    )
+    return out.where(F.col("adev") > k * F.col("mad")).select(
+        "event_id", "user_id", "event_type", "v_cents", "med", "mad", "adev"
+    )

