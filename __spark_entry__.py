@@ -2102,6 +2102,65 @@ WHERE rnk <= 3
 """
 
 
+def q_olap_q5_revenue(spark, sf_dir):
+    """TPC-H-Q5-shaped star join — per-nation 1996 revenue for the
+    ASIA region: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region.  The
+    OLAP join-surface demo: the date predicate PUSHES DOWN to the
+    orders parquet scan (plan-asserted), the two dims broadcast
+    explicitly, and the two big-table joins (lineitem⋈orders on
+    orderkey, ⋈customer on custkey) are left declarative for
+    Catalyst/AQE to size — at 100 TB lineitem⋈orders is the classic
+    co-partitionable (bucket both on orderkey) shuffle join.  Revenue
+    is exact integer: cents × (100 − discount-points), never a double
+    sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = F.expr(
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+        " * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))"
+    )
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]
+        )
+        .join(
+            F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+        )
+    )
+    return j.groupBy("n_name").agg(
+        F.sum(rev).cast("long").alias("revenue_scaled"),
+        F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+    )
+
+
+SQL_OLAP_Q5 = """
+SELECT n_name,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+            * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
+         AS revenue_scaled,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
 def q_events_mad(spark, sf_dir):
     """Robust MAD anomaly flags (operators/events.mad_anomalies) — the
     median twin of events_zscore: mean/σ are dragged by the outliers
@@ -5981,6 +6040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_percentile_norm": q_quality_percentile_norm,
         "events_topk_daily": q_events_topk_daily,
         "events_mad": q_events_mad,
+        "olap_q5_revenue": q_olap_q5_revenue,
         "text_topics": q_text_topics,
         "text_entities": q_text_entities,
         "entity_lookup": q_entity_lookup,
@@ -6113,6 +6173,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_percentile_norm": SQL_QUALITY_PCTNORM,
         "events_topk_daily": SQL_EVENTS_TOPK_DAILY,
         "events_mad": SQL_EVENTS_MAD,
+        "olap_q5_revenue": SQL_OLAP_Q5,
         "text_topics": SQL_TEXT_TOPICS,
         "text_entities": SQL_TEXT_ENTITIES,
         "entity_lookup": SQL_ENTITY_LOOKUP,

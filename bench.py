@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "quality_percentile_norm",
     "events_topk_daily",
     "events_mad",
+    "olap_q5_revenue",
     "pipeline_c4_clean",
     "text_gopher_lines",
     "tokenizer_bpe_pairs",

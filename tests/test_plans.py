@@ -505,3 +505,16 @@ def test_grouped_topk_uses_window_group_limit(spark, sf_dir):
         .toString()
     )
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_olap_q5_pushdown_and_broadcasts(spark, sf_dir):
+    """The date predicate must reach the orders parquet scan as a
+    pushed filter; nation/region join as broadcasts; no nested loop."""
+    import __spark_entry__ as m
+
+    df = m.q_olap_q5_revenue(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+    assert "LessThan(o_orderdate" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
