@@ -2161,6 +2161,72 @@ GROUP BY n_name
 """
 
 
+def q_olap_q1_pricing(spark, sf_dir):
+    """TPC-H-Q1-shaped pricing summary — the canonical single-scan
+    multi-aggregate: per (returnflag, linestatus), exact integer sums
+    of qty, base price (cents), discounted price (cents ×
+    (100−disc-points)) and charge (× (100+tax-points)) plus row count
+    and pinned 4dp averages.  ONE map-side-combined shuffle of
+    |flag×status| groups; every money expression is integer (a double
+    sum diverges from DuckDB in the last ulp at row-count scale)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= "2000-12-01"
+    )
+    qty = F.expr("CAST(floor(l_quantity + 0.5) AS BIGINT)")
+    ep = F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+    disc = F.expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)")
+    tax = F.expr("CAST(floor(l_tax * 100 + 0.5) AS BIGINT)")
+    disc_price = ep * (F.lit(100) - disc)
+    charge = ep * (F.lit(100) - disc) * (F.lit(100) + tax)
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("long").alias("sum_qty"),
+        F.sum(ep).cast("long").alias("sum_base_cents"),
+        F.sum(disc_price).cast("long").alias("sum_disc_scaled"),
+        F.sum(charge).cast("long").alias("sum_charge_scaled"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    avg_qty = F.col("sum_qty").cast("double") / F.col("n_rows")
+    avg_price = F.col("sum_base_cents").cast("double") / F.col("n_rows")
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_cents",
+        "sum_disc_scaled",
+        "sum_charge_scaled",
+        "n_rows",
+        pinned_round(avg_qty, 4).alias("avg_qty"),
+        pinned_round(avg_price, 4).alias("avg_price_cents"),
+    )
+
+
+SQL_OLAP_Q1 = """
+WITH a AS (
+  SELECT l_returnflag, l_linestatus,
+    CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      AS sum_base_cents,
+    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+         * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
+      AS sum_disc_scaled,
+    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+         * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+         * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT))) AS BIGINT)
+      AS sum_charge_scaled,
+    CAST(count(*) AS BIGINT) AS n_rows
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+  GROUP BY 1, 2)
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_cents,
+       sum_disc_scaled, sum_charge_scaled, n_rows,
+       floor((CAST(sum_qty AS DOUBLE) / n_rows) * 10000.0 + 0.5) / 10000.0
+         AS avg_qty,
+       floor((CAST(sum_base_cents AS DOUBLE) / n_rows) * 10000.0 + 0.5)
+         / 10000.0 AS avg_price_cents
+FROM a
+"""
+
+
 def q_events_mad(spark, sf_dir):
     """Robust MAD anomaly flags (operators/events.mad_anomalies) — the
     median twin of events_zscore: mean/σ are dragged by the outliers
@@ -6041,6 +6107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_topk_daily": q_events_topk_daily,
         "events_mad": q_events_mad,
         "olap_q5_revenue": q_olap_q5_revenue,
+        "olap_q1_pricing": q_olap_q1_pricing,
         "text_topics": q_text_topics,
         "text_entities": q_text_entities,
         "entity_lookup": q_entity_lookup,
@@ -6174,6 +6241,7 @@ def oracle_sql() -> dict[str, str]:
         "events_topk_daily": SQL_EVENTS_TOPK_DAILY,
         "events_mad": SQL_EVENTS_MAD,
         "olap_q5_revenue": SQL_OLAP_Q5,
+        "olap_q1_pricing": SQL_OLAP_Q1,
         "text_topics": SQL_TEXT_TOPICS,
         "text_entities": SQL_TEXT_ENTITIES,
         "entity_lookup": SQL_ENTITY_LOOKUP,

@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "events_topk_daily",
     "events_mad",
     "olap_q5_revenue",
+    "olap_q1_pricing",
     "pipeline_c4_clean",
     "text_gopher_lines",
     "tokenizer_bpe_pairs",
