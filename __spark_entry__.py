@@ -2227,6 +2227,97 @@ FROM a
 """
 
 
+def q_olap_q3_shipping(spark, sf_dir):
+    """TPC-H-Q3-shaped shipping priority — top-10 unshipped BUILDING
+    orders by revenue at the 1998-01-01 cutoff: the ordered-limit-
+    over-join shape (join → group → TakeOrderedAndProject keeps only
+    k rows per partition through the final exchange — no global sort
+    materializes).  Both date predicates push to their scans; revenue
+    is the exact integer cents × discount-points contract."""
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-01-01")
+    rev = F.expr(
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+        " * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))"
+    )
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    )
+    return (
+        j.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("long").alias("revenue_scaled"))
+        .orderBy(F.desc("revenue_scaled"), "o_orderkey")
+        .limit(10)
+    )
+
+
+SQL_OLAP_Q3 = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+            * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
+         AS revenue_scaled
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue_scaled DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_graph_reciprocity(spark, sf_dir):
+    """Per-host link reciprocity (operators/graph edge relation) —
+    the classic web-graph statistic (directed edges whose reverse also
+    exists; organic communities reciprocate, spam nets rarely do):
+    out-degree, reciprocated count, and the pinned 4dp fraction per
+    source host.  A self left-semi join of the host edge set on the
+    swapped key pair — O(host-graph), hash-keyed."""
+    from newscrawler_spark.functions.rounding import pinned_round
+    from newscrawler_spark.operators.graph import host_link_edges
+
+    _, paths = _crawl_store(spark, sf_dir)
+    e = host_link_edges(spark.read.parquet(paths["pages"])).select("src", "dst")
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("out_deg"))
+    rc = recip.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_recip")
+    )
+    j = outd.join(rc, "src", "left").withColumn(
+        "n_recip", F.coalesce("n_recip", F.lit(0)).cast("long")
+    )
+    frac = F.col("n_recip").cast("double") / F.col("out_deg")
+    return j.select(
+        F.col("src").alias("host"),
+        "out_deg",
+        "n_recip",
+        pinned_round(frac, 4).alias("reciprocity"),
+    )
+
+
+def q_crawl_depth_report(spark, sf_dir):
+    """Frontier depth/status report: per (round, status) counts over
+    the ADMITTED urls in the seen store — the round-by-round expansion
+    curve an operator watches; re-counted by the unrolled-SQL crawl
+    replay, so a per-round status divergence (short-content threshold,
+    missing recovery) in any round flips the row."""
+    store, _ = _crawl_store(spark, sf_dir)
+    seen = store.read_rounds(spark, "seen")
+    return (
+        seen.where(F.col("fetch_seq").isNotNull())
+        .groupBy(F.col("round_id").cast("long").alias("round_id"), "status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+    )
+
+
 def q_events_mad(spark, sf_dir):
     """Robust MAD anomaly flags (operators/events.mad_anomalies) — the
     median twin of events_zscore: mean/σ are dragged by the outliers
@@ -4628,6 +4719,7 @@ def _corpus_oracle_sql() -> dict[str, str]:
         crawl_order_sql,
         crawl_sql,
         cocitation_sql,
+        reciprocity_sql,
         host_hits_sql,
         host_pagerank_sql,
         host_triangles_sql,
@@ -4765,6 +4857,15 @@ FROM g QUALIFY rnk <= 5
         ),
         "graph_cocitation": cocitation_sql(
             p["pages"], max_links=crawl_cfg.max_links_per_page
+        ),
+        "graph_reciprocity": reciprocity_sql(
+            p["pages"], max_links=crawl_cfg.max_links_per_page
+        ),
+        "crawl_depth_report": (
+            "SELECT CAST(round_id AS BIGINT) AS round_id, status,"
+            " CAST(count(*) AS BIGINT) AS n_urls FROM ("
+            + crawl_sql(p["pages"], p["seeds"], crawl_cfg)
+            + ") GROUP BY 1, 2"
         ),
         "crawl_articles": crawl_articles_sql(p["pages"], p["seeds"], crawl_cfg),
     }
@@ -6108,6 +6209,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mad": q_events_mad,
         "olap_q5_revenue": q_olap_q5_revenue,
         "olap_q1_pricing": q_olap_q1_pricing,
+        "olap_q3_shipping": q_olap_q3_shipping,
+        "graph_reciprocity": q_graph_reciprocity,
+        "crawl_depth_report": q_crawl_depth_report,
         "text_topics": q_text_topics,
         "text_entities": q_text_entities,
         "entity_lookup": q_entity_lookup,
@@ -6242,6 +6346,7 @@ def oracle_sql() -> dict[str, str]:
         "events_mad": SQL_EVENTS_MAD,
         "olap_q5_revenue": SQL_OLAP_Q5,
         "olap_q1_pricing": SQL_OLAP_Q1,
+        "olap_q3_shipping": SQL_OLAP_Q3,
         "text_topics": SQL_TEXT_TOPICS,
         "text_entities": SQL_TEXT_ENTITIES,
         "entity_lookup": SQL_ENTITY_LOOKUP,

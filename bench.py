@@ -130,6 +130,9 @@ BENCH_QUERIES = [
     "events_mad",
     "olap_q5_revenue",
     "olap_q1_pricing",
+    "olap_q3_shipping",
+    "graph_reciprocity",
+    "crawl_depth_report",
     "pipeline_c4_clean",
     "text_gopher_lines",
     "tokenizer_bpe_pairs",

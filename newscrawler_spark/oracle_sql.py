@@ -510,3 +510,23 @@ SELECT ha AS host_a, hb AS host_b, inter,
          / 10000.0 AS jaccard
 FROM pr JOIN deg da ON pr.ha = da.dst JOIN deg db ON pr.hb = db.dst
 """
+
+
+def reciprocity_sql(pages_path: str, max_links: int = 100) -> str:
+    """Per-host link reciprocity (DuckDB oracle twin of
+    q_graph_reciprocity) — shared extraction head, then the swapped-key
+    EXISTS probe and the pinned 4dp fraction."""
+    head = _host_graph_head_sql(pages_path, max_links)
+    return head + """,
+e AS (SELECT src, dst FROM edges),
+outd AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY src),
+rc AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS n_recip
+  FROM e WHERE EXISTS (SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src)
+  GROUP BY src)
+SELECT outd.src AS host, out_deg,
+       CAST(COALESCE(n_recip, 0) AS BIGINT) AS n_recip,
+       floor((CAST(COALESCE(n_recip, 0) AS DOUBLE) / out_deg) * 10000.0 + 0.5)
+         / 10000.0 AS reciprocity
+FROM outd LEFT JOIN rc ON outd.src = rc.src
+"""

@@ -350,3 +350,39 @@ def test_cocitation_jaccard_matches_pure_python(spark, tmp_path):
                 jac = math.floor((inter / un) * 10000.0 + 0.5) / 10000.0
                 want[(a, b)] = (inter, len(in_links[a]), len(in_links[b]), jac)
     assert got == want
+
+
+def test_reciprocity_matches_pure_python(spark, tmp_path):
+    """Engine reciprocity == pure-Python sets over the engine's own
+    edge relation."""
+    from newscrawler_spark.operators.graph import host_link_edges
+    import __spark_entry__ as m
+    import math
+
+    # use the gate store's pages via the entry query itself at sf0.001
+    got = {
+        r["host"]: (r["out_deg"], r["n_recip"], r["reciprocity"])
+        for r in m.q_graph_reciprocity(spark, "/root/testdata/sf0.001").collect()
+    }
+    store, paths = m._crawl_store(spark, "/root/testdata/sf0.001")
+    edges = {
+        (r["src"], r["dst"])
+        for r in host_link_edges(
+            spark.read.parquet(paths["pages"])
+        ).collect()
+    }
+    outd: dict = {}
+    rec: dict = {}
+    for s, d in edges:
+        outd[s] = outd.get(s, 0) + 1
+        if (d, s) in edges:
+            rec[s] = rec.get(s, 0) + 1
+    want = {
+        s: (
+            outd[s],
+            rec.get(s, 0),
+            math.floor((rec.get(s, 0) / outd[s]) * 10000.0 + 0.5) / 10000.0,
+        )
+        for s in outd
+    }
+    assert got == want

@@ -518,3 +518,17 @@ def test_olap_q5_pushdown_and_broadcasts(spark, sf_dir):
     assert "LessThan(o_orderdate" in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_olap_q3_take_ordered_limit(spark, sf_dir):
+    """The ordered top-10 must plan as TakeOrderedAndProject — never a
+    global Sort followed by a limit."""
+    import __spark_entry__ as m
+
+    plan = (
+        m.q_olap_q3_shipping(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
