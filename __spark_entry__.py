@@ -2273,6 +2273,43 @@ LIMIT 10
 """
 
 
+def q_olap_q9_volume(spark, sf_dir):
+    """TPC-H-Q9-shaped supplier volume — per (supplier nation, ship
+    year) revenue: lineitem ⋈ supplier on suppkey (the big-table
+    shuffle; bucket-on-suppkey co-partitionable at 100 TB) with the
+    nation dim broadcast; year() grouping is exact integer in both
+    engines.  Exercises the supplier table's join path."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.expr(
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+        " * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))"
+    )
+    j = li.join(supp, li["l_suppkey"] == supp["s_suppkey"]).join(
+        F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"]
+    )
+    return j.groupBy(
+        "n_name", F.year("l_shipdate").cast("long").alias("ship_year")
+    ).agg(
+        F.sum(rev).cast("long").alias("revenue_scaled"),
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+    )
+
+
+SQL_OLAP_Q9 = """
+SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+            * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
+         AS revenue_scaled,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
 def q_graph_reciprocity(spark, sf_dir):
     """Per-host link reciprocity (operators/graph edge relation) —
     the classic web-graph statistic (directed edges whose reverse also
@@ -4315,6 +4352,48 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_streaming_enrich(spark, sf_dir):
+    """Stream-static broadcast enrichment (streaming/rounds.
+    enriched_stream_counts): the event stream joined per micro-batch
+    against a static user-tier dim (broadcast once, NO streaming
+    state on the dim side) → watermarked hourly rollup per tier.
+    Per-batch equivalence to the batch join is what the oracle
+    computes."""
+    from newscrawler_spark.streaming.rounds import (
+        enriched_stream_counts,
+        run_to_completion,
+    )
+
+    stage = os.path.join(tempfile.gettempdir(), f"nc_stream_{_stable_id(sf_dir)}")
+    dst = os.path.join(stage, "events.parquet")
+    _stage_events(sf_dir, dst)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    tiers = (
+        _t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn(
+            "tier",
+            F.when(F.col("user_id") % 3 == 0, F.lit("gold"))
+            .when(F.col("user_id") % 3 == 1, F.lit("silver"))
+            .otherwise(F.lit("bronze")),
+        )
+    )
+    agg = enriched_stream_counts(spark, stage, schema, tiers, window="1 hour")
+    return run_to_completion(agg, f"enrich_{_stable_id(sf_dir)}")
+
+
+SQL_STREAMING_ENRICH = """
+SELECT make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) * 1000000) AS win_start,
+       CASE WHEN user_id % 3 = 0 THEN 'gold'
+            WHEN user_id % 3 = 1 THEN 'silver'
+            ELSE 'bronze' END AS tier,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS total_value_e4
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_streaming_append(spark, sf_dir):
     """T4 scale-safe form: the same tumbling-window agg in APPEND mode
     to a parquet file sink — each window is emitted exactly once when
@@ -6098,6 +6177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_json_sink": q_s7_json_sink,
         # --- streaming + multimodal (previously truncated) ---
         "streaming_windowed": q_streaming_windowed,
+        "streaming_enrich": q_streaming_enrich,
         "streaming_append": q_streaming_append,
         "streaming_dedup": q_streaming_dedup,
         "mm_media_features": q_mm_media_features,
@@ -6210,6 +6290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_q5_revenue": q_olap_q5_revenue,
         "olap_q1_pricing": q_olap_q1_pricing,
         "olap_q3_shipping": q_olap_q3_shipping,
+        "olap_q9_volume": q_olap_q9_volume,
         "graph_reciprocity": q_graph_reciprocity,
         "crawl_depth_report": q_crawl_depth_report,
         "text_topics": q_text_topics,
@@ -6347,6 +6428,7 @@ def oracle_sql() -> dict[str, str]:
         "olap_q5_revenue": SQL_OLAP_Q5,
         "olap_q1_pricing": SQL_OLAP_Q1,
         "olap_q3_shipping": SQL_OLAP_Q3,
+        "olap_q9_volume": SQL_OLAP_Q9,
         "text_topics": SQL_TEXT_TOPICS,
         "text_entities": SQL_TEXT_ENTITIES,
         "entity_lookup": SQL_ENTITY_LOOKUP,
@@ -6372,6 +6454,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_media_features": SQL_MM_FEATURES,
         "mm_frame_sample": SQL_MM_FRAMES,
         "streaming_windowed": SQL_STREAMING,
+        "streaming_enrich": SQL_STREAMING_ENRICH,
         "streaming_append": SQL_STREAMING_APPEND,
         "streaming_dedup": SQL_STREAMING_DEDUP,
         **_corpus_oracle_sql(),

@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "sim_ann_lsh",
     "mm_media_features",
     "streaming_windowed",
+    "streaming_enrich",
     # round-3 additions: scale-safe streaming sink + RAG surface
     "streaming_append",
     "streaming_join",
@@ -131,6 +132,7 @@ BENCH_QUERIES = [
     "olap_q5_revenue",
     "olap_q1_pricing",
     "olap_q3_shipping",
+    "olap_q9_volume",
     "graph_reciprocity",
     "crawl_depth_report",
     "pipeline_c4_clean",

@@ -347,3 +347,41 @@ def session_window_counts(
             "n_errors",
         )
     )
+
+
+def enriched_stream_counts(
+    spark: SparkSession,
+    events_dir: str,
+    schema: str,
+    dim: DataFrame,
+    dim_key: str = "user_id",
+    dim_col: str = "tier",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-STATIC broadcast enrichment → watermarked tumbling-window
+    rollup — the standard dimension-join pattern (user/device/geo
+    lookup on an event stream).  The static side broadcasts once and
+    joins per micro-batch with NO streaming state (unlike
+    stream-stream joins there is nothing to watermark on the dim
+    side), so the only state is the windowed aggregate's — bounded by
+    the watermark horizon.  Per-batch results equal the batch join,
+    which is exactly what the DuckDB oracle computes."""
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    joined = stream.join(F.broadcast(dim), dim_key)
+    return (
+        joined.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), dim_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 10000).cast("long")).alias(
+                "total_value_e4"
+            ),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            dim_col,
+            "n",
+            "total_value_e4",
+        )
+    )
