@@ -2273,6 +2273,62 @@ LIMIT 10
 """
 
 
+def q_pipeline_dataset_card(spark, sf_dir):
+    """Dataset card — the summary artifact every corpus release ships
+    (HF dataset cards, C4/Pile datasheets): per language, doc and
+    exact-integer token counts, distinct content fingerprints (the
+    dedup rate's numerator), and the pinned mean quality score.  ONE
+    scan → one lang-keyed aggregate; the distinct-fingerprint count
+    plans as the two-stage distinct rewrite keyed on the aggregate's
+    own (lang, fp) superset — no second scan, no extra corpus
+    exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "lang",
+        ws_token_count(F.col("text")).alias("ws"),
+        fingerprint(F.col("text")).alias("fp"),
+        quality_score(F.col("text")).alias("q"),
+    )
+    # mean over the e4-scaled integer scores: a double-sum mean is
+    # partition-merge-order-dependent; the integer sum is exact
+    q4 = F.expr("CAST(floor(q * 10000 + 0.5) AS BIGINT)")
+    agg = enriched.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ws").cast("long").alias("total_tokens"),
+        F.countDistinct("fp").cast("long").alias("n_unique_fp"),
+        F.sum(q4).cast("long").alias("sum_q_e4"),
+    )
+    return agg.withColumn(
+        "avg_quality_e4", F.expr("sum_q_e4 div n_docs")
+    ).drop("sum_q_e4")
+
+
+SQL_DATASET_CARD = r"""
+WITH m AS (
+  SELECT lang,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0b]+')) END AS ws,
+    md5(regexp_replace(lower(trim(text)), '[ \t\n\r\f\x0b]+', ' ', 'g')) AS fp,
+    floor((0.4 * least(length(text) / 500.0, 1.0)
+        + 0.3 * (CASE WHEN length(text) > 0
+                 THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                      / length(text) ELSE 0.0 END)
+        + 0.3 * (CASE WHEN len(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0b]+')) > 0
+                 THEN least(len(regexp_extract_all(lower(text),
+                      '\b(the|a|and|of|to|in|is)\b')) * 8.0
+                      / len(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0b]+')), 1.0)
+                 ELSE 0.0 END))
+        * 10000.0 + 0.5) / 10000.0 AS q
+  FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ws) AS BIGINT) AS total_tokens,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_fp,
+       CAST(sum(CAST(floor(q * 10000 + 0.5) AS BIGINT)) // count(*) AS BIGINT)
+         AS avg_quality_e4
+FROM m GROUP BY lang
+"""
+
+
 def q_olap_q9_volume(spark, sf_dir):
     """TPC-H-Q9-shaped supplier volume — per (supplier nation, ship
     year) revenue: lineitem ⋈ supplier on suppkey (the big-table
@@ -6291,6 +6347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_q1_pricing": q_olap_q1_pricing,
         "olap_q3_shipping": q_olap_q3_shipping,
         "olap_q9_volume": q_olap_q9_volume,
+        "pipeline_dataset_card": q_pipeline_dataset_card,
         "graph_reciprocity": q_graph_reciprocity,
         "crawl_depth_report": q_crawl_depth_report,
         "text_topics": q_text_topics,
@@ -6429,6 +6486,7 @@ def oracle_sql() -> dict[str, str]:
         "olap_q1_pricing": SQL_OLAP_Q1,
         "olap_q3_shipping": SQL_OLAP_Q3,
         "olap_q9_volume": SQL_OLAP_Q9,
+        "pipeline_dataset_card": SQL_DATASET_CARD,
         "text_topics": SQL_TEXT_TOPICS,
         "text_entities": SQL_TEXT_ENTITIES,
         "entity_lookup": SQL_ENTITY_LOOKUP,

@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "olap_q1_pricing",
     "olap_q3_shipping",
     "olap_q9_volume",
+    "pipeline_dataset_card",
     "graph_reciprocity",
     "crawl_depth_report",
     "pipeline_c4_clean",

@@ -532,3 +532,19 @@ def test_olap_q3_take_ordered_limit(spark, sf_dir):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_dataset_card_single_scan(spark, sf_dir):
+    """The card's distinct-fingerprint count must plan as the two-stage
+    distinct rewrite over ONE corpus scan — not a second scan or an
+    extra corpus-wide exchange."""
+    import __spark_entry__ as m
+
+    plan = (
+        m.q_pipeline_dataset_card(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
