@@ -2366,6 +2366,18 @@ GROUP BY 1, 2
 """
 
 
+def q_graph_assortativity(spark, sf_dir):
+    """Degree assortativity (operators/graph.degree_assortativity,
+    Newman 2002) — one summary row: the Pearson correlation of
+    endpoint degrees over the symmetrized host edge list.  All moments
+    exact BIGINT; the single float division + two IEEE sqrt are the
+    identical tree in the DuckDB twin, pinned 4dp."""
+    from newscrawler_spark.operators.graph import degree_assortativity
+
+    _, paths = _crawl_store(spark, sf_dir)
+    return degree_assortativity(spark.read.parquet(paths["pages"]))
+
+
 def q_graph_reciprocity(spark, sf_dir):
     """Per-host link reciprocity (operators/graph edge relation) —
     the classic web-graph statistic (directed edges whose reverse also
@@ -4853,6 +4865,7 @@ def _corpus_oracle_sql() -> dict[str, str]:
         crawl_articles_sql,
         crawl_order_sql,
         crawl_sql,
+        assortativity_sql,
         cocitation_sql,
         reciprocity_sql,
         host_hits_sql,
@@ -4994,6 +5007,9 @@ FROM g QUALIFY rnk <= 5
             p["pages"], max_links=crawl_cfg.max_links_per_page
         ),
         "graph_reciprocity": reciprocity_sql(
+            p["pages"], max_links=crawl_cfg.max_links_per_page
+        ),
+        "graph_assortativity": assortativity_sql(
             p["pages"], max_links=crawl_cfg.max_links_per_page
         ),
         "crawl_depth_report": (
@@ -6349,6 +6365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_q9_volume": q_olap_q9_volume,
         "pipeline_dataset_card": q_pipeline_dataset_card,
         "graph_reciprocity": q_graph_reciprocity,
+        "graph_assortativity": q_graph_assortativity,
         "crawl_depth_report": q_crawl_depth_report,
         "text_topics": q_text_topics,
         "text_entities": q_text_entities,

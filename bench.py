@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "olap_q9_volume",
     "pipeline_dataset_card",
     "graph_reciprocity",
+    "graph_assortativity",
     "crawl_depth_report",
     "pipeline_c4_clean",
     "text_gopher_lines",

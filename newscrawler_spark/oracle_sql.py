@@ -530,3 +530,34 @@ SELECT outd.src AS host, out_deg,
          / 10000.0 AS reciprocity
 FROM outd LEFT JOIN rc ON outd.src = rc.src
 """
+
+
+def assortativity_sql(pages_path: str, max_links: int = 100) -> str:
+    """In-degree assortativity (DuckDB oracle twin of
+    operators/graph.degree_assortativity) — shared extraction head,
+    directed edges, exact BIGINT moments, one pinned guarded
+    division."""
+    head = _host_graph_head_sql(pages_path, max_links)
+    return head + """,
+ind AS (SELECT dst AS host, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+j AS (
+  SELECT COALESCE(dx.d, 0) AS x, COALESCE(dy.d, 0) AS y
+  FROM edges e
+  LEFT JOIN ind dx ON e.src = dx.host
+  LEFT JOIN ind dy ON e.dst = dy.host),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM j)
+SELECT n, sx, sxy,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         floor((CAST(n * sxy - sx * sy AS DOUBLE)
+           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) * 10000.0 + 0.5)
+           / 10000.0
+       END AS assortativity
+FROM s
+"""

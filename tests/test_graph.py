@@ -386,3 +386,40 @@ def test_reciprocity_matches_pure_python(spark, tmp_path):
         for s in outd
     }
     assert got == want
+
+
+def test_assortativity_matches_pure_python(spark, tmp_path):
+    """Engine moments + correlation equal the pure-Python Pearson over
+    the engine's own directed edges with in-degree margins."""
+    import math
+
+    import __spark_entry__ as m
+    from newscrawler_spark.operators.graph import host_link_edges
+
+    row = m.q_graph_assortativity(spark, "/root/testdata/sf0.001").collect()[0]
+    store, paths = m._crawl_store(spark, "/root/testdata/sf0.001")
+    edges = [
+        (r["src"], r["dst"])
+        for r in host_link_edges(spark.read.parquet(paths["pages"])).collect()
+    ]
+    ind: dict = {}
+    for _, d in edges:
+        ind[d] = ind.get(d, 0) + 1
+    xs = [ind.get(s, 0) for s, _ in edges]
+    ys = [ind.get(d, 0) for _, d in edges]
+    n = len(edges)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+    assert (row["n"], row["sx"], row["sxy"]) == (n, sx, sxy)
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    want = (
+        math.floor(
+            ((n * sxy - sx * sy) / (math.sqrt(vx) * math.sqrt(vy))) * 10000.0
+            + 0.5
+        )
+        / 10000.0
+        if vx > 0 and vy > 0
+        else None
+    )
+    assert row["assortativity"] == want
