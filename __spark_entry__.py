@@ -2366,6 +2366,54 @@ GROUP BY 1, 2
 """
 
 
+def q_events_interarrival(spark, sf_dir):
+    """Inter-arrival-time distribution per event type — the burstiness
+    telemetry behind rate-limit and anomaly thresholds: per-user lag
+    gaps in integer microseconds, HDR-bucketed (sketch.hdr_bucket_lb)
+    and counted per (type, bucket).  One user-keyed window exchange +
+    one bucket aggregate; the histogram is mergeable across
+    shards/days (count sums), the same property the HDR quantile
+    sketch exploits."""
+    from pyspark.sql import Window
+
+    from newscrawler_spark.operators.sketch import hdr_bucket_lb
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = ev.withColumn("prev", F.lag("us").over(w)).where(
+        F.col("prev").isNotNull()
+    )
+    lb = hdr_bucket_lb((F.col("us") - F.col("prev")).cast("long"))
+    return (
+        gaps.select("event_type", lb.alias("gap_lb"))
+        .groupBy("event_type", "gap_lb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
+    )
+
+
+SQL_EVENTS_INTERARRIVAL = """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+  FROM events),
+b AS (
+  SELECT event_type,
+         CASE WHEN length(bin(gap)) - 1 > 4
+              THEN (gap >> (length(bin(gap)) - 5)) << (length(bin(gap)) - 5)
+              ELSE gap END AS gap_lb
+  FROM g WHERE gap IS NOT NULL)
+SELECT event_type, CAST(gap_lb AS BIGINT) AS gap_lb,
+       CAST(count(*) AS BIGINT) AS n_gaps
+FROM b GROUP BY 1, 2
+"""
+
+
 def q_graph_assortativity(spark, sf_dir):
     """Degree assortativity (operators/graph.degree_assortativity,
     Newman 2002) — one summary row: the Pearson correlation of
@@ -6366,6 +6414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_dataset_card": q_pipeline_dataset_card,
         "graph_reciprocity": q_graph_reciprocity,
         "graph_assortativity": q_graph_assortativity,
+        "events_interarrival": q_events_interarrival,
         "crawl_depth_report": q_crawl_depth_report,
         "text_topics": q_text_topics,
         "text_entities": q_text_entities,
@@ -6499,6 +6548,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_percentile_norm": SQL_QUALITY_PCTNORM,
         "events_topk_daily": SQL_EVENTS_TOPK_DAILY,
         "events_mad": SQL_EVENTS_MAD,
+        "events_interarrival": SQL_EVENTS_INTERARRIVAL,
         "olap_q5_revenue": SQL_OLAP_Q5,
         "olap_q1_pricing": SQL_OLAP_Q1,
         "olap_q3_shipping": SQL_OLAP_Q3,

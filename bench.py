@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "pipeline_dataset_card",
     "graph_reciprocity",
     "graph_assortativity",
+    "events_interarrival",
     "crawl_depth_report",
     "pipeline_c4_clean",
     "text_gopher_lines",
