@@ -2366,6 +2366,279 @@ GROUP BY 1, 2
 """
 
 
+def q_olap_q6_forecast(spark, sf_dir):
+    """TPC-H-Q6-shaped revenue forecast — the canonical
+    filter-and-sum: one lineitem scan, zero joins, one single-row
+    aggregate.  The shipdate range pushes to the parquet scan
+    (PushedFilters); the discount/quantity predicates run on the same
+    integer-points transforms the sum uses (comparing raw doubles at
+    0.05/0.07 boundaries is engine-dependent — the floor(x*100+0.5)
+    contract is not).  At 100 TB this is the partition-pruning
+    showcase: a date-partitioned table reads one year's files and the
+    map-side partial aggregate ships 32 longs to one reducer."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    ep = F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+    disc = F.expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)")
+    qty = F.expr("CAST(floor(l_quantity + 0.5) AS BIGINT)")
+    return (
+        li.where(disc.between(5, 7) & (qty < 24))
+        .agg(
+            F.sum(ep * disc).cast("long").alias("revenue_scaled"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+SQL_OLAP_Q6 = """
+SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+            * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_scaled,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+  AND CAST(floor(l_quantity + 0.5) AS BIGINT) < 24
+"""
+
+
+def q_olap_q10_returns(spark, sf_dir):
+    """TPC-H-Q10-shaped returned-item report — top-20 customers by
+    revenue lost to returns in one quarter: lineitem(R-flag) ⋈ orders
+    (quarter) ⋈ customer with the nation dim broadcast.  Both fact
+    filters push to their scans before the orderkey shuffle; the
+    top-20 plans as TakeOrderedAndProject (k rows per partition
+    through the final exchange, no global sort).  acctbal is emitted
+    as exact integer cents — grouping doubles is safe, summing or
+    formatting them cross-engine is not."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-07-01") & (F.col("o_orderdate") < "1997-10-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.expr(
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+        " * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))"
+    )
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    )
+    acct = F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")
+    return (
+        j.groupBy(
+            "c_custkey", "c_name", "n_name", acct.alias("acctbal_cents")
+        )
+        .agg(F.sum(rev).cast("long").alias("revenue_scaled"))
+        .orderBy(F.desc("revenue_scaled"), "c_custkey")
+        .limit(20)
+    )
+
+
+SQL_OLAP_Q10 = """
+SELECT c_custkey, c_name, n_name,
+       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+            * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
+         AS revenue_scaled
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate <  TIMESTAMP '1997-10-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue_scaled DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_olap_q14_promo(spark, sf_dir):
+    """TPC-H-Q14-shaped promotion effect — one month's revenue split
+    by whether the part is a PROMO type: lineitem(month) ⋈ part with
+    the part side broadcast (2k rows; at 100 TB part is the classic
+    broadcast dim).  The conditional sum is ONE aggregate over one
+    join — no second scan for the denominator; the percentage is the
+    pinned-4dp ratio of two exact integer sums."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.expr(
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+        " * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))"
+    )
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("promo_scaled"),
+        F.sum(rev).cast("long").alias("total_scaled"),
+    )
+    pct = (
+        F.lit(100.0) * F.col("promo_scaled").cast("double")
+        / F.col("total_scaled").cast("double")
+    )
+    return agg.select(
+        "promo_scaled", "total_scaled", pinned_round(pct, 4).alias("promo_pct")
+    )
+
+
+SQL_OLAP_Q14 = """
+WITH a AS (
+  SELECT
+    CAST(sum(CASE WHEN p_type = 'PROMO'
+         THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+              * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+         ELSE 0 END) AS BIGINT) AS promo_scaled,
+    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+         * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
+      AS total_scaled
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+    AND l_shipdate <  TIMESTAMP '1997-10-01')
+SELECT promo_scaled, total_scaled,
+       floor((100.0 * CAST(promo_scaled AS DOUBLE)
+              / CAST(total_scaled AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+         AS promo_pct
+FROM a
+"""
+
+
+def q_olap_q18_large_orders(spark, sf_dir):
+    """TPC-H-Q18-shaped large-volume orders — customers whose single
+    order exceeds a quantity threshold: the aggregate-then-semi-join
+    shape.  The HAVING aggregate runs FIRST (orderkey-keyed, map-side
+    partial), shrinking lineitem to the handful of qualifying orders
+    before any dimension join; the qualifying set then joins orders
+    and customer (broadcast — it is tiny by construction).  The
+    anti-pattern this exists to test against is joining first and
+    aggregating the fat row."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    qty = F.expr("CAST(floor(l_quantity + 0.5) AS BIGINT)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).cast("long").alias("sum_qty"))
+        .where(F.col("sum_qty") > 200)
+    )
+    j = (
+        F.broadcast(big)
+        .join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+    )
+    total = F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+    return (
+        j.select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            total.alias("totalprice_cents"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("sum_qty"), "o_orderkey")
+        .limit(100)
+    )
+
+
+SQL_OLAP_Q18 = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) > 200)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents,
+       sum_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY sum_qty DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q_text_readability(spark, sf_dir):
+    """Flesch reading-ease scoring (functions/text-style quality
+    signal; Flesch 1948, the filter every readability-gated corpus
+    pipeline ships): per doc, whitespace words (frozen ASCII-class
+    contract), sentence-terminator runs and vowel-run syllable
+    estimates — all integers — and the pinned-4dp Flesch score
+    206.835 − 1.015·(W/S) − 84.6·(Syl/W).  Zero shuffles: pure
+    column expressions over one scan.  The synthetic corpus has no
+    punctuation, so sentence terminators are PLANTED doc_id-keyed
+    (same expression both engines — the planted-PII pattern): %3==0
+    one period, %3==1 two runs plus a word, %3==2 none (exercises
+    the max(S,1) guard)."""
+    docs = _t(spark, sf_dir, "documents")
+    text2 = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("."))
+        .when(F.col("doc_id") % 3 == 1, F.lit("! Done."))
+        .otherwise(F.lit("")),
+    )
+    d = docs.select("doc_id", text2.alias("t2"))
+    words = ws_token_count(F.col("t2"))
+    sents = F.greatest(
+        F.size(F.regexp_extract_all("t2", F.lit(r"[.!?]+"), F.lit(0))), F.lit(1)
+    )
+    syls = F.greatest(
+        F.size(F.regexp_extract_all("t2", F.lit(r"[aeiouAEIOU]+"), F.lit(0))),
+        F.lit(1),
+    )
+    d = d.select(
+        "doc_id",
+        words.alias("n_words"),
+        sents.alias("n_sents"),
+        syls.alias("n_syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sents"))
+        - F.lit(84.6) * (F.col("n_syllables").cast("double") / F.col("n_words"))
+    )
+    return d.select(
+        "doc_id",
+        "n_words",
+        "n_sents",
+        "n_syllables",
+        pinned_round(flesch, 4).alias("flesch"),
+    )
+
+
+SQL_TEXT_READABILITY = """
+WITH t AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0 THEN '.'
+                      WHEN doc_id % 3 = 1 THEN '! Done.'
+                      ELSE '' END AS t2
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    CASE WHEN trim(t2) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(t2), '[ \t\n\r\f\x0b]+')) END
+      AS n_words,
+    greatest(len(regexp_extract_all(t2, '[.!?]+')), 1) AS n_sents,
+    greatest(len(regexp_extract_all(t2, '[aeiouAEIOU]+')), 1) AS n_syllables
+  FROM t)
+SELECT doc_id, CAST(n_words AS INT) AS n_words,
+       CAST(n_sents AS INT) AS n_sents,
+       CAST(n_syllables AS INT) AS n_syllables,
+       floor((206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+              - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words))
+             * 10000.0 + 0.5) / 10000.0 AS flesch
+FROM m
+"""
+
+
 def q_events_interarrival(spark, sf_dir):
     """Inter-arrival-time distribution per event type — the burstiness
     telemetry behind rate-limit and anomaly thresholds: per-user lag
@@ -6411,6 +6684,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_q1_pricing": q_olap_q1_pricing,
         "olap_q3_shipping": q_olap_q3_shipping,
         "olap_q9_volume": q_olap_q9_volume,
+        "olap_q6_forecast": q_olap_q6_forecast,
+        "olap_q10_returns": q_olap_q10_returns,
+        "olap_q14_promo": q_olap_q14_promo,
+        "olap_q18_large_orders": q_olap_q18_large_orders,
+        "text_readability": q_text_readability,
         "pipeline_dataset_card": q_pipeline_dataset_card,
         "graph_reciprocity": q_graph_reciprocity,
         "graph_assortativity": q_graph_assortativity,
@@ -6553,6 +6831,11 @@ def oracle_sql() -> dict[str, str]:
         "olap_q1_pricing": SQL_OLAP_Q1,
         "olap_q3_shipping": SQL_OLAP_Q3,
         "olap_q9_volume": SQL_OLAP_Q9,
+        "olap_q6_forecast": SQL_OLAP_Q6,
+        "olap_q10_returns": SQL_OLAP_Q10,
+        "olap_q14_promo": SQL_OLAP_Q14,
+        "olap_q18_large_orders": SQL_OLAP_Q18,
+        "text_readability": SQL_TEXT_READABILITY,
         "pipeline_dataset_card": SQL_DATASET_CARD,
         "text_topics": SQL_TEXT_TOPICS,
         "text_entities": SQL_TEXT_ENTITIES,

@@ -133,6 +133,11 @@ BENCH_QUERIES = [
     "olap_q1_pricing",
     "olap_q3_shipping",
     "olap_q9_volume",
+    "olap_q6_forecast",
+    "olap_q10_returns",
+    "olap_q14_promo",
+    "olap_q18_large_orders",
+    "text_readability",
     "pipeline_dataset_card",
     "graph_reciprocity",
     "graph_assortativity",

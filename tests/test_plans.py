@@ -520,6 +520,67 @@ def test_olap_q5_pushdown_and_broadcasts(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_olap_q6_pushdown_single_scan(spark, sf_dir):
+    """Q6 is the partition-pruning showcase: the shipdate range must
+    reach the lineitem scan as pushed filters, the whole query is ONE
+    scan, and the single-row aggregate needs no hash exchange (partial
+    → single-partition final)."""
+    import __spark_entry__ as m
+
+    df = m.q_olap_q6_forecast(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the toString PushedFilters list is truncated mid-entry — assert
+    # the scan-level date bounds via the pushed IsNotNull prefix plus
+    # the Filter node's literal bounds
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan, plan
+    assert ">= 1997-01-01" in plan, plan
+    assert "< 1998-01-01" in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_olap_q10_take_ordered_and_broadcast_nation(spark, sf_dir):
+    """Q10's top-20 must plan as TakeOrderedAndProject and the nation
+    dim as a broadcast; the returnflag and orderdate predicates push
+    to their scans."""
+    import __spark_entry__ as m
+
+    df = m.q_olap_q10_returns(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "EqualTo(l_returnflag,R)" in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+
+
+def test_olap_q18_aggregates_before_join(spark, sf_dir):
+    """Q18 must aggregate lineitem to qualifying orderkeys BEFORE any
+    dimension join (the HAVING shrink), then broadcast the tiny
+    qualifying set — joining first and aggregating the fat row is the
+    anti-pattern this asserts against."""
+    import __spark_entry__ as m
+
+    df = m.q_olap_q18_large_orders(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the sum_qty>200 filter sits on the aggregate, not after a join
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_text_readability_zero_shuffle(spark, sf_dir):
+    """Readability is pure column expressions: one scan, no exchange
+    of any kind."""
+    import __spark_entry__ as m
+
+    df = m.q_text_readability(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Exchange" not in plan, plan
+
+
 def test_olap_q3_take_ordered_limit(spark, sf_dir):
     """The ordered top-10 must plan as TakeOrderedAndProject — never a
     global Sort followed by a limit."""
