@@ -2566,6 +2566,86 @@ LIMIT 100
 """
 
 
+def q_olap_q4_priority(spark, sf_dir):
+    """TPC-H-Q4-shaped order-priority check — per priority, the count
+    of one quarter's orders with at least one lineitem shipped more
+    than 90 days after the order date: the EXISTS → LEFT-SEMI-JOIN
+    shape.  The semi join carries the equi key (orderkey) plus the
+    non-equi date condition as a join filter — lineitem never fans
+    out the orders side (a plain inner join + distinct would shuffle
+    the multiplied rows).  The quarter predicate pushes to the orders
+    scan before the shuffle."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    semi = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        semi.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_late_orders"))
+    )
+
+
+SQL_OLAP_Q4 = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY 1
+"""
+
+
+def q_olap_q13_custdist(spark, sf_dir):
+    """TPC-H-Q13-shaped customer order-count distribution — how many
+    customers placed 0, 1, 2… urgent orders in a year: the
+    OUTER-JOIN-then-double-aggregate shape.  The join filter lives in
+    the join condition (not a WHERE — a post-join filter would turn
+    the outer join inner and silently drop the zero-order customers,
+    the classic Q13 bug).  count(o_orderkey) counts only matched
+    rows; the second aggregate is histogram-sized."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    cond = (
+        (cust["c_custkey"] == orders["o_custkey"])
+        & (orders["o_orderpriority"] == "1-URGENT")
+        & (orders["o_orderdate"] >= "1997-01-01")
+        & (orders["o_orderdate"] < "1998-01-01")
+    )
+    per_cust = (
+        cust.join(orders, cond, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+SQL_OLAP_Q13 = """
+WITH per_cust AS (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN orders
+    ON c_custkey = o_custkey
+   AND o_orderpriority = '1-URGENT'
+   AND o_orderdate >= TIMESTAMP '1997-01-01'
+   AND o_orderdate <  TIMESTAMP '1998-01-01'
+  GROUP BY 1)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY 1
+"""
+
+
 def q_text_readability(spark, sf_dir):
     """Flesch reading-ease scoring (functions/text-style quality
     signal; Flesch 1948, the filter every readability-gated corpus
@@ -6688,6 +6768,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_q10_returns": q_olap_q10_returns,
         "olap_q14_promo": q_olap_q14_promo,
         "olap_q18_large_orders": q_olap_q18_large_orders,
+        "olap_q4_priority": q_olap_q4_priority,
+        "olap_q13_custdist": q_olap_q13_custdist,
         "text_readability": q_text_readability,
         "pipeline_dataset_card": q_pipeline_dataset_card,
         "graph_reciprocity": q_graph_reciprocity,
@@ -6835,6 +6917,8 @@ def oracle_sql() -> dict[str, str]:
         "olap_q10_returns": SQL_OLAP_Q10,
         "olap_q14_promo": SQL_OLAP_Q14,
         "olap_q18_large_orders": SQL_OLAP_Q18,
+        "olap_q4_priority": SQL_OLAP_Q4,
+        "olap_q13_custdist": SQL_OLAP_Q13,
         "text_readability": SQL_TEXT_READABILITY,
         "pipeline_dataset_card": SQL_DATASET_CARD,
         "text_topics": SQL_TEXT_TOPICS,

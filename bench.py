@@ -137,6 +137,8 @@ BENCH_QUERIES = [
     "olap_q10_returns",
     "olap_q14_promo",
     "olap_q18_large_orders",
+    "olap_q4_priority",
+    "olap_q13_custdist",
     "text_readability",
     "pipeline_dataset_card",
     "graph_reciprocity",

@@ -103,11 +103,22 @@ def feature_extract_map_in_pandas(it: Iterator[pd.DataFrame]) -> Iterator[pd.Dat
         yield pd.DataFrame(rows)
 
 
-def media_features(media: DataFrame) -> DataFrame:
-    """Feature-extraction stage: repartition for batch-shape uniformity,
-    then the Arrow-batched extractor. At scale the repartition count
-    follows data volume (bytes), not row count."""
-    return media.select("media_id", "payload").mapInPandas(
+def media_features(media: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Feature-extraction stage: Arrow-batched extractor over the
+    payload column.
+
+    A single small parquet file scans as ONE partition, which would run
+    the whole python stage serially on one worker — so when the input's
+    partition count is below the cluster's parallelism the payloads are
+    repartitioned up to it first.  The round-robin shuffle only fires
+    in that under-parallel case: a 100 TB media table already scans as
+    many thousands of partitions and skips it (features are row-local,
+    so re-batching never changes results)."""
+    sel = media.select("media_id", "payload")
+    target = min_parallelism or media.sparkSession.sparkContext.defaultParallelism
+    if sel.rdd.getNumPartitions() < target:
+        sel = sel.repartition(target)
+    return sel.mapInPandas(
         feature_extract_map_in_pandas, schema=FEATURE_SCHEMA
     )
 

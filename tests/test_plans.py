@@ -570,6 +570,32 @@ def test_olap_q18_aggregates_before_join(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_olap_q4_plans_semi_join(spark, sf_dir):
+    """The EXISTS must plan as a LEFT-SEMI join (lineitem never fans
+    out the orders side) with the quarter predicate pushed to the
+    orders scan."""
+    import __spark_entry__ as m
+
+    df = m.q_olap_q4_priority(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan, plan
+
+
+def test_olap_q13_outer_join_preserved(spark, sf_dir):
+    """The order-side filters must stay IN the join condition — a
+    post-join filter would have Catalyst rewrite the outer join inner
+    and drop the zero-order customers.  Assert the physical join is
+    still LeftOuter and the zero bucket is non-empty."""
+    import __spark_entry__ as m
+
+    df = m.q_olap_q13_custdist(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftOuter" in plan, plan
+    zeros = {r["c_count"]: r["custdist"] for r in df.collect()}.get(0, 0)
+    assert zeros > 0, "zero-order customers missing - outer join degraded"
+
+
 def test_text_readability_zero_shuffle(spark, sf_dir):
     """Readability is pure column expressions: one scan, no exchange
     of any kind."""
