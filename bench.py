@@ -28,6 +28,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# The measured operator suite: every queries() entry with nontrivial
+# plan work.  Deliberately excluded (still correctness-gated by the
+# driver and tools/check_oracle.py, just not timed here): the
+# _crawl_store-backed queries (crawl_*, graph_anchor_text, s*/f12,
+# x_image_extract, j3 — their cost IS the crawl leg, which is timed
+# separately below), and sub-100ms single-expression lookups
+# (p1/p4/p6/p8, f1/f6/f7/f11, a3/a6, w3, u1, topic_contains,
+# text_entities/fingerprint, entity_lookup, j1, mm_frame_sample)
+# whose walls measure session overhead, not plan shape.
 BENCH_QUERIES = [
     "j2_broadcast_dim",
     "j4_reporting_join",
