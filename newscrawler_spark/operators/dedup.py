@@ -517,21 +517,35 @@ def winnow_fingerprints(
     ).otherwise(F.array().cast("array<bigint>"))
     d = docs.select(F.col(id_col).alias("doc_id"), grams.alias("g"))
     m = F.size(F.col("g"))
+
+    # Catalyst does not CSE duplicate expression subtrees (CLAUDE.md),
+    # and a lambda body is re-evaluated per element — referencing
+    # array_min(slice(...)) inside the position filter would recompute
+    # the window minimum for every candidate position (O(w²) per
+    # window).  Spark has no let-binding, so bind it once per window
+    # via a single-element transform: the lambda variable v IS the
+    # bound minimum (computed once), and the filter scan is O(w).
+    def one_window(j):
+        mn = F.array_min(F.slice(F.col("g"), j + 1, w))
+        return F.element_at(
+            F.transform(
+                F.array(mn),
+                lambda v: F.struct(
+                    F.array_max(
+                        F.filter(
+                            F.sequence(j + 1, F.least(j + w, m)),
+                            lambda p: F.element_at(F.col("g"), p) == v,
+                        )
+                    ).alias("pos"),
+                    v.alias("fp"),
+                ),
+            ),
+            1,
+        )
+
     sel = F.when(
         m > 0,
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(m - w, F.lit(0))),
-            lambda j: F.struct(
-                F.array_max(
-                    F.filter(
-                        F.sequence(j + 1, F.least(j + w, m)),
-                        lambda p: F.element_at(F.col("g"), p)
-                        == F.array_min(F.slice(F.col("g"), j + 1, w)),
-                    )
-                ).alias("pos"),
-                F.array_min(F.slice(F.col("g"), j + 1, w)).alias("fp"),
-            ),
-        ),
+        F.transform(F.sequence(F.lit(0), F.greatest(m - w, F.lit(0))), one_window),
     ).otherwise(F.array().cast("array<struct<pos:int,fp:bigint>>"))
     return d.select(
         "doc_id", F.explode(F.array_distinct(sel)).alias("s")
