@@ -85,9 +85,17 @@ def kmeans_lloyd(
     """Run `iterations` exact Lloyd steps; return the final assignment
     ``(vec_id, cid, d2)`` with d2 the int64 quantized squared distance
     to the final centroid."""
+    # materialize the quantized table ONCE: every Lloyd iteration, the
+    # init aggregate AND the returned final-assignment plan all scan it
+    # (iterations+2 consumers), and Catalyst re-executes unreferenced
+    # identical subtrees — without this the parquet scan + quantize
+    # transform runs per iteration.  localCheckpoint truncates lineage
+    # and its blocks are GC-cleaned with the frame (the winnow_pairs
+    # pattern); at cluster scale this is the standard materialize-the-
+    # working-set step of any iterative algorithm.
     q = embeddings.select(
         F.col(id_col).cast("long").alias("vec_id"), _quant_expr(vec_col).alias("qv")
-    )
+    ).localCheckpoint(eager=True)
     # stride init: centroid c = quantized vector of min id ≡ c (mod K)
     init = (
         q.withColumn("cid", F.pmod("vec_id", F.lit(k)).cast("int"))
