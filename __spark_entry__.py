@@ -2102,6 +2102,59 @@ WHERE rnk <= 3
 """
 
 
+def q_events_dau_wau(spark, sf_dir):
+    """DAU/WAU engagement with stickiness ratio — the product
+    telemetry twin of the crawl's per-host activity report: per
+    integer epoch-day, distinct daily actives, distinct
+    trailing-7-day actives, and the pinned-4dp DAU/WAU ratio.  A
+    trailing-window DISTINCT cannot be a window over the daily
+    aggregates (distinct counts don't sum) — the scalable rewrite
+    attributes each distinct (user, day) pair to the ≤7 windows it
+    belongs to via explode, so the shuffle carries 7× the distinct
+    pairs, never the corpus.  Two aggregates over one distinct
+    reduction; both engines replay the identical attribution."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+        .cast("long")
+        .alias("day"),
+        "user_id",
+    )
+    # du feeds BOTH aggregates and Catalyst re-executes identical
+    # unreferenced subtrees (CLAUDE.md) — materialize the distinct
+    # activity table once (bounded: |users|×|days| pairs, the standard
+    # "activity table" reduction, far smaller than the raw event log)
+    du = ev.distinct().localCheckpoint(eager=True)
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    wau = (
+        du.select(
+            F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("wau"))
+    )
+    ratio = F.col("dau").cast("double") / F.col("wau")
+    return dau.join(wau, "day").select(
+        "day", "dau", "wau", pinned_round(ratio, 4).alias("stickiness")
+    )
+
+
+SQL_EVENTS_DAU_WAU = """
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY 1),
+wd AS (
+  SELECT DISTINCT unnest(generate_series(day, day + 6)) AS day, user_id
+  FROM du),
+wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau FROM wd GROUP BY 1)
+SELECT dau.day, dau.dau, wau.wau,
+       floor((CAST(dau.dau AS DOUBLE) / wau.wau) * 10000.0 + 0.5) / 10000.0
+         AS stickiness
+FROM dau JOIN wau ON dau.day = wau.day
+"""
+
+
 def q_olap_q5_revenue(spark, sf_dir):
     """TPC-H-Q5-shaped star join — per-nation 1996 revenue for the
     ASIA region: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region.  The
@@ -6771,6 +6824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_q4_priority": q_olap_q4_priority,
         "olap_q13_custdist": q_olap_q13_custdist,
         "text_readability": q_text_readability,
+        "events_dau_wau": q_events_dau_wau,
         "pipeline_dataset_card": q_pipeline_dataset_card,
         "graph_reciprocity": q_graph_reciprocity,
         "graph_assortativity": q_graph_assortativity,
@@ -6920,6 +6974,7 @@ def oracle_sql() -> dict[str, str]:
         "olap_q4_priority": SQL_OLAP_Q4,
         "olap_q13_custdist": SQL_OLAP_Q13,
         "text_readability": SQL_TEXT_READABILITY,
+        "events_dau_wau": SQL_EVENTS_DAU_WAU,
         "pipeline_dataset_card": SQL_DATASET_CARD,
         "text_topics": SQL_TEXT_TOPICS,
         "text_entities": SQL_TEXT_ENTITIES,

@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "olap_q4_priority",
     "olap_q13_custdist",
     "text_readability",
+    "events_dau_wau",
     "pipeline_dataset_card",
     "graph_reciprocity",
     "graph_assortativity",
