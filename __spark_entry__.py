@@ -4780,11 +4780,14 @@ def q_mm_media_features(spark, sf_dir):
     extraction (operators/multimodal). Decode is stubbed; plumbing real.
 
     Oracle strategy: the UDF emits exact integers (n_bytes, byte_sum,
-    16-bin nibble histogram); mean and entropy are then recomputed as
-    identical expression trees in BOTH engines (double division +
-    log2 over the same ints, summed in ascending-bin order), so the
-    float surface hashes identically.  Histogram surfaces comma-joined
-    (driver canon cannot sort list-typed columns)."""
+    16-bin nibble histogram); mean and entropy enter the gated surface
+    only as scaled BIGINTs (floor(x*1e4+0.5) — the pipeline_dataset_card
+    convention), never as doubles: r03's driver gate hash-failed the
+    double form while exact-value comparison passed (last-ulp /
+    float-repr divergence in the hasher's rendering).  The operator
+    itself (operators/multimodal.media_features) still emits doubles
+    for API users.  Histogram surfaces comma-joined (driver canon
+    cannot sort list-typed columns); rows ordered by media_id."""
     from newscrawler_spark.operators.multimodal import documents_as_media, media_features
 
     # features are defined for non-empty payloads only — the SQL twin's
@@ -4794,18 +4797,20 @@ def q_mm_media_features(spark, sf_dir):
     feats = media_features(documents_as_media(_t(spark, sf_dir, "documents"))).filter(
         F.col("n_bytes") > 0
     )
-    entropy = F.expr(
-        "floor((-aggregate(filter(histogram, x -> x > 0), cast(0.0 as double), "
-        "(a, x) -> a + (x / cast(n_bytes as double)) * log2(x / cast(n_bytes as double)))) * 10000.0 + 0.5) / 10000.0"
+    entropy_e4 = F.expr(
+        "cast(floor((-aggregate(filter(histogram, x -> x > 0), cast(0.0 as double), "
+        "(a, x) -> a + (x / cast(n_bytes as double)) * log2(x / cast(n_bytes as double)))) * 10000.0 + 0.5) as bigint)"
     )
     return feats.select(
         "media_id",
         "n_bytes",
         "byte_sum",
-        pinned_round(F.col("byte_sum") / F.col("n_bytes"), 4).alias("byte_mean"),
-        entropy.alias("byte_entropy"),
+        F.expr(
+            "cast(floor((byte_sum / cast(n_bytes as double)) * 10000.0 + 0.5) as bigint)"
+        ).alias("byte_mean_e4"),
+        entropy_e4.alias("byte_entropy_e4"),
         F.concat_ws(",", F.col("histogram").cast("array<string>")).alias("histogram"),
-    )
+    ).orderBy("media_id")
 
 
 SQL_MM_FEATURES = r"""
@@ -4830,12 +4835,13 @@ h AS (
   FROM agg
 )
 SELECT doc_id AS media_id, n_bytes, byte_sum,
-       floor((byte_sum / CAST(n_bytes AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS byte_mean,
-       floor((-list_sum(list_transform(list_filter(hist, x -> x > 0),
-             x -> (x / CAST(n_bytes AS DOUBLE)) * log2(x / CAST(n_bytes AS DOUBLE))))) * 10000.0 + 0.5) / 10000.0 AS byte_entropy,
+       CAST(floor((byte_sum / CAST(n_bytes AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS byte_mean_e4,
+       CAST(floor((-list_sum(list_transform(list_filter(hist, x -> x > 0),
+             x -> (x / CAST(n_bytes AS DOUBLE)) * log2(x / CAST(n_bytes AS DOUBLE))))) * 10000.0 + 0.5) AS BIGINT) AS byte_entropy_e4,
        array_to_string(list_transform(hist, x -> x::VARCHAR), ',') AS histogram
 FROM h
 WHERE n_bytes > 0
+ORDER BY media_id
 """
 
 
@@ -6675,17 +6681,105 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Order matters: the driver gate walks this dict in order and may
-    # stop on a time budget (r02 truncated after 50 entries, leaving the
-    # trailing crawl/corpus/streaming queries with no driver row despite
-    # passing the replica gate).  The expensive-setup queries
-    # (_crawl_store corpus+crawl, streaming) therefore run EARLY — the
-    # setup cost is paid once wherever they sit — and the cheap
-    # column-expression queries fill in behind them.
+    # Order matters: the driver gate checks only the FIRST ~50 entries
+    # (44/50/50 rows in r01/r02/r03).  Round 4 rotates the window: slot 1
+    # is mm_media_features (confirming the r03 hash fix), the rest of the
+    # window is previously-ungated queries so driver coverage accrues
+    # across rounds (COVERAGE.md keeps the which-round-gated-what table).
+    # Expensive shared setups (_crawl_store, streaming) are grouped so
+    # their cost is paid once; everything past the window is still
+    # replica-gated every session via tools/check_oracle.py.
     return {
+        # === r04 DRIVER WINDOW (first ~50 entries; driver checks only
+        # these) — mm_media_features re-gated to confirm the e4 fix, the
+        # rest previously-ungated (see COVERAGE.md gate-rotation table) ===
+        "mm_media_features": q_mm_media_features,
+        "crawl_depth_report": q_crawl_depth_report,
+        "graph_reciprocity": q_graph_reciprocity,
+        "graph_assortativity": q_graph_assortativity,
+        "streaming_join": q_streaming_join,
+        "streaming_sessions": q_streaming_sessions,
+        "olap_q1_pricing": q_olap_q1_pricing,
+        "olap_q3_shipping": q_olap_q3_shipping,
+        "olap_q4_priority": q_olap_q4_priority,
+        "olap_q5_revenue": q_olap_q5_revenue,
+        "olap_q6_forecast": q_olap_q6_forecast,
+        "olap_q9_volume": q_olap_q9_volume,
+        "olap_q10_returns": q_olap_q10_returns,
+        "olap_q13_custdist": q_olap_q13_custdist,
+        "olap_q14_promo": q_olap_q14_promo,
+        "olap_q18_large_orders": q_olap_q18_large_orders,
+        "events_sessionize": q_events_sessionize,
+        "events_asof": q_events_asof,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "events_markov": q_events_markov,
+        "events_zscore": q_events_zscore,
+        "events_pivot": q_events_pivot,
+        "events_rolling": q_events_rolling,
+        "events_topk_daily": q_events_topk_daily,
+        "events_mad": q_events_mad,
+        "events_dau_wau": q_events_dau_wau,
+        "events_interarrival": q_events_interarrival,
+        "a8_rollup_report": q_a8_rollup_report,
+        "text_quality_gopher": q_text_quality_gopher,
+        "text_pii_scrub": q_text_pii_scrub,
+        "text_gopher_ngrams": q_text_gopher_ngrams,
+        "text_gopher_lines": q_text_gopher_lines,
+        "text_langid_confusion": q_text_langid_confusion,
+        "text_readability": q_text_readability,
+        "text_keywords": q_text_keywords,
+        "pipeline_sample_stratified": q_pipeline_sample_stratified,
+        "decontaminate_ngram": q_decontaminate_ngram,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "pipeline_pack_sequences": q_pipeline_pack_sequences,
+        "pipeline_domain_mix": q_pipeline_domain_mix,
+        "pipeline_c4_clean": q_pipeline_c4_clean,
+        "pipeline_ccnet_buckets": q_pipeline_ccnet_buckets,
+        "pipeline_shuffle_epoch": q_pipeline_shuffle_epoch,
+        "pipeline_url_filter": q_pipeline_url_filter,
+        "pipeline_dsir_weights": q_pipeline_dsir_weights,
+        "pipeline_length_filter": q_pipeline_length_filter,
+        # --- round-5 rotation candidates (never driver-gated yet) ---
+        "dedup_incremental": q_dedup_incremental,
+        "sim_knn_graph": q_sim_knn_graph,
+        "tokenizer_bpe_pairs": q_tokenizer_bpe_pairs,
+        "tokenizer_collocations": q_tokenizer_collocations,
+        "tokenizer_bpe_encode": q_tokenizer_bpe_encode,
+        "dedup_semantic": q_dedup_semantic,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_substrings": q_dedup_substrings,
+        "search_bm25": q_search_bm25,
+        "index_postings": q_index_postings,
+        "search_tfidf": q_search_tfidf,
+        "search_phrase": q_search_phrase,
+        "cluster_kmeans": q_cluster_kmeans,
+        "dedup_winnow": q_dedup_winnow,
+        "dedup_winnow_pairs": q_dedup_winnow_pairs,
+        "quality_classifier_nb": q_quality_classifier_nb,
+        "dedup_fuzzy_pairs": q_dedup_fuzzy_pairs,
+        "layout_zorder": q_layout_zorder,
+        "layout_compaction": q_layout_compaction,
+        "pipeline_split": q_pipeline_split,
+        "storage_checksum": q_storage_checksum,
+        "s15_incr_agg": q_s15_incr_agg,
+        "diag_skew": q_diag_skew,
+        "sketch_hdr_quantiles": q_sketch_hdr_quantiles,
+        "search_rrf": q_search_rrf,
+        "storage_diff": q_storage_diff,
+        "tokenizer_coverage": q_tokenizer_coverage,
+        "pipeline_mix_budget": q_pipeline_mix_budget,
+        "search_bm25f": q_search_bm25f,
+        "quality_percentile_norm": q_quality_percentile_norm,
+        "pipeline_dataset_card": q_pipeline_dataset_card,
+        "sim_pq_topk": q_sim_pq_topk,
+        "sim_sq_topk": q_sim_sq_topk,
+        "s14_merge_upsert": q_s14_merge_upsert,
+        "lm_kneser_ney": q_lm_kneser_ney,
+        # --- previously driver-gated (r01-r03 green rows; replica-gated each round) ---
         "p1_url_classify": q_p1_url_classify,
         "p4_canonicalize": q_p4_canonicalize,
-        # --- shared-crawl-corpus block (one _crawl_store setup) ---
         "crawl_articles": q_crawl_articles,
         "crawl_order": q_crawl_order,
         "crawl_logs": q_crawl_logs,
@@ -6701,14 +6795,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s13_warc_source": q_s13_warc_source,
         "graph_anchor_text": q_graph_anchor_text,
         "s7_json_sink": q_s7_json_sink,
-        # --- streaming + multimodal (previously truncated) ---
         "streaming_windowed": q_streaming_windowed,
         "streaming_enrich": q_streaming_enrich,
         "streaming_append": q_streaming_append,
         "streaming_dedup": q_streaming_dedup,
-        "mm_media_features": q_mm_media_features,
         "mm_frame_sample": q_mm_frame_sample,
-        # --- round-3 additions ---
         "a4_histogram": q_a4_histogram,
         "a4_percentiles": q_a4_percentiles,
         "sketch_hll_users": q_sketch_hll_users,
@@ -6723,7 +6814,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "response_cache_stats": q_response_cache_stats,
         "embed_missing": q_embed_missing,
         "j1_seen_antijoin": q_j1_seen_antijoin,
-        # --- crawl-core relational operators ---
         "p6_api_filters": q_p6_api_filters,
         "p8_url_validity": q_p8_url_validity,
         "f1_whitespace_collapse": q_f1_whitespace_collapse,
@@ -6743,93 +6833,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u1_union_dedup": q_u1_union_dedup,
         "t2_due_filter": q_t2_due_filter,
         "t4_straggler_rollover": q_t4_straggler_rollover,
-        # --- training-data pipeline operators ---
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_incremental": q_dedup_incremental,
-        "sim_knn_graph": q_sim_knn_graph,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "text_lang_id": q_text_lang_id,
         "text_token_stats": q_text_token_stats,
         "text_fingerprint": q_text_fingerprint,
-        "text_quality_gopher": q_text_quality_gopher,
-        "text_pii_scrub": q_text_pii_scrub,
-        "pipeline_sample_stratified": q_pipeline_sample_stratified,
-        "decontaminate_ngram": q_decontaminate_ngram,
-        "pipeline_clean_corpus": q_pipeline_clean_corpus,
-        "dedup_paragraphs": q_dedup_paragraphs,
-        "pipeline_pack_sequences": q_pipeline_pack_sequences,
-        "pipeline_domain_mix": q_pipeline_domain_mix,
-        "text_gopher_ngrams": q_text_gopher_ngrams,
-        "text_gopher_lines": q_text_gopher_lines,
-        "pipeline_c4_clean": q_pipeline_c4_clean,
-        "tokenizer_bpe_pairs": q_tokenizer_bpe_pairs,
-        "tokenizer_collocations": q_tokenizer_collocations,
-        "tokenizer_bpe_encode": q_tokenizer_bpe_encode,
-        "dedup_semantic": q_dedup_semantic,
-        "pipeline_ccnet_buckets": q_pipeline_ccnet_buckets,
-        "pipeline_shuffle_epoch": q_pipeline_shuffle_epoch,
-        "pipeline_url_filter": q_pipeline_url_filter,
-        "dedup_clusters": q_dedup_clusters,
-        "pipeline_dsir_weights": q_pipeline_dsir_weights,
-        "dedup_substrings": q_dedup_substrings,
-        "search_bm25": q_search_bm25,
-        "index_postings": q_index_postings,
-        "search_tfidf": q_search_tfidf,
-        "search_phrase": q_search_phrase,
-        "text_keywords": q_text_keywords,
-        "cluster_kmeans": q_cluster_kmeans,
-        "streaming_join": q_streaming_join,
-        "streaming_sessions": q_streaming_sessions,
-        "dedup_winnow": q_dedup_winnow,
-        "dedup_winnow_pairs": q_dedup_winnow_pairs,
-        "quality_classifier_nb": q_quality_classifier_nb,
-        "events_sessionize": q_events_sessionize,
-        "events_asof": q_events_asof,
-        "events_funnel": q_events_funnel,
-        "events_retention": q_events_retention,
-        "events_markov": q_events_markov,
-        "events_zscore": q_events_zscore,
-        "dedup_fuzzy_pairs": q_dedup_fuzzy_pairs,
-        "layout_zorder": q_layout_zorder,
-        "layout_compaction": q_layout_compaction,
-        "pipeline_split": q_pipeline_split,
-        "events_pivot": q_events_pivot,
-        "a8_rollup_report": q_a8_rollup_report,
-        "storage_checksum": q_storage_checksum,
-        "s15_incr_agg": q_s15_incr_agg,
-        "text_langid_confusion": q_text_langid_confusion,
-        "pipeline_length_filter": q_pipeline_length_filter,
-        "diag_skew": q_diag_skew,
-        "sketch_hdr_quantiles": q_sketch_hdr_quantiles,
-        "search_rrf": q_search_rrf,
-        "events_rolling": q_events_rolling,
-        "storage_diff": q_storage_diff,
-        "tokenizer_coverage": q_tokenizer_coverage,
-        "pipeline_mix_budget": q_pipeline_mix_budget,
-        "search_bm25f": q_search_bm25f,
-        "quality_percentile_norm": q_quality_percentile_norm,
-        "events_topk_daily": q_events_topk_daily,
-        "events_mad": q_events_mad,
-        "olap_q5_revenue": q_olap_q5_revenue,
-        "olap_q1_pricing": q_olap_q1_pricing,
-        "olap_q3_shipping": q_olap_q3_shipping,
-        "olap_q9_volume": q_olap_q9_volume,
-        "olap_q6_forecast": q_olap_q6_forecast,
-        "olap_q10_returns": q_olap_q10_returns,
-        "olap_q14_promo": q_olap_q14_promo,
-        "olap_q18_large_orders": q_olap_q18_large_orders,
-        "olap_q4_priority": q_olap_q4_priority,
-        "olap_q13_custdist": q_olap_q13_custdist,
-        "text_readability": q_text_readability,
-        "events_dau_wau": q_events_dau_wau,
-        "pipeline_dataset_card": q_pipeline_dataset_card,
-        "graph_reciprocity": q_graph_reciprocity,
-        "graph_assortativity": q_graph_assortativity,
-        "events_interarrival": q_events_interarrival,
-        "crawl_depth_report": q_crawl_depth_report,
         "text_topics": q_text_topics,
         "text_entities": q_text_entities,
         "entity_lookup": q_entity_lookup,
@@ -6846,10 +6857,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_image_extract": q_x_image_extract,
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
-        "sim_pq_topk": q_sim_pq_topk,
-        "sim_sq_topk": q_sim_sq_topk,
-        "s14_merge_upsert": q_s14_merge_upsert,
-        "lm_kneser_ney": q_lm_kneser_ney,
         "sim_neardup_pairs": q_sim_neardup_pairs,
         "sim_neardup_lsh": q_sim_neardup_lsh,
         "sim_ann_lsh": q_sim_ann_lsh,

@@ -307,6 +307,19 @@ def main() -> None:
         import __spark_entry__ as entrymod
 
         qmap = entrymod.queries()
+        # Unbilled warmup: one full materialization of every base table
+        # before any query is timed.  Without this, the suite's FIRST
+        # entries bill first-touch costs for the whole run (OS page-cache
+        # misses on the parquet bytes, first scan codegen) — r03 shipped
+        # j2/j4/w1/w2 as "3× regressions" that re-probed warm at or below
+        # r02.  Best-of-2 alone can't absorb it: both runs of query #1
+        # happen before any other query has touched the other tables.
+        import glob as _glob
+
+        warmup_t0 = time.time()
+        for tbl in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
+            _materialize(spark.read.parquet(tbl))
+        out["table_warmup_secs"] = round(time.time() - warmup_t0, 2)
         # best of 2 per query, raw walls disclosed — the same protocol
         # as the crawl leg: a single cold run bills one-off costs (first
         # codegen of a plan shape, first read of a parquet footer, OS

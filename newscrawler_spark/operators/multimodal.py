@@ -108,15 +108,19 @@ def media_features(media: DataFrame, min_parallelism: int | None = None) -> Data
     payload column.
 
     A single small parquet file scans as ONE partition, which would run
-    the whole python stage serially on one worker — so when the input's
-    partition count is below the cluster's parallelism the payloads are
-    repartitioned up to it first.  The round-robin shuffle only fires
-    in that under-parallel case: a 100 TB media table already scans as
-    many thousands of partitions and skips it (features are row-local,
-    so re-batching never changes results)."""
+    the whole python stage serially on one worker — so when the input is
+    a file scan over fewer files than the cluster's parallelism the
+    payloads are repartitioned up to it first.  The probe is
+    ``inputFiles()`` (plan inspection only — ``.rdd.getNumPartitions()``
+    forces physical planning and, under AQE, can eagerly run upstream
+    stages); shuffle-fed inputs (``inputFiles() == []``) already carry
+    shuffle-partition parallelism and skip it, as does a 100 TB media
+    table that scans as thousands of files (features are row-local, so
+    re-batching never changes results)."""
     sel = media.select("media_id", "payload")
     target = min_parallelism or media.sparkSession.sparkContext.defaultParallelism
-    if sel.rdd.getNumPartitions() < target:
+    n_files = len(media.inputFiles())
+    if 0 < n_files < target:
         sel = sel.repartition(target)
     return sel.mapInPandas(
         feature_extract_map_in_pandas, schema=FEATURE_SCHEMA
