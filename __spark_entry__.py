@@ -4243,6 +4243,108 @@ FROM lk"""
 )
 
 
+def q_response_cache_evict(spark, sf_dir):
+    """Cache TTL expiry + capacity eviction (reference
+    `src/utils/cache.py:70-118`: entries expire TTL seconds after
+    creation; at capacity the oldest 10% by last access are evicted;
+    TTL default `src/llm/response_cache.py:20`).  Cache entries are a
+    deterministic derivation of the events table: one entry per event,
+    created at the event time, last accessed (event_id mod 86400)
+    seconds later; "now" = the max last-access.  Integer-µs time
+    contract end to end (the T4 lesson — no sub-second truncation
+    divergence); every disposition row is gated, ordered by cache_id."""
+    from newscrawler_spark.operators.rag import cache_ttl_evict
+
+    ev = _t(spark, sf_dir, "events")
+    cache = ev.select(
+        F.col("event_id").alias("cache_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("created_us"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.pmod("event_id", F.lit(86400)) * F.lit(1_000_000)
+        ).alias("last_accessed_us"),
+    )
+    return cache_ttl_evict(cache, ttl_s=7 * 86400, max_size=64).orderBy("cache_id")
+
+
+SQL_RESPONSE_CACHE_EVICT = """
+WITH cache AS (
+  SELECT event_id AS cache_id,
+         epoch_us(ts) AS created_us,
+         epoch_us(ts) + (event_id % 86400) * CAST(1000000 AS BIGINT) AS last_accessed_us
+  FROM events),
+now_t AS (SELECT max(last_accessed_us) AS now_us FROM cache),
+aged AS (
+  SELECT cache_id, created_us, last_accessed_us,
+         CAST(floor((now_us - created_us) / 1000000.0) AS BIGINT) AS age_s,
+         now_us > created_us + CAST(604800 AS BIGINT) * 1000000 AS expired
+  FROM cache, now_t),
+live AS (SELECT * FROM aged WHERE NOT expired),
+nl AS (SELECT count(*) AS n_live FROM live),
+ranked AS (
+  SELECT l.cache_id, l.created_us, l.last_accessed_us, l.age_s,
+         row_number() OVER (ORDER BY l.last_accessed_us, l.cache_id) AS rk,
+         CASE WHEN nl.n_live >= 64
+              THEN greatest(1, CAST(floor(nl.n_live * 1000 / 10000.0) AS INT))
+              ELSE 0 END AS n_evict
+  FROM live l, nl)
+SELECT cache_id, created_us, last_accessed_us, age_s,
+       CASE WHEN rk <= n_evict THEN 'evicted' ELSE 'live' END AS status
+FROM ranked
+UNION ALL
+SELECT cache_id, created_us, last_accessed_us, age_s, 'expired' AS status
+FROM aged WHERE expired
+ORDER BY cache_id
+"""
+
+
+def q_text_sentiment(spark, sf_dir):
+    """Deterministic sentiment analysis (reference
+    `src/api/routers/llm.py:245-256` analyze-sentiment — LLM-backed
+    there; a lexicon polarity scorer stands in, the gazetteer
+    philosophy of functions/entities.py).  Pure column expressions:
+    frozen ASCII whitespace tokenization, translate() case folding,
+    array_contains lexicon hits — zero shuffle, zero Python."""
+    from newscrawler_spark.functions.text import sentiment_cols
+
+    docs = _t(spark, sf_dir, "documents")
+    cols = sentiment_cols(F.col("text"))
+    return docs.select(
+        "doc_id",
+        cols["n_tokens"].alias("n_tokens"),
+        cols["pos_hits"].alias("pos_hits"),
+        cols["neg_hits"].alias("neg_hits"),
+        cols["polarity_bp"].alias("polarity_bp"),
+        cols["sentiment"].alias("sentiment"),
+    )
+
+
+SQL_TEXT_SENTIMENT = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(
+           translate(COALESCE(text, ''), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                     'abcdefghijklmnopqrstuvwxyz'),
+           '[ \t\n\r\f\x0b]+'), x -> x <> '') AS t
+  FROM documents),
+hits AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(t, x -> list_contains(
+           ['fast', 'small', 'good', 'great', 'clean'], x))) AS BIGINT) AS pos_hits,
+         CAST(len(list_filter(t, x -> list_contains(
+           ['slow', 'big', 'dup', 'bad', 'stale'], x))) AS BIGINT) AS neg_hits
+  FROM toks)
+SELECT doc_id, n_tokens, pos_hits, neg_hits,
+       CAST(floor((pos_hits - neg_hits) / CAST(pos_hits + neg_hits + 1 AS DOUBLE)
+                  * 10000 + 0.5) AS BIGINT) AS polarity_bp,
+       CASE WHEN pos_hits > neg_hits THEN 'positive'
+            WHEN neg_hits > pos_hits THEN 'negative'
+            ELSE 'neutral' END AS sentiment
+FROM hits
+"""
+
+
 def q_j3_strategy_join(spark, sf_dir):
     """J3/S12: frontier ⋈ domain-strategy dim — broadcast dim join +
     per-strategy rollup (Source.scraper_type, models.py:38-58)."""
@@ -6741,6 +6843,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_url_filter": q_pipeline_url_filter,
         "pipeline_dsir_weights": q_pipeline_dsir_weights,
         "pipeline_length_filter": q_pipeline_length_filter,
+        # r04 additions (driver-gated on first appearance)
+        "text_sentiment": q_text_sentiment,
+        "response_cache_evict": q_response_cache_evict,
         # --- round-5 rotation candidates (never driver-gated yet) ---
         "dedup_incremental": q_dedup_incremental,
         "sim_knn_graph": q_sim_knn_graph,
@@ -6886,6 +6991,8 @@ def oracle_sql() -> dict[str, str]:
         "rag_mmr": SQL_RAG_MMR,
         "response_cache": SQL_RESPONSE_CACHE,
         "response_cache_stats": SQL_RESPONSE_CACHE_STATS,
+        "response_cache_evict": SQL_RESPONSE_CACHE_EVICT,
+        "text_sentiment": SQL_TEXT_SENTIMENT,
         "embed_missing": SQL_EMBED_MISSING,
         "j2_broadcast_dim": SQL_J2,
         "j4_reporting_join": SQL_J4,

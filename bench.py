@@ -174,6 +174,9 @@ BENCH_QUERIES = [
     "sketch_hll_users",
     "sketch_cm_users",
     "sketch_bloom_seen",
+    # round-4 additions
+    "text_sentiment",
+    "response_cache_evict",
 ]
 
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))

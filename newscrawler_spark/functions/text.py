@@ -119,3 +119,49 @@ def _ws_tokens(text_col):
         F.split(F.coalesce(text_col, F.lit("")), r"[ \t\n\r\f\x0b]+"),
         lambda x: x != "",
     )
+
+
+# Polarity lexicons for the deterministic sentiment stand-in
+# (reference `src/api/routers/llm.py:245-256` analyze-sentiment, which
+# calls an LLM; a lexicon scorer stands in, same philosophy as the
+# gazetteer entities in functions/entities.py).  Small on purpose —
+# membership tests are codegen'd array_contains over literal arrays.
+POS_WORDS = ("fast", "small", "good", "great", "clean")
+NEG_WORDS = ("slow", "big", "dup", "bad", "stale")
+
+
+def sentiment_cols(text: Column) -> dict[str, Column]:
+    """Deterministic lexicon polarity: tokens on the frozen ASCII
+    whitespace class, ASCII-folded via translate (never lower() — the
+    needle-check rule), counted against the two lexicons.
+
+    ``polarity_bp`` is the cross-engine pinned form
+    ``floor((pos-neg)/(pos+neg+1)·10⁴ + 0.5)`` — one exact-integer
+    division in doubles (IEEE-exact both engines), round-half-up for
+    either sign.  Zero shuffle, zero Python: pure column expressions.
+    """
+    folded = F.translate(
+        F.coalesce(text, F.lit("")),
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+        "abcdefghijklmnopqrstuvwxyz",
+    )
+    toks = _ws_tokens(folded)
+    in_set = lambda words: F.size(  # noqa: E731
+        F.filter(toks, lambda x: F.array_contains(F.array(*[F.lit(w) for w in words]), x))
+    ).cast("long")
+    pos, neg = in_set(POS_WORDS), in_set(NEG_WORDS)
+    n_toks = F.size(toks).cast("long")
+    polarity_bp = F.floor(
+        (pos - neg).cast("double") / (pos + neg + F.lit(1)).cast("double") * 10000
+        + F.lit(0.5)
+    ).cast("long")
+    label = (
+        F.when(pos > neg, "positive").when(neg > pos, "negative").otherwise("neutral")
+    )
+    return {
+        "n_tokens": n_toks,
+        "pos_hits": pos,
+        "neg_hits": neg,
+        "polarity_bp": polarity_bp,
+        "sentiment": label,
+    }

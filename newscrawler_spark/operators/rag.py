@@ -440,3 +440,88 @@ def mmr_diversify(
         )
         sel = sel.unionByName(pick)
     return sel
+
+
+def cache_ttl_evict(
+    cache: DataFrame,
+    ttl_s: int = 3600,
+    max_size: int = 1000,
+    evict_frac_bp: int = 1000,
+) -> DataFrame:
+    """TTL expiry + capacity eviction over a cache-entry relation — the
+    batch twin of the reference's two cache policies: entries expire
+    ``ttl_s`` after creation (``src/utils/cache.py:70-83``,
+    ``expires_at = created_at + expiration_seconds``) and, when the live
+    set reaches ``max_size``, the oldest ``max(1, int(n·10%))`` entries
+    by last access are evicted (``src/utils/cache.py:104-118``
+    ``_evict``; TTL default from ``src/llm/response_cache.py:20``).
+
+    ``cache``: (cache_id, created_us, last_accessed_us) with integer
+    microsecond times (Spark's unix_timestamp truncates sub-second ts —
+    the T4 lesson — so the time contract is integer µs end to end).
+    "now" is the max last-access in the relation (deterministic batch
+    stand-in for the wall clock).
+
+    Returns every entry with its disposition:
+    (cache_id, created_us, last_accessed_us, age_s, status ∈
+    {'expired','evicted','live'}).  Expired entries are decided row-
+    locally; the eviction rank is a window over the LIVE subset only —
+    a cache is bounded by construction (max_size), so the unpartitioned
+    window never sees corpus-scaled input.  Ties in last-access break
+    by cache_id (the reference's dict iteration is insertion-stable;
+    an explicit deterministic rule replaces that accident).
+    """
+    now_us = cache.agg(F.max("last_accessed_us").alias("__now_us"))
+    aged = cache.crossJoin(F.broadcast(now_us)).select(
+        "cache_id",
+        "created_us",
+        "last_accessed_us",
+        # floor BEFORE the long cast: Spark's cast(double→long) truncates
+        # but DuckDB's CAST rounds — floor() is the shared pin
+        F.floor((F.col("__now_us") - F.col("created_us")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("age_s"),
+        (F.col("__now_us") > F.col("created_us") + F.lit(int(ttl_s) * 1_000_000)).alias(
+            "__expired"
+        ),
+    )
+    live = aged.where(~F.col("__expired"))
+    n_live = live.agg(F.count(F.lit(1)).alias("__n_live"))
+    ranked = (
+        live.crossJoin(F.broadcast(n_live))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.orderBy("last_accessed_us", "cache_id")
+            ),
+        )
+        .withColumn(
+            "__n_evict",
+            F.when(
+                F.col("__n_live") >= F.lit(max_size),
+                F.greatest(
+                    F.lit(1),
+                    F.floor(F.col("__n_live") * F.lit(evict_frac_bp) / F.lit(10000)).cast(
+                        "int"
+                    ),
+                ),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    disposed = ranked.select(
+        "cache_id",
+        "created_us",
+        "last_accessed_us",
+        "age_s",
+        F.when(F.col("__rk") <= F.col("__n_evict"), "evicted")
+        .otherwise("live")
+        .alias("status"),
+    )
+    expired = aged.where(F.col("__expired")).select(
+        "cache_id",
+        "created_us",
+        "last_accessed_us",
+        "age_s",
+        F.lit("expired").alias("status"),
+    )
+    return disposed.unionByName(expired)
