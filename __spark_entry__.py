@@ -5192,7 +5192,18 @@ def _crawl_base(sf_dir: str) -> str:
     streaming stage ids, which encode window/watermark)."""
     import hashlib
 
-    spec = repr((sorted(_GATE_CORPUS_ARGS.items()), sorted(_GATE_CRAWL_ARGS.items())))
+    from newscrawler_spark.sources.corpus import CORPUS_VERSION
+
+    # CORPUS_VERSION is part of the spec: a generator change regenerates
+    # the corpus (versioned marker) but a stale STORE would still serve
+    # rounds crawled over the old pages — same spurious-FAIL class
+    spec = repr(
+        (
+            sorted(_GATE_CORPUS_ARGS.items()),
+            sorted(_GATE_CRAWL_ARGS.items()),
+            CORPUS_VERSION,
+        )
+    )
     tag = hashlib.md5(spec.encode()).hexdigest()[:8]
     return os.path.join(
         tempfile.gettempdir(), f"nc_crawl_{_stable_id(sf_dir)}_{tag}"

@@ -685,6 +685,14 @@ class FrontierCrawler:
             )
             fetched = fetched.repartition(n_extract, "url_hash")
 
+        # J3 routing INTO extraction (reference: the Source.scraper_type
+        # picks the scraper, puppeteer_scraper.py:45-56): the tiny
+        # strategy dim broadcast-joins onto the fetched rows so the
+        # extractor can run the JS-heavy variant for puppeteer hosts —
+        # a broadcast hash join on the already-moving fetched rows, no
+        # extra exchange on the big side at any scale.
+        fetched = fetched.join(F.broadcast(self.strategy_dim), on="host", how="left")
+
         # 5. extraction (vectorized, byte-identical contract)
         ext_schema = T.StructType(
             [f for f in fetched.schema.fields if f.name != "html"]
@@ -705,7 +713,9 @@ class FrontierCrawler:
 
             pid = TaskContext.get().partitionId() if TaskContext.get() else -1
             for pdf in it:
-                ext = extract_batch(pdf["canon_url"], pdf["html"])
+                ext = extract_batch(
+                    pdf["canon_url"], pdf["html"], pdf["scrape_strategy"]
+                )
                 keep = pdf.drop(columns=["html"]).reset_index(drop=True)
                 out = pd.concat([keep, ext], axis=1)
                 out.loc[pdf["html"].isna().to_numpy(), ["title", "text"]] = None
@@ -773,9 +783,9 @@ class FrontierCrawler:
             / (content_w + meta_w + title_w + img_w),
             6,
         )
-        article_rows = articles.join(
-            F.broadcast(self.strategy_dim), on="host", how="left"
-        ).select(
+        # scrape_strategy already rides on the extracted rows (joined
+        # before extraction for J3 routing) — no second dim join here
+        article_rows = articles.select(
             F.col("canon_url").alias("url"),
             "url_hash",
             F.col("host").alias("source_domain"),

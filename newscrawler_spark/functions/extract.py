@@ -29,6 +29,20 @@ Extraction spec (frozen):
                deduped order-preserving (the reference's ArticleImage
                list: newspaper_scraper/scraper.py:190-226 keeps
                top_image first and drops duplicates of it)
+
+JS-heavy variant (``js_render=True``, the batch analog of the
+reference's Puppeteer strategy, ``src/scrapers/puppeteer_scraper/
+puppeteer_scraper.py:45-56``: pages routed to that scraper are
+browser-rendered before extraction — impossible in this sandbox, so
+the frozen stand-in models WHAT rendering recovers, not how): SPA-style
+pages carry their article content in ``<script type="application/
+ld+json">`` blocks whose ``articleBody`` the DOM would render; the
+variant appends those bodies (document order, read from the RAW html —
+the base boilerplate strip removes all <script> subtrees) to the <p>
+text before the whitespace collapse.  Everything else (title, links,
+authors, images) is identical, so the frontier semantics do not depend
+on the strategy — only the extracted text (and anything downstream of
+its length) does.
 """
 
 from __future__ import annotations
@@ -72,6 +86,22 @@ _FEED_BLOCK_RE = re.compile(FEED_BLOCK_PATTERN)
 _FEED_TITLE_RE = re.compile(FEED_TITLE_PATTERN)
 _FEED_LINK_RE = re.compile(FEED_LINK_PATTERN)
 _FEED_PUBDATE_RE = re.compile(FEED_PUBDATE_PATTERN)
+# JS-heavy (puppeteer-strategy) extraction: JSON-LD articleBody blocks.
+# Pattern strings exported — the DuckDB crawl replay (oracle_sql.py)
+# interprets the same spellings under RE2, so no backreferences and the
+# whitespace class stays the explicit ASCII pin.
+LDJSON_BLOCK_PATTERN = (
+    r"(?is)<script\b[^>]*?\btype[ \t\n\r\f\x0b]*=[ \t\n\r\f\x0b]*"
+    r"[\"']application/ld\+json[\"'][^>]*>(.*?)</script[ \t\n\r\f\x0b]*>"
+)
+ARTICLE_BODY_PATTERN = (
+    r"\"articleBody\"[ \t\n\r\f\x0b]*:[ \t\n\r\f\x0b]*\"([^\"]*)\""
+)
+_LDJSON_BLOCK_RE = re.compile(LDJSON_BLOCK_PATTERN)
+_ARTICLE_BODY_RE = re.compile(ARTICLE_BODY_PATTERN)
+# the strategy value that routes a host to the JS-heavy extractor
+# (seeds.scraper_type, reference Source model src/database/models.py:38-58)
+JS_RENDER_STRATEGY = "puppeteer"
 # F12: script-tag count / SPA sniff (ref url_classifier.py:286-314)
 SCRIPT_OPEN_PATTERN = r"(?i)<script\b"
 _SCRIPT_OPEN_RE = re.compile(SCRIPT_OPEN_PATTERN)
@@ -132,13 +162,25 @@ def resolve_link(base_url: str, href: str) -> str | None:
     return canonicalize_url(f"{scheme}://{host}{base_dir}{href}")
 
 
-def extract_page(html_bytes: bytes, url: str) -> dict:
-    """Frozen extractor: html bytes + url → dict of extracted fields."""
+def extract_page(html_bytes: bytes, url: str, js_render: bool = False) -> dict:
+    """Frozen extractor: html bytes + url → dict of extracted fields.
+
+    ``js_render=True`` is the Puppeteer-strategy variant: JSON-LD
+    articleBody blocks (what a browser render would put in the DOM)
+    are appended to the <p> text, in document order, before the
+    whitespace collapse.  A page without such blocks extracts
+    identically under both variants."""
     raw = html_bytes.decode("utf-8", errors="replace")
     body = _BOILER_RE.sub(" ", raw)
     m = _TITLE_RE.search(body)
     title = collapse_ws(_strip_tags(m.group(1))) if m else ""
     paras = [_strip_tags(p) for p in _P_RE.findall(body)]
+    if js_render:
+        paras += [
+            b
+            for blk in _LDJSON_BLOCK_RE.findall(raw)
+            for b in _ARTICLE_BODY_RE.findall(blk)
+        ]
     text = collapse_ws(" ".join(paras))
     links: list[str] = []
     seen: set[str] = set()
@@ -217,10 +259,14 @@ EXTRACT_FIELDS = (
 )
 
 
-def extract_batch(urls: pd.Series, htmls: pd.Series) -> pd.DataFrame:
+def extract_batch(
+    urls: pd.Series, htmls: pd.Series, strategies: pd.Series | None = None
+) -> pd.DataFrame:
     """Arrow-batched extraction: one pandas call per batch, zero
     per-row Python at the Spark boundary (the row loop lives inside
-    the batch, as in any pandas str accessor)."""
+    the batch, as in any pandas str accessor).  ``strategies`` (the
+    J3 scrape_strategy column, nullable) routes rows equal to
+    ``JS_RENDER_STRATEGY`` through the JS-heavy variant."""
     out = {
         "title": [],
         "text": [],
@@ -229,7 +275,10 @@ def extract_batch(urls: pd.Series, htmls: pd.Series) -> pd.DataFrame:
         "published": [],
         "images": [],
     }
-    for url, blob in zip(urls.tolist(), htmls.tolist()):
+    strats = (
+        strategies.tolist() if strategies is not None else [None] * len(urls)
+    )
+    for url, blob, strat in zip(urls.tolist(), htmls.tolist(), strats):
         if blob is None:
             rec = {
                 "title": "",
@@ -240,7 +289,9 @@ def extract_batch(urls: pd.Series, htmls: pd.Series) -> pd.DataFrame:
                 "images": [],
             }
         else:
-            rec = extract_page(bytes(blob), url)
+            rec = extract_page(
+                bytes(blob), url, js_render=(strat == JS_RENDER_STRATEGY)
+            )
         for k in out:
             out[k].append(rec[k])
     return pd.DataFrame(out)

@@ -72,6 +72,11 @@ def crawl_oracle(pages_path: str, seeds_path: str, config: CrawlConfig = CrawlCo
     # pending: canon_url -> (priority, discovered_round)
     pending: dict[str, tuple[int, int]] = {}
     seeds = pq.read_table(seeds_path).to_pylist()
+    # J3 strategy routing into extraction (reference Source.scraper_type
+    # → puppeteer_scraper): hosts marked 'puppeteer' extract with the
+    # JS-heavy variant.  Host-keyed, ALL seed rows (active or not) —
+    # the engine builds its strategy dim the same way.
+    strategy = {s["domain"]: s["scraper_type"] for s in seeds}
     for s in seeds:
         if not s["active"]:
             continue
@@ -119,7 +124,9 @@ def crawl_oracle(pages_path: str, seeds_path: str, config: CrawlConfig = CrawlCo
             if html is None:
                 seen[u] = "missing"
                 continue
-            rec = extract_page(html, u)
+            rec = extract_page(
+                html, u, js_render=(strategy.get(host_of(u)) == "puppeteer")
+            )
             if len(rec["text"]) >= config.min_content_len:
                 seen[u] = "fetched"
                 articles[u] = {

@@ -145,15 +145,32 @@ WITH pagemeta AS (
          regexp_extract(url, '^[a-z]+://([^/?#]*)', 1) AS host
   FROM read_parquet('{pages_path}')
 ),
+strat AS (
+  -- J3 strategy dim (engine: strategy_dim from ALL seed rows, host-
+  -- keyed; corpus domains are unique so min() is a no-op determinizer)
+  SELECT domain AS host, min(scraper_type) AS scraper_type
+  FROM read_parquet('{seeds_path}') GROUP BY domain
+),
 ext AS (
-  SELECT cu, host,
+  SELECT cu, pagemeta.host AS host,
     COALESCE(trim(regexp_replace(regexp_replace(regexp_extract(body, '(?is)<title[^>]*>(.*?)</title\s*>', 1), '<[^>]+>', ' ', 'g'), '[ \t\n\r\f\x0b]+', ' ', 'g')), '') AS title,
-    COALESCE(trim(regexp_replace(array_to_string(list_transform(
+    -- text: <p> paragraphs; puppeteer-strategy hosts (JS-heavy variant,
+    -- functions/extract.py js_render spec) append the JSON-LD
+    -- articleBody blocks read from the RAW html (the boilerplate strip
+    -- removes every <script> subtree from body)
+    COALESCE(trim(regexp_replace(
+      array_to_string(list_transform(
         regexp_extract_all(body, '(?is)<p\b[^>]*>(.*?)</p\s*>', 1),
-        x -> regexp_replace(x, '<[^>]+>', ' ', 'g')), ' '), '[ \t\n\r\f\x0b]+', ' ', 'g')), '') AS text,
+        x -> regexp_replace(x, '<[^>]+>', ' ', 'g')), ' ')
+      || CASE WHEN COALESCE(strat.scraper_type, '') = 'puppeteer'
+              THEN ' ' || array_to_string(flatten(list_transform(
+                regexp_extract_all(raw, '(?is)<script\b[^>]*?\btype[ \t\n\r\f\x0b]*=[ \t\n\r\f\x0b]*["'']application/ld\+json["''][^>]*>(.*?)</script[ \t\n\r\f\x0b]*>', 1),
+                b -> regexp_extract_all(b, '"articleBody"[ \t\n\r\f\x0b]*:[ \t\n\r\f\x0b]*"([^"]*)"', 1))), ' ')
+              ELSE '' END,
+      '[ \t\n\r\f\x0b]+', ' ', 'g')), '') AS text,
     len(regexp_extract_all(raw, '(?i)<meta\b[^>]*?\bname\s*=\s*["'']author["''][^>]*?\bcontent\s*=\s*["'']([^"''>]*)["'']', 1)) AS n_authors,
     regexp_matches(raw, '(?i)<meta\b[^>]*?\bproperty\s*=\s*["'']article:published_time["''][^>]*?\bcontent\s*=\s*["'']([^"''>]*)["'']') AS has_published
-  FROM pagemeta
+  FROM pagemeta LEFT JOIN strat ON strat.host = pagemeta.host
 ),
 imgs AS (
   SELECT cu, CAST(count(DISTINCT link) AS INT) AS n_images FROM (

@@ -36,8 +36,10 @@ from datetime import datetime, timedelta, timezone
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-CORPUS_VERSION = 9  # bump to invalidate cached corpora (v9: feed item
-# titles/pubDate + unlinked SPA shell pages)
+CORPUS_VERSION = 10  # bump to invalidate cached corpora (v10: puppeteer
+# hosts serve JS-heavy article pages — first paragraph as a <p> shell,
+# the rest in a JSON-LD articleBody block that only the js_render
+# extraction variant recovers; ground-truth text is unchanged)
 
 _WORDS = (
     "the quick brown fox jumps over a lazy dog while reporters file stories "
@@ -167,6 +169,13 @@ def _gen_host(args) -> dict:
             else:
                 targets.append(dangling[rng.randrange(len(dangling))])
         anchors = "".join(f'<a href="{t}">link</a> ' for t in targets)
+        # puppeteer-strategy hosts (same i%3 rule as seeds.scraper_type)
+        # serve JS-heavy pages: only the first paragraph renders as a
+        # <p> shell; the rest rides in a JSON-LD articleBody that the
+        # base extractor's <script> boilerplate strip removes — the
+        # js_render variant (functions/extract.py) recovers it, so the
+        # stored ground-truth text is IDENTICAL either way by spec
+        js_host = i % 3 == 2
         # 0-3 images per article, occasionally duplicated (exercises the
         # extractor's order-preserving image de-dup, ref scraper.py:214-226)
         n_imgs = rng.randint(0, 3)
@@ -175,7 +184,22 @@ def _gen_host(args) -> dict:
             img_urls.append(img_urls[0])
         imgs = "".join(f'<img src="{u}" alt="im">' for u in img_urls)
         para_texts = [_paragraph(rng) for _ in range(rng.randint(lo, hi))]
-        paras = "".join(f"<p>{p}</p>" for p in para_texts)
+        if js_host:
+            # SPA shape: <p> shell with the first paragraph only, the
+            # rest in JSON-LD (paragraph text is words+periods — no
+            # quotes/backslashes — so plain string embedding is valid
+            # JSON and regex-recoverable in all three engines)
+            paras = f"<p>{para_texts[0]}</p>"
+            ld_body = " ".join(para_texts[1:])
+            ldjson = (
+                '<script type="application/ld+json">'
+                '{"@context":"https://schema.org","@type":"NewsArticle",'
+                f'"articleBody":"{ld_body}"}}'
+                "</script>"
+            )
+        else:
+            paras = "".join(f"<p>{p}</p>" for p in para_texts)
+            ldjson = ""
         author = rng.choice(["A. Reporter", "B. Writer", "C. Editor"])
         pub = (BASE_TS + timedelta(hours=j % 240)).strftime("%Y-%m-%dT%H:%M:%S+00:00")
         html = (
@@ -183,7 +207,7 @@ def _gen_host(args) -> dict:
             f"<title>Story {j} on {host}</title>"
             f'<meta name="author" content="{author}">'
             f'<meta property="article:published_time" content="{pub}">'
-            "<style>p{color:black}</style></head><body>"
+            f"<style>p{{color:black}}</style>{ldjson}</head><body>"
             '<nav><a href="/">home</a> | sections</nav>'
             f"{paras}{imgs}<div>{anchors}</div>"
             "<script>var tracking=1;</script>"

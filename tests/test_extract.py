@@ -49,6 +49,64 @@ def test_extract_golden():
     assert rec["published"] == "2025-01-02T03:04:05+00:00"
 
 
+JS_HTML = b"""<html><head><title>SPA Story</title>
+<script type="application/ld+json">{"@context":"https://schema.org",
+"@type":"NewsArticle","articleBody":"Rendered body one. Rendered body two."}</script>
+</head><body>
+<p>Shell paragraph.</p>
+<a href="https://other.example.com/a">x</a>
+<script>window.app=1;</script>
+</body></html>"""
+
+
+def test_js_render_variant_differs_on_ldjson_pages():
+    """The Puppeteer-strategy variant (js_render) recovers the JSON-LD
+    articleBody that the base extractor's <script> strip removes — the
+    behavioral difference between the reference's newspaper and
+    puppeteer scrapers, modeled honestly."""
+    base = extract_page(JS_HTML, "https://news.example.com/sec/art.html")
+    js = extract_page(JS_HTML, "https://news.example.com/sec/art.html", js_render=True)
+    assert base["text"] == "Shell paragraph."
+    assert js["text"] == "Shell paragraph. Rendered body one. Rendered body two."
+    # everything EXCEPT text is identical — frontier semantics do not
+    # depend on the strategy
+    for k in ("title", "out_links", "authors", "published", "images"):
+        assert base[k] == js[k], k
+
+
+def test_js_render_noop_without_ldjson():
+    """A page with no ld+json block extracts identically under both
+    variants (the variant is a superset, never a divergence)."""
+    base = extract_page(GOLDEN_HTML, "https://news.example.com/sec/art.html")
+    js = extract_page(GOLDEN_HTML, "https://news.example.com/sec/art.html", js_render=True)
+    assert base == js
+
+
+def test_corpus_js_pages_differ_between_extractors(tmp_path):
+    """The v10 corpus must EXERCISE the strategy split: puppeteer-host
+    article pages extract different text under base vs js_render (if
+    they didn't, the routing would be untestable dead code)."""
+    import pyarrow.parquet as pq
+
+    from newscrawler_spark.sources.corpus import generate_corpus
+
+    paths = generate_corpus(str(tmp_path / "c"), n_pages=120, n_hosts=6, seed=42)
+    seeds = {r["domain"]: r["scraper_type"] for r in pq.read_table(paths["seeds"]).to_pylist()}
+    differing = same = 0
+    for r in pq.read_table(paths["pages"]).to_pylist():
+        host = r["url"].split("/")[2]
+        if seeds.get(host) != "puppeteer" or "/art-" not in r["url"]:
+            continue
+        base = extract_page(bytes(r["html"]), r["url"])
+        js = extract_page(bytes(r["html"]), r["url"], js_render=True)
+        assert js["text"] == r["text"]  # ground truth = js variant
+        if base["text"] != js["text"]:
+            differing += 1
+        else:
+            same += 1
+    assert differing > 10, (differing, same)
+
+
 def test_feed_entries_extracted_and_capped():
     """S4: RSS-style <item><link> entries become out_links, capped at 20
     (reference max_entries_per_feed, feed_scraper.py:333)."""
@@ -128,13 +186,23 @@ def test_corpus_roundtrip_byte_identical(spark, tmp_path_factory):
         "authors array<string>, published string"
     )
 
+    import pyarrow.parquet as _pq
+
+    strategy_by_host = {
+        r["domain"]: r["scraper_type"]
+        for r in _pq.read_table(paths["seeds"]).to_pylist()
+    }
+
     def run(it):
         import pandas as pd
 
         from newscrawler_spark.functions.extract import extract_batch
 
         for pdf in it:
-            ext = extract_batch(pdf["url"], pdf["html"])
+            # J3 routing: puppeteer hosts extract with the JS-heavy
+            # variant — that is what the stored ground truth encodes
+            strats = pdf["url"].str.split("/").str[2].map(strategy_by_host)
+            ext = extract_batch(pdf["url"], pdf["html"], strats)
             ext = ext.rename(columns={"text": "text_x"})
             yield pd.concat([pdf.reset_index(drop=True), ext], axis=1)
 

@@ -562,12 +562,21 @@ def test_olap_q18_aggregates_before_join(spark, sf_dir):
 
     df = m.q_olap_q18_large_orders(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # the sum_qty>200 filter sits on the aggregate, not after a join
-    agg_pos = plan.find("HashAggregate")
-    join_pos = plan.find("Join")
-    assert agg_pos != -1 and join_pos != -1, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+    # STRUCTURAL check (not mere presence): the sum_qty>200 filter must
+    # sit directly over the HashAggregate whose subtree reaches the
+    # lineitem scan with NO Join in between — plan lines print parent-
+    # before-child, so in the slice [filter line → lineitem scan line]
+    # a join-first plan would interpose a Join node
+    start = plan.index("(sum_qty")
+    scan = plan.index("lineitem.parquet", start)
+    between = plan[start:scan]
+    assert "Join" not in between, between
+    assert "HashAggregate" in between, between
+    # and the qualifying set (the aggregate side) is what broadcasts
+    bexch = plan.index("BroadcastExchange")
+    assert bexch < start < scan, plan
 
 
 def test_olap_q4_plans_semi_join(spark, sf_dir):
