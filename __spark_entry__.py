@@ -2699,6 +2699,516 @@ FROM per_cust GROUP BY 1
 """
 
 
+def q_olap_q7_trade(spark, sf_dir):
+    """TPC-H-Q7-shaped bilateral trade volume: supplier-nation ↔
+    customer-nation flows for one nation pair, per ship year.  Shape:
+    two big joins (lineitem⋈orders, ⋈customer) left declarative for
+    AQE, THREE broadcast dims (supplier and two roles of nation — the
+    same dim joined twice under different aliases), disjunctive pair
+    filter, integer revenue.  At 100 TB the nation-pair filter
+    eliminates rows only AFTER the dims attach — which is fine,
+    because both dims broadcast: no shuffle carries the dropped rows."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.expr(
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+        " * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))"
+    )
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(
+        F.sum(rev).cast("long").alias("revenue_scaled"),
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+    )
+
+
+SQL_OLAP_Q7 = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+            * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
+         AS revenue_scaled,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+
+def q_olap_q8_market_share(spark, sf_dir):
+    """TPC-H-Q8-shaped market share: for the ASIA-region PROMO-part
+    market, NATION_1 suppliers' share of yearly volume.  Shape: star
+    join, then ONE conditional aggregate gives numerator and
+    denominator in the same pass (the Q14 lesson — never two scans);
+    share = pinned 4dp ratio of two exact integer sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cn = nation.select("n_nationkey", "n_regionkey")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.expr(
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+        " * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))"
+    )
+    j = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    agg = j.groupBy(F.year("o_orderdate").cast("long").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("nation_volume_scaled"),
+        F.sum(rev).cast("long").alias("total_volume_scaled"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_volume_scaled",
+        "total_volume_scaled",
+        pinned_round(
+            F.col("nation_volume_scaled").cast("double")
+            / F.col("total_volume_scaled"),
+            4,
+        ).alias("mkt_share"),
+    )
+
+
+SQL_OLAP_Q8 = """
+WITH j AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region   ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+),
+a AS (
+  SELECT o_year,
+         CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN rev ELSE 0 END) AS BIGINT)
+           AS nation_volume_scaled,
+         CAST(sum(rev) AS BIGINT) AS total_volume_scaled
+  FROM j GROUP BY o_year
+)
+SELECT o_year, nation_volume_scaled, total_volume_scaled,
+       floor((CAST(nation_volume_scaled AS DOUBLE) / total_volume_scaled)
+             * 10000.0 + 0.5) / 10000.0 AS mkt_share
+FROM a
+"""
+
+
+def q_olap_q11_value_parts(spark, sf_dir):
+    """TPC-H-Q11-shaped important-stock cut (no partsupp table in this
+    universe, so part value comes from lineitem): per-part extended-
+    price value, keeping parts above 1.5× the AVERAGE part value
+    (average-relative, not total-relative: a fixed fraction of the
+    global total goes vacuous as the part universe grows with SF).
+    Shape: one aggregate, then the single-row global (sum, count)
+    broadcasts back via crossJoin and the threshold cross-multiplies
+    INTEGERS (2·value·n > 3·Σ — a double fraction of a 10^12-cent sum
+    loses ulps cross-engine).  The global-scalar-filter shape is Q11's
+    `having sum > (select sum(...) * frac)` with the subquery planned
+    exactly once."""
+    li = _t(spark, sf_dir, "lineitem")
+    ep = F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+    val = li.groupBy("l_partkey").agg(F.sum(ep).cast("long").alias("value_cents"))
+    total = val.agg(
+        F.sum("value_cents").cast("long").alias("__total_cents"),
+        F.count(F.lit(1)).cast("long").alias("__n_parts"),
+    )
+    return (
+        val.crossJoin(F.broadcast(total))
+        .where(
+            F.col("value_cents") * F.col("__n_parts") * 2
+            > F.col("__total_cents") * 3
+        )
+        .select("l_partkey", "value_cents")
+    )
+
+
+SQL_OLAP_Q11 = """
+WITH v AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, value_cents
+FROM v
+WHERE value_cents * (SELECT CAST(count(*) AS BIGINT) FROM v) * 2
+      > (SELECT CAST(sum(value_cents) AS BIGINT) FROM v) * 3
+"""
+
+
+def q_olap_q15_top_supplier(spark, sf_dir):
+    """TPC-H-Q15-shaped top supplier: per-supplier 1996Q1 revenue, keep
+    the max-revenue supplier(s).  Shape: the revenue view aggregates
+    once and is consumed twice (rows + its own max) — the max collapses
+    to a single broadcast row joined back, NOT a window over the whole
+    aggregate (equivalent here, but the scalar broadcast states the
+    bounded-driver-state contract explicitly).  Integer revenue makes
+    'equals the max' deterministic cross-engine; double revenue would
+    make the equality a coin flip."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = F.expr(
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+        " * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))"
+    )
+    supp_rev = li.groupBy("l_suppkey").agg(
+        F.sum(rev).cast("long").alias("total_revenue_scaled")
+    )
+    mx = supp_rev.agg(F.max("total_revenue_scaled").alias("__mx"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp_rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue_scaled") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            "total_revenue_scaled",
+        )
+    )
+
+
+SQL_OLAP_Q15 = """
+WITH r AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+              * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
+           AS total_revenue_scaled
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_revenue_scaled
+FROM r JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue_scaled = (SELECT max(total_revenue_scaled) FROM r)
+"""
+
+
+def q_olap_q16_supplier_diversity(spark, sf_dir):
+    """TPC-H-Q16-shaped supplier diversity (partsupp stands in as the
+    DISTINCT (part, supplier) pairs actually traded in lineitem): per
+    (brand, type, size) distinct-supplier counts, excluding one brand,
+    PROMO-typed parts, and 'complaint' suppliers (negative acctbal —
+    the deterministic twin of Q16's comment LIKE).  Shape: distinct
+    pair reduction FIRST (kills the lineitem fan-in before any dim
+    work), broadcast part dim, broadcast LEFT-ANTI for the exclusion
+    list, then a distinct-count aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#9")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+    )
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        pairs.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+SQL_OLAP_Q16 = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#9'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_olap_q17_small_qty(spark, sf_dir):
+    """TPC-H-Q17-shaped small-quantity revenue: Brand#1 lineitems whose
+    quantity is below 20% of that part's average quantity.  Shape: the
+    correlated per-part average becomes ONE window over l_partkey (a
+    single shuffle; per-part partitions are bounded by part fan-in, not
+    corpus size), and the 20%-of-average comparison is the integer
+    cross-multiplication 5·qty·n < Σqty — zero doubles anywhere."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    qty = F.expr("CAST(floor(l_quantity + 0.5) AS BIGINT)")
+    ep = F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+    w = Window.partitionBy("l_partkey")
+    j = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", qty.alias("qty"), ep.alias("ep_cents"))
+        .withColumn("sum_qty", F.sum("qty").over(w))
+        .withColumn("n_part", F.count(F.lit(1)).over(w))
+        .where(F.col("qty") * 5 * F.col("n_part") < F.col("sum_qty"))
+    )
+    return j.agg(
+        F.sum("ep_cents").cast("long").alias("small_qty_revenue_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_small_qty_lines"),
+    )
+
+
+SQL_OLAP_Q17 = """
+WITH j AS (
+  SELECT l_partkey,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS ep_cents,
+         sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) OVER (PARTITION BY l_partkey) AS sum_qty,
+         count(*) OVER (PARTITION BY l_partkey) AS n_part
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#1'
+)
+SELECT CAST(sum(ep_cents) AS BIGINT) AS small_qty_revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_small_qty_lines
+FROM j WHERE qty * 5 * n_part < sum_qty
+"""
+
+
+def q_olap_q19_disjunctive(spark, sf_dir):
+    """TPC-H-Q19-shaped disjunctive predicate: three (brand, size-band,
+    quantity-band) alternatives OR'd together over the part join.
+    Shape: the part side broadcasts and the disjunction stays ONE
+    predicate — Catalyst cannot split an OR across scans, but the
+    common `l_partkey = p_partkey` conjunct still drives the join and
+    the per-branch part predicates prune the broadcast build side."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    qty = F.expr("CAST(floor(l_quantity + 0.5) AS BIGINT)")
+    rev = F.expr(
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+        " * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))"
+    )
+    j = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("qty", qty)
+        .where(
+            (
+                (F.col("p_brand") == "Brand#1")
+                & F.col("p_size").between(1, 10)
+                & F.col("qty").between(1, 20)
+            )
+            | (
+                (F.col("p_brand") == "Brand#13")
+                & F.col("p_size").between(11, 30)
+                & F.col("qty").between(10, 35)
+            )
+            | (
+                (F.col("p_brand") == "Brand#20")
+                & F.col("p_size").between(20, 50)
+                & F.col("qty").between(20, 50)
+            )
+        )
+    )
+    return j.agg(
+        F.sum(rev).cast("long").alias("revenue_scaled"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+SQL_OLAP_Q19 = """
+SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+         * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
+         AS revenue_scaled,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey,
+LATERAL (SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty) q
+WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 10 AND qty BETWEEN 1  AND 20)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 11 AND 30 AND qty BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50 AND qty BETWEEN 20 AND 50)
+"""
+
+
+def q_olap_q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H-Q21-shaped waiting-supplier audit (no receipt/commit dates
+    in this universe: 'late' = shipped >90 days after the order date):
+    suppliers who were the ONLY late supplier on a finished multi-
+    supplier order.  Shape: Q21's EXISTS/NOT-EXISTS pair become a
+    LEFT-SEMI (another supplier exists on the order) and a LEFT-ANTI
+    (no OTHER supplier was late) against the distinct (order, supplier)
+    projections — both sides keyed on l_orderkey, one shuffle family,
+    and the big lineitem table is reduced to distinct pairs BEFORE the
+    self-joins.  Top 20 by count with name tie-break
+    (TakeOrderedAndProject)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    l1 = late.alias("l1")
+    others = all_pairs.alias("l2")
+    late_others = late.alias("l3")
+    semi = l1.join(
+        others,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    only_late = semi.alias("l1").join(
+        late_others,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        only_late.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+SQL_OLAP_Q21 = """
+WITH late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+),
+pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM pairs l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+def q_olap_q22_dormant_customers(spark, sf_dir):
+    """TPC-H-Q22-shaped sales opportunity: above-average-balance
+    customers with NO recent orders (the 7-year dormancy window becomes
+    'no order since 2000-01-01' in this universe), rolled up per
+    nation.  Shape: the positive-balance average arrives as a single
+    broadcast row and the comparison cross-multiplies integers
+    (bal·n > Σbal — never a double avg); dormancy is a LEFT-ANTI
+    against the date-pruned orders scan (pushdown carries the date)."""
+    cust = _t(spark, sf_dir, "customer")
+    bal = F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")
+    pos = cust.where(F.col("c_acctbal") > 0).agg(
+        F.sum(bal).cast("long").alias("__sum_bal"),
+        F.count(F.lit(1)).cast("long").alias("__n_bal"),
+    )
+    recent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "2000-01-01"
+    ).select("o_custkey")
+    nation = _t(spark, sf_dir, "nation")
+    rich = (
+        cust.withColumn("bal_cents", bal)
+        .crossJoin(F.broadcast(pos))
+        .where(F.col("bal_cents") * F.col("__n_bal") > F.col("__sum_bal"))
+    )
+    dormant = rich.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        dormant.join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dormant"),
+            F.sum("bal_cents").cast("long").alias("total_bal_cents"),
+        )
+    )
+
+
+SQL_OLAP_Q22 = """
+WITH bal AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+         c_acctbal
+  FROM customer
+),
+pos AS (
+  SELECT CAST(sum(bal_cents) AS BIGINT) AS sum_bal,
+         CAST(count(*) AS BIGINT) AS n_bal
+  FROM bal WHERE c_acctbal > 0
+)
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_dormant,
+       CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents
+FROM bal, pos
+JOIN nation ON c_nationkey = n_nationkey
+WHERE bal_cents * n_bal > sum_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY n_name
+"""
+
+
 def q_text_readability(spark, sf_dir):
     """Flesch reading-ease scoring (functions/text-style quality
     signal; Flesch 1948, the filter every readability-gated corpus
@@ -6858,6 +7368,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sentiment": q_text_sentiment,
         "response_cache_evict": q_response_cache_evict,
         # --- round-5 rotation candidates (never driver-gated yet) ---
+        "olap_q7_trade": q_olap_q7_trade,
+        "olap_q8_market_share": q_olap_q8_market_share,
+        "olap_q11_value_parts": q_olap_q11_value_parts,
+        "olap_q15_top_supplier": q_olap_q15_top_supplier,
+        "olap_q16_supplier_diversity": q_olap_q16_supplier_diversity,
+        "olap_q17_small_qty": q_olap_q17_small_qty,
+        "olap_q19_disjunctive": q_olap_q19_disjunctive,
+        "olap_q21_waiting_suppliers": q_olap_q21_waiting_suppliers,
+        "olap_q22_dormant_customers": q_olap_q22_dormant_customers,
         "dedup_incremental": q_dedup_incremental,
         "sim_knn_graph": q_sim_knn_graph,
         "tokenizer_bpe_pairs": q_tokenizer_bpe_pairs,
@@ -7098,6 +7617,15 @@ def oracle_sql() -> dict[str, str]:
         "olap_q18_large_orders": SQL_OLAP_Q18,
         "olap_q4_priority": SQL_OLAP_Q4,
         "olap_q13_custdist": SQL_OLAP_Q13,
+        "olap_q7_trade": SQL_OLAP_Q7,
+        "olap_q8_market_share": SQL_OLAP_Q8,
+        "olap_q11_value_parts": SQL_OLAP_Q11,
+        "olap_q15_top_supplier": SQL_OLAP_Q15,
+        "olap_q16_supplier_diversity": SQL_OLAP_Q16,
+        "olap_q17_small_qty": SQL_OLAP_Q17,
+        "olap_q19_disjunctive": SQL_OLAP_Q19,
+        "olap_q21_waiting_suppliers": SQL_OLAP_Q21,
+        "olap_q22_dormant_customers": SQL_OLAP_Q22,
         "text_readability": SQL_TEXT_READABILITY,
         "events_dau_wau": SQL_EVENTS_DAU_WAU,
         "pipeline_dataset_card": SQL_DATASET_CARD,

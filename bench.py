@@ -177,6 +177,15 @@ BENCH_QUERIES = [
     # round-4 additions
     "text_sentiment",
     "response_cache_evict",
+    "olap_q7_trade",
+    "olap_q8_market_share",
+    "olap_q11_value_parts",
+    "olap_q15_top_supplier",
+    "olap_q16_supplier_diversity",
+    "olap_q17_small_qty",
+    "olap_q19_disjunctive",
+    "olap_q21_waiting_suppliers",
+    "olap_q22_dormant_customers",
 ]
 
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))

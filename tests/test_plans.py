@@ -644,3 +644,56 @@ def test_dataset_card_single_scan(spark, sf_dir):
     )
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_olap_q21_semi_anti_pair(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS must plan as a LeftSemi + LeftAnti pair
+    over the DISTINCT (order, supplier) reductions, with the final
+    top-20 as TakeOrderedAndProject — no fan-out self-join of raw
+    lineitem rows."""
+    import __spark_entry__ as m
+
+    plan = (
+        m.q_olap_q21_waiting_suppliers(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    # the distinct (order, supplier) pair reduction exists in the plan
+    # (Catalyst pushes the semi below the probe-side distinct, which is
+    # fine — the BUILD sides are the aggregates)
+    import re
+
+    assert re.search(r"HashAggregate\(keys=\[l_orderkey#\d+L, l_suppkey#\d+L\]", plan), plan
+
+
+def test_olap_q17_single_window_shuffle(spark, sf_dir):
+    """The correlated per-part average must be ONE window over
+    l_partkey (a single hash exchange), with the part dim broadcast —
+    not an agg-and-join-back that scans lineitem twice."""
+    import __spark_entry__ as m
+
+    df = m.q_olap_q17_small_qty(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1, plan
+    assert "hashpartitioning(l_partkey" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_olap_q16_distinct_then_anti(spark, sf_dir):
+    """The (part, supplier) distinct reduction must happen and the
+    complaint-supplier exclusion must plan as a broadcast LeftAnti."""
+    import __spark_entry__ as m
+
+    plan = (
+        m.q_olap_q16_supplier_diversity(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in plan, plan
+    assert "count(distinct l_suppkey" in plan, plan
