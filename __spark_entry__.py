@@ -675,6 +675,98 @@ FROM r GROUP BY event_type
 """
 
 
+def q_a4_prometheus_export(spark, sf_dir):
+    """A4: Prometheus text-exposition export of the histogram metrics —
+    the reference's /metrics/prometheus endpoint formatting
+    (src/api/routers/metrics.py:83-121: HELP/TYPE lines, then
+    `{name}_sum`, `{name}_count`, and CUMULATIVE `{name}_bucket{le=..}`
+    lines ending at le="+Inf").  One histogram metric per event type
+    over the same width-25 buckets as a4_histogram; the observation sum
+    is integer cents (a double sum would diverge in the rendered
+    text's last digit).  Output = (event_type, line_idx, line) rows —
+    a sorted text artifact the gate hashes byte-for-byte.  Scale shape:
+    one map-side-combined groupBy to ≤20 rows per type, a bounded
+    per-type window, then pure string expressions."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 25.0).cast("int"), F.lit(19)).alias("bucket"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    pb = ev.groupBy("event_type", "bucket").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("bucket_cents")
+    )
+    g = pb.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("total"),
+        F.sum("bucket_cents").cast("long").alias("sum_cents"),
+        F.map_from_entries(F.collect_list(F.struct("bucket", "n"))).alias("m"),
+    )
+    # cumulative bucket counts as strings: cum(b) = Σ_{i<=b} n_i
+    lines = F.expr(
+        "concat("
+        " array("
+        "  concat('# HELP newscrawler_value_', event_type,"
+        "         ' value observations for ', event_type),"
+        "  concat('# TYPE newscrawler_value_', event_type, ' histogram'),"
+        "  concat('newscrawler_value_', event_type, '_sum ', cast(sum_cents as string)),"
+        "  concat('newscrawler_value_', event_type, '_count ', cast(total as string))"
+        " ),"
+        " transform(sequence(0, 18), b ->"
+        "  concat('newscrawler_value_', event_type, '_bucket{le=\"',"
+        "         cast((b + 1) * 25 as string), '\"} ',"
+        "         cast(aggregate(sequence(0, b),"
+        "              cast(0 as bigint),"
+        "              (acc, i) -> acc + coalesce(element_at(m, cast(i as int)), 0L)) as string))),"
+        " array(concat('newscrawler_value_', event_type, '_bucket{le=\"+Inf\"} ',"
+        "              cast(total as string)))"
+        ")"
+    )
+    return (
+        g.select("event_type", F.posexplode(lines).alias("line_idx", "line"))
+        .select("event_type", F.col("line_idx").cast("long").alias("line_idx"), "line")
+        .orderBy("event_type", "line_idx")
+    )
+
+
+SQL_A4_PROMETHEUS = """
+WITH b AS (
+  SELECT event_type, least(CAST(floor(value / 25.0) AS INT), 19) AS bucket,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+pb AS (SELECT event_type, bucket, count(*) AS n, sum(cents) AS bucket_cents
+       FROM b GROUP BY 1, 2),
+g AS (
+  SELECT event_type,
+         CAST(sum(n) AS BIGINT) AS total,
+         CAST(sum(bucket_cents) AS BIGINT) AS sum_cents,
+         map_from_entries(list(struct_pack(k := bucket, v := n))) AS m
+  FROM pb GROUP BY event_type),
+l AS (
+  SELECT event_type,
+         list_concat(list_concat(
+           ['# HELP newscrawler_value_' || event_type
+              || ' value observations for ' || event_type,
+            '# TYPE newscrawler_value_' || event_type || ' histogram',
+            'newscrawler_value_' || event_type || '_sum ' || sum_cents::VARCHAR,
+            'newscrawler_value_' || event_type || '_count ' || total::VARCHAR],
+           list_transform(range(19), bi ->
+             'newscrawler_value_' || event_type || '_bucket{le="'
+               || ((bi + 1) * 25)::VARCHAR || '"} '
+               || (list_sum(list_transform(range(bi + 1),
+                     i -> COALESCE(m[i][1], 0))))::VARCHAR)),
+           ['newscrawler_value_' || event_type || '_bucket{le="+Inf"} '
+              || total::VARCHAR]
+         ) AS lines
+  FROM g)
+SELECT event_type,
+       CAST(generate_subscripts(lines, 1) - 1 AS BIGINT) AS line_idx,
+       unnest(lines) AS line
+FROM l
+ORDER BY event_type, line_idx
+"""
+
+
 def q_w1_priority_order(spark, sf_dir):
     """W1: heap-order analog — deterministic priority ranking
     (scheduler.py:44-56; operators/politeness.py)."""
@@ -7368,6 +7460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sentiment": q_text_sentiment,
         "response_cache_evict": q_response_cache_evict,
         # --- round-5 rotation candidates (never driver-gated yet) ---
+        "a4_prometheus_export": q_a4_prometheus_export,
         "olap_q7_trade": q_olap_q7_trade,
         "olap_q8_market_share": q_olap_q8_market_share,
         "olap_q11_value_parts": q_olap_q11_value_parts,
@@ -7617,6 +7710,7 @@ def oracle_sql() -> dict[str, str]:
         "olap_q18_large_orders": SQL_OLAP_Q18,
         "olap_q4_priority": SQL_OLAP_Q4,
         "olap_q13_custdist": SQL_OLAP_Q13,
+        "a4_prometheus_export": SQL_A4_PROMETHEUS,
         "olap_q7_trade": SQL_OLAP_Q7,
         "olap_q8_market_share": SQL_OLAP_Q8,
         "olap_q11_value_parts": SQL_OLAP_Q11,

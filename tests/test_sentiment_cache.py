@@ -143,3 +143,28 @@ def test_gate_queries_run(spark, sf_dir, query):
     df = m.queries()[query](spark, sf_dir)
     assert df.count() > 0
     assert query in m.oracle_sql()
+
+
+def test_prometheus_export_format(spark, sf_dir):
+    """The exposition text must follow the reference's format: HELP,
+    TYPE, _sum, _count, 19 finite cumulative buckets, +Inf == count."""
+    import __spark_entry__ as m
+
+    rows = m.queries()["a4_prometheus_export"](spark, sf_dir).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["line"])
+    assert by_type
+    for et, lines in by_type.items():
+        name = f"newscrawler_value_{et}"
+        assert lines[0].startswith(f"# HELP {name} ")
+        assert lines[1] == f"# TYPE {name} histogram"
+        assert lines[2].startswith(f"{name}_sum ")
+        assert lines[3].startswith(f"{name}_count ")
+        count = int(lines[3].rsplit(" ", 1)[1])
+        buckets = [ln for ln in lines if "_bucket{" in ln]
+        assert len(buckets) == 20
+        cums = [int(b.rsplit(" ", 1)[1]) for b in buckets]
+        assert cums == sorted(cums), "bucket counts must be cumulative"
+        assert buckets[-1].startswith(f'{name}_bucket{{le="+Inf"}} ')
+        assert cums[-1] == count
