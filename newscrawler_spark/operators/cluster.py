@@ -92,7 +92,13 @@ def kmeans_lloyd(
     # transform runs per iteration.  localCheckpoint truncates lineage
     # and its blocks are GC-cleaned with the frame (the winnow_pairs
     # pattern); at cluster scale this is the standard materialize-the-
-    # working-set step of any iterative algorithm.
+    # working-set step of any iterative algorithm.  Known trade-off for
+    # MULTI-NODE deployment: localCheckpoint blocks are unreplicated
+    # and lineage is gone, so an executor loss fails the job instead of
+    # recomputing (and the eager materialization runs a Spark job at
+    # construction).  On a real fault-domain cluster swap to
+    # persist(MEMORY_AND_DISK) + count() — recomputable, same
+    # scan-once effect — at the cost of keeping lineage live.
     q = embeddings.select(
         F.col(id_col).cast("long").alias("vec_id"), _quant_expr(vec_col).alias("qv")
     ).localCheckpoint(eager=True)
