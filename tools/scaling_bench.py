@@ -195,14 +195,17 @@ def submit_crawl(total_cores: int, corpus: dict, warmup: dict, zpath: str, tag: 
     # after a stage completes, executors idle — see CLAUDE.md); a rerun
     # of the identical submit succeeds, so don't let one hang kill a
     # 40-minute multi-leg run.
+    # 900 s ≈ 3× the slowest healthy leg this epoch — a hang should
+    # cost one retry window, not 40 minutes of a multi-leg budget
+    submit_timeout = int(os.environ.get("SPARK_GRAFT_SUBMIT_TIMEOUT", "900"))
     for attempt in (0, 1):
         try:
-            out = subprocess.run(cmd, capture_output=True, text=True, env=_env(), timeout=2400)
+            out = subprocess.run(cmd, capture_output=True, text=True, env=_env(), timeout=submit_timeout)
             break
         except subprocess.TimeoutExpired:
             if attempt == 1:
                 raise
-            print(f"submit (cores={total_cores}, tag={tag}) hit the 2400s "
+            print(f"submit (cores={total_cores}, tag={tag}) hit the {submit_timeout}s "
                   "timeout (sporadic AQE hang) — retrying once", flush=True)
     for line in out.stdout.splitlines():
         if line.startswith("CRAWL_RESULT "):
