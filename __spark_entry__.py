@@ -5333,6 +5333,50 @@ FROM d ORDER BY cosine DESC, vec_id LIMIT 20
 """
 
 
+def q_sim_recall_report(spark, sf_dir):
+    """ANN quality evaluation: recall@k of the IVF index against the
+    brute-force ground truth — the acceptance metric any production
+    ANN deployment tracks (pgvector's ivfflat probes/recall trade-off,
+    reference vector store src/vector/processor.py).  Reuses the two
+    gated queries verbatim (single source of truth for both rankings);
+    the three counts arrive as single-row broadcast aggregates and
+    recall_bp = n_overlap·500 is pure integer (k=20 → /20·10⁴ ≡ ·500).
+    At scale: truth is computed on a sampled query set — the report
+    shape (set-intersection counts per query) is the scalable part."""
+    truth = q_sim_bruteforce_topk(spark, sf_dir).select("vec_id")
+    approx = q_sim_ivf_topk(spark, sf_dir).select("vec_id")
+    t = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    a = approx.agg(F.count(F.lit(1)).cast("long").alias("n_approx"))
+    o = truth.join(approx, "vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap")
+    )
+    return (
+        t.crossJoin(F.broadcast(a))
+        .crossJoin(F.broadcast(o))
+        .select(
+            F.lit(20).cast("long").alias("k"),
+            "n_truth",
+            "n_approx",
+            "n_overlap",
+            (F.col("n_overlap") * 500).cast("long").alias("recall_bp"),
+        )
+    )
+
+
+SQL_SIM_RECALL = f"""
+WITH truth AS (SELECT vec_id FROM ({SQL_SIM_TOPK.strip()}) t),
+approx AS (SELECT vec_id FROM ({SQL_SIM_IVF.strip()}) a),
+o AS (SELECT CAST(count(*) AS BIGINT) AS n_overlap
+      FROM truth JOIN approx USING (vec_id))
+SELECT CAST(20 AS BIGINT) AS k,
+       (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+       (SELECT CAST(count(*) AS BIGINT) FROM approx) AS n_approx,
+       n_overlap,
+       CAST(n_overlap * 500 AS BIGINT) AS recall_bp
+FROM o
+"""
+
+
 def q_sim_neardup_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs — EXACT, via distributed blocked
     GEMM (hash blocks → broadcast task map → one numpy matmul per
@@ -7461,6 +7505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "response_cache_evict": q_response_cache_evict,
         # --- round-5 rotation candidates (never driver-gated yet) ---
         "a4_prometheus_export": q_a4_prometheus_export,
+        "sim_recall_report": q_sim_recall_report,
         "olap_q7_trade": q_olap_q7_trade,
         "olap_q8_market_share": q_olap_q8_market_share,
         "olap_q11_value_parts": q_olap_q11_value_parts,
@@ -7711,6 +7756,7 @@ def oracle_sql() -> dict[str, str]:
         "olap_q4_priority": SQL_OLAP_Q4,
         "olap_q13_custdist": SQL_OLAP_Q13,
         "a4_prometheus_export": SQL_A4_PROMETHEUS,
+        "sim_recall_report": SQL_SIM_RECALL,
         "olap_q7_trade": SQL_OLAP_Q7,
         "olap_q8_market_share": SQL_OLAP_Q8,
         "olap_q11_value_parts": SQL_OLAP_Q11,

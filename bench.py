@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "olap_q21_waiting_suppliers",
     "olap_q22_dormant_customers",
     "a4_prometheus_export",
+    "sim_recall_report",
 ]
 
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))

@@ -168,3 +168,15 @@ def test_prometheus_export_format(spark, sf_dir):
         assert cums == sorted(cums), "bucket counts must be cumulative"
         assert buckets[-1].startswith(f'{name}_bucket{{le="+Inf"}} ')
         assert cums[-1] == count
+
+
+def test_ann_recall_report(spark, sf_dir):
+    """The IVF index must achieve high-but-imperfect recall vs brute
+    force (1.0 would mean the probe covers everything — vacuous as an
+    ANN evaluation; very low would mean a broken index)."""
+    import __spark_entry__ as m
+
+    r = m.queries()["sim_recall_report"](spark, sf_dir).collect()[0]
+    assert r["n_truth"] == 20 and r["k"] == 20
+    assert r["recall_bp"] == r["n_overlap"] * 500
+    assert 5000 <= r["recall_bp"] <= 10000
