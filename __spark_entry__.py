@@ -5943,6 +5943,20 @@ def q_graph_hits(spark, sf_dir):
     return host_hits(pages)
 
 
+def q_graph_kcore(spark, sf_dir):
+    """Page-level k-core decomposition (operators/graph.page_kcore,
+    Seidman 1983) over the gate corpus link graph — the graph-curation
+    cut keeping pages in densely interlinked neighborhoods (link-farm /
+    orphan filtering).  k=4, 6 unrolled peel rounds (fixpoint on this
+    corpus in 4 — pytest-asserted); DuckDB replays the identical unroll
+    over the same frozen extraction head (oracle_sql.page_kcore_sql)."""
+    from newscrawler_spark.operators.graph import page_kcore
+
+    _, paths = _crawl_store(spark, sf_dir)
+    pages = spark.read.parquet(paths["pages"])
+    return page_kcore(pages, k=4, iterations=6)
+
+
 def q_graph_triangles(spark, sf_dir):
     """Per-host triangle counts (operators/graph.host_triangles) —
     the clustering signal rank misses (link farms close no triangles):
@@ -6089,6 +6103,7 @@ def _corpus_oracle_sql() -> dict[str, str]:
         reciprocity_sql,
         host_hits_sql,
         host_pagerank_sql,
+        page_kcore_sql,
         host_triangles_sql,
     )
     from newscrawler_spark.sources.corpus import generate_corpus
@@ -6215,6 +6230,10 @@ FROM g QUALIFY rnk <= 5
         ),
         "graph_pagerank_hosts": host_pagerank_sql(
             p["pages"], max_links=crawl_cfg.max_links_per_page
+        ),
+        "graph_kcore": page_kcore_sql(
+            p["pages"], k=4, iterations=6,
+            max_links=crawl_cfg.max_links_per_page,
         ),
         "graph_hits": host_hits_sql(
             p["pages"], max_links=crawl_cfg.max_links_per_page
@@ -7506,6 +7525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 rotation candidates (never driver-gated yet) ---
         "a4_prometheus_export": q_a4_prometheus_export,
         "sim_recall_report": q_sim_recall_report,
+        "graph_kcore": q_graph_kcore,
         "olap_q7_trade": q_olap_q7_trade,
         "olap_q8_market_share": q_olap_q8_market_share,
         "olap_q11_value_parts": q_olap_q11_value_parts,

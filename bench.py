@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "olap_q22_dormant_customers",
     "a4_prometheus_export",
     "sim_recall_report",
+    "graph_kcore",
 ]
 
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))

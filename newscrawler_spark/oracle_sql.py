@@ -411,10 +411,10 @@ h_{k} AS (
     return "".join(parts)
 
 
-def _host_graph_head_sql(pages_path: str, max_links: int) -> str:
-    """Shared host-link-graph CTE chain (through ``edges`` + ``hosts``)
-    — the crawl oracle's frozen link extraction rolled up to host
-    level; consumed by both graph oracles above."""
+def _page_links_head_sql(pages_path: str, max_links: int) -> str:
+    """Shared page-level link CTE chain (through ``page_links``) — the
+    crawl oracle's frozen link extraction; consumed by the host-graph
+    head below and the page-level k-core oracle."""
     canon_href = CANON_SQL.format(col="target")
     return rf"""
 WITH pagemeta AS (
@@ -448,7 +448,14 @@ lk AS (
 ),
 page_links AS (
   SELECT cu, link FROM lk WHERE rk <= {max_links}
-),
+)"""
+
+
+def _host_graph_head_sql(pages_path: str, max_links: int) -> str:
+    """Shared host-link-graph CTE chain (through ``edges`` + ``hosts``)
+    — the page-links head rolled up to host level; consumed by the
+    graph oracles above."""
+    return _page_links_head_sql(pages_path, max_links) + rf""",
 hosts AS (SELECT DISTINCT host FROM pagemeta),
 el AS (
   SELECT pm.host AS src, regexp_extract(pl.link, '^[a-z]+://([^/?#]*)', 1) AS dst
@@ -578,3 +585,41 @@ SELECT n, sx, sxy,
        END AS assortativity
 FROM s
 """
+
+
+def page_kcore_sql(
+    pages_path: str, k: int = 4, iterations: int = 6, max_links: int = 100
+) -> str:
+    """Page-level k-core as one SQL statement (DuckDB oracle twin of
+    operators/graph.page_kcore) — the frozen page-links head, the
+    symmetrized distinct edge set, then ``iterations`` peel rounds as
+    chained MATERIALIZED CTEs (each referenced twice per round; without
+    materialization DuckDB may inline the chain into an exponentially
+    replicated tree).  The fixed unroll is the shared contract: both
+    engines compute exactly ``iterations`` peels, so they agree even on
+    a graph where that unroll has not yet reached the fixpoint (the
+    fixpoint property itself is pytest-asserted, not gate-asserted)."""
+    parts = [_page_links_head_sql(pages_path, max_links)]
+    parts.append(""",
+pe AS (
+  SELECT DISTINCT cu AS a, link AS b FROM page_links
+  WHERE link <> cu AND link IN (SELECT cu FROM pagemeta)
+),
+und AS MATERIALIZED (
+  SELECT a, b FROM pe UNION SELECT b AS a, a AS b FROM pe
+),
+c_0 AS MATERIALIZED (SELECT DISTINCT a AS v FROM und)""")
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+c_{i} AS MATERIALIZED (
+  SELECT u.a AS v FROM und u
+  JOIN c_{i - 1} x ON u.a = x.v JOIN c_{i - 1} y ON u.b = y.v
+  GROUP BY u.a HAVING count(*) >= {k}
+)""")
+    parts.append(f"""
+SELECT u.a AS url, CAST(count(*) AS BIGINT) AS core_degree
+FROM und u
+JOIN c_{iterations} x ON u.a = x.v JOIN c_{iterations} y ON u.b = y.v
+GROUP BY u.a ORDER BY url
+""")
+    return "".join(parts)

@@ -423,3 +423,23 @@ def test_assortativity_matches_pure_python(spark, tmp_path):
         else None
     )
     assert row["assortativity"] == want
+
+
+def test_page_kcore_fixpoint_and_semantics(spark, tmp_path):
+    """The fixed 6-round unroll must reach the peel fixpoint on the
+    corpus family (6 vs 8 rounds identical), every member must hold
+    ≥k neighbors inside the core, and some vertex must actually be
+    peeled (nonvacuity)."""
+    from newscrawler_spark.operators.graph import page_kcore, page_link_edges
+    from newscrawler_spark.sources.corpus import generate_corpus
+
+    paths = generate_corpus(str(tmp_path / "c"), n_pages=300, n_hosts=6, seed=42)
+    pages = spark.read.parquet(paths["pages"])
+    c6 = {(r["url"], r["core_degree"]) for r in page_kcore(pages, k=4, iterations=6).collect()}
+    c8 = {(r["url"], r["core_degree"]) for r in page_kcore(pages, k=4, iterations=8).collect()}
+    assert c6 == c8, "6 peel rounds did not reach the fixpoint"
+    assert all(d >= 4 for _, d in c6)
+    n_nodes = (
+        page_link_edges(pages).select("a").distinct().count()
+    )
+    assert 0 < len(c6) < n_nodes, (len(c6), n_nodes)
