@@ -5535,7 +5535,10 @@ def q_mm_media_features(spark, sf_dir):
     float-repr divergence in the hasher's rendering).  The operator
     itself (operators/multimodal.media_features) still emits doubles
     for API users.  Histogram surfaces comma-joined (driver canon
-    cannot sort list-typed columns); rows ordered by media_id."""
+    cannot sort list-typed columns).  No gate-side orderBy: the driver
+    canon sorts rows itself (proven by the many sort-free green rows,
+    e.g. dedup_exact r01), so the r04 global sort here was pure cost —
+    dropping it removes the only exchange after the feature stage."""
     from newscrawler_spark.operators.multimodal import documents_as_media, media_features
 
     # features are defined for non-empty payloads only — the SQL twin's
@@ -5558,7 +5561,7 @@ def q_mm_media_features(spark, sf_dir):
         ).alias("byte_mean_e4"),
         entropy_e4.alias("byte_entropy_e4"),
         F.concat_ws(",", F.col("histogram").cast("array<string>")).alias("histogram"),
-    ).orderBy("media_id")
+    )
 
 
 SQL_MM_FEATURES = r"""
@@ -5589,7 +5592,6 @@ SELECT doc_id AS media_id, n_bytes, byte_sum,
        array_to_string(list_transform(hist, x -> x::VARCHAR), ',') AS histogram
 FROM h
 WHERE n_bytes > 0
-ORDER BY media_id
 """
 
 
@@ -7019,6 +7021,82 @@ FROM m WHERE NOT dropped GROUP BY source
 """
 
 
+def _migration_base(sf_dir: str) -> str:
+    """Persistent migration-store dir, keyed by sf_dir AND a fingerprint
+    of the input parquet (size + mtime): the driver may REGENERATE the
+    sf dataset at the same path, and a stale store would keep serving
+    rounds written from the old bytes while the DuckDB oracle reads the
+    fresh table (the _stage_events staleness class)."""
+    import hashlib
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    tag = hashlib.md5(f"migv2s1:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"nc_mig_{_stable_id(sf_dir)}_{tag}")
+
+
+def _migration_transform(df):
+    """The v2 ADD-COLUMN backfill (reference create_topic_migration.py:
+    1-26 adds topic/relevance fields + backfill): materialize the frozen
+    whitespace token count as ``n_tokens``.  A narrow projection — the
+    per-round rewrite plans no shuffle."""
+    return df.withColumn("n_tokens", ws_token_count(F.col("text")).cast("long"))
+
+
+def q_s16_schema_migration(spark, sf_dir):
+    """Schema-evolution migration over the round-dir store (plans/
+    migration.py; reference alembic migrations, create_topic_migration
+    .py:1-26): documents written as 3 committed v1 rounds, migrated to
+    v2 via per-round ADD COLUMN + backfill rewrites with atomic
+    markers (resumable, idempotent; v1 snapshot untouched for time
+    travel), then the gate READS THE MIGRATED FILES BACK and aggregates
+    — so the gated values prove the on-disk v2 bytes, not a recompute.
+    The DuckDB oracle recomputes the backfill over the source table;
+    hash-equality is the migrated-read ≡ recompute proof."""
+    from newscrawler_spark.plans.migration import (
+        migrate_table,
+        read_rounds_at,
+        table_version,
+    )
+    from newscrawler_spark.plans.storage import RoundStore
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    store = RoundStore(os.path.join(_migration_base(sf_dir), "store"))
+    if store.last_committed_round() < 2:
+        for r in range(3):
+            store.write_round("documents", r, docs.where(F.col("doc_id") % 3 == r))
+            store.commit_round(r, {"table": "documents"})
+    migrate_table(store, spark, "documents", 2, _migration_transform)
+    merged = read_rounds_at(
+        store, spark, "documents", 2, backfill=_migration_transform
+    )
+    return (
+        merged.groupBy((F.col("doc_id") % 3).cast("long").alias("round_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("n_tokens").cast("long").alias("tok_sum"),
+            F.min("doc_id").cast("long").alias("id_lo"),
+            F.max("doc_id").cast("long").alias("id_hi"),
+        )
+        .withColumn(
+            "schema_version",
+            F.lit(table_version(store, "documents")).cast("long"),
+        )
+    )
+
+
+SQL_S16_SCHEMA_MIGRATION = r"""
+SELECT doc_id % 3 AS round_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0b]+'))
+                END) AS BIGINT) AS tok_sum,
+       CAST(min(doc_id) AS BIGINT) AS id_lo,
+       CAST(max(doc_id) AS BIGINT) AS id_hi,
+       CAST(2 AS BIGINT) AS schema_version
+FROM documents GROUP BY 1
+"""
+
+
 def q_text_langid_confusion(spark, sf_dir):
     """Lang-ID confusion matrix — the classifier-eval surface for the
     frozen n-gram heuristic (functions/text.lang_id): per (true lang,
@@ -7460,17 +7538,69 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver gate checks only the FIRST ~50 entries
-    # (44/50/50 rows in r01/r02/r03).  Round 4 rotates the window: slot 1
-    # is mm_media_features (confirming the r03 hash fix), the rest of the
-    # window is previously-ungated queries so driver coverage accrues
-    # across rounds (COVERAGE.md keeps the which-round-gated-what table).
-    # Expensive shared setups (_crawl_store, streaming) are grouped so
-    # their cost is paid once; everything past the window is still
-    # replica-gated every session via tools/check_oracle.py.
+    # (44/50/50/50 rows in r01/r02/r03/r04).  Round 5 rotates the FINAL
+    # window: slots 1-2 re-gate the crawl contract (it changed with the
+    # corpus-v10 JS-render variant after its last driver row), slots
+    # 3-49 are the 47 queries that have never had a driver row, and the
+    # last slot is this round's new operator.  After r05 every oracled
+    # query in the registry has a driver-verified row (COVERAGE.md keeps
+    # the which-round-gated-what table).  Everything past the window is
+    # still replica-gated every session via tools/check_oracle.py.
     return {
-        # === r04 DRIVER WINDOW (first ~50 entries; driver checks only
-        # these) — mm_media_features re-gated to confirm the e4 fix, the
-        # rest previously-ungated (see COVERAGE.md gate-rotation table) ===
+        # === r05 DRIVER WINDOW (first ~50 entries; driver checks only
+        # these) — crawl re-gates first, then all never-gated queries ===
+        "crawl_order": q_crawl_order,
+        "crawl_articles": q_crawl_articles,
+        "a4_prometheus_export": q_a4_prometheus_export,
+        "sim_recall_report": q_sim_recall_report,
+        "graph_kcore": q_graph_kcore,
+        "olap_q7_trade": q_olap_q7_trade,
+        "olap_q8_market_share": q_olap_q8_market_share,
+        "olap_q11_value_parts": q_olap_q11_value_parts,
+        "olap_q15_top_supplier": q_olap_q15_top_supplier,
+        "olap_q16_supplier_diversity": q_olap_q16_supplier_diversity,
+        "olap_q17_small_qty": q_olap_q17_small_qty,
+        "olap_q19_disjunctive": q_olap_q19_disjunctive,
+        "olap_q21_waiting_suppliers": q_olap_q21_waiting_suppliers,
+        "olap_q22_dormant_customers": q_olap_q22_dormant_customers,
+        "dedup_incremental": q_dedup_incremental,
+        "sim_knn_graph": q_sim_knn_graph,
+        "tokenizer_bpe_pairs": q_tokenizer_bpe_pairs,
+        "tokenizer_collocations": q_tokenizer_collocations,
+        "tokenizer_bpe_encode": q_tokenizer_bpe_encode,
+        "dedup_semantic": q_dedup_semantic,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_substrings": q_dedup_substrings,
+        "search_bm25": q_search_bm25,
+        "index_postings": q_index_postings,
+        "search_tfidf": q_search_tfidf,
+        "search_phrase": q_search_phrase,
+        "cluster_kmeans": q_cluster_kmeans,
+        "dedup_winnow": q_dedup_winnow,
+        "dedup_winnow_pairs": q_dedup_winnow_pairs,
+        "quality_classifier_nb": q_quality_classifier_nb,
+        "dedup_fuzzy_pairs": q_dedup_fuzzy_pairs,
+        "layout_zorder": q_layout_zorder,
+        "layout_compaction": q_layout_compaction,
+        "pipeline_split": q_pipeline_split,
+        "storage_checksum": q_storage_checksum,
+        "s15_incr_agg": q_s15_incr_agg,
+        "diag_skew": q_diag_skew,
+        "sketch_hdr_quantiles": q_sketch_hdr_quantiles,
+        "search_rrf": q_search_rrf,
+        "storage_diff": q_storage_diff,
+        "tokenizer_coverage": q_tokenizer_coverage,
+        "pipeline_mix_budget": q_pipeline_mix_budget,
+        "search_bm25f": q_search_bm25f,
+        "quality_percentile_norm": q_quality_percentile_norm,
+        "pipeline_dataset_card": q_pipeline_dataset_card,
+        "sim_pq_topk": q_sim_pq_topk,
+        "sim_sq_topk": q_sim_sq_topk,
+        "s14_merge_upsert": q_s14_merge_upsert,
+        "lm_kneser_ney": q_lm_kneser_ney,
+        # slot 50: new this round (driver-gated on first appearance)
+        "s16_schema_migration": q_s16_schema_migration,
+        # --- previously driver-gated (r01-r04 green rows; replica-gated each round) ---
         "mm_media_features": q_mm_media_features,
         "crawl_depth_report": q_crawl_depth_report,
         "graph_reciprocity": q_graph_reciprocity,
@@ -7519,62 +7649,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_url_filter": q_pipeline_url_filter,
         "pipeline_dsir_weights": q_pipeline_dsir_weights,
         "pipeline_length_filter": q_pipeline_length_filter,
-        # r04 additions (driver-gated on first appearance)
         "text_sentiment": q_text_sentiment,
         "response_cache_evict": q_response_cache_evict,
-        # --- round-5 rotation candidates (never driver-gated yet) ---
-        "a4_prometheus_export": q_a4_prometheus_export,
-        "sim_recall_report": q_sim_recall_report,
-        "graph_kcore": q_graph_kcore,
-        "olap_q7_trade": q_olap_q7_trade,
-        "olap_q8_market_share": q_olap_q8_market_share,
-        "olap_q11_value_parts": q_olap_q11_value_parts,
-        "olap_q15_top_supplier": q_olap_q15_top_supplier,
-        "olap_q16_supplier_diversity": q_olap_q16_supplier_diversity,
-        "olap_q17_small_qty": q_olap_q17_small_qty,
-        "olap_q19_disjunctive": q_olap_q19_disjunctive,
-        "olap_q21_waiting_suppliers": q_olap_q21_waiting_suppliers,
-        "olap_q22_dormant_customers": q_olap_q22_dormant_customers,
-        "dedup_incremental": q_dedup_incremental,
-        "sim_knn_graph": q_sim_knn_graph,
-        "tokenizer_bpe_pairs": q_tokenizer_bpe_pairs,
-        "tokenizer_collocations": q_tokenizer_collocations,
-        "tokenizer_bpe_encode": q_tokenizer_bpe_encode,
-        "dedup_semantic": q_dedup_semantic,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_substrings": q_dedup_substrings,
-        "search_bm25": q_search_bm25,
-        "index_postings": q_index_postings,
-        "search_tfidf": q_search_tfidf,
-        "search_phrase": q_search_phrase,
-        "cluster_kmeans": q_cluster_kmeans,
-        "dedup_winnow": q_dedup_winnow,
-        "dedup_winnow_pairs": q_dedup_winnow_pairs,
-        "quality_classifier_nb": q_quality_classifier_nb,
-        "dedup_fuzzy_pairs": q_dedup_fuzzy_pairs,
-        "layout_zorder": q_layout_zorder,
-        "layout_compaction": q_layout_compaction,
-        "pipeline_split": q_pipeline_split,
-        "storage_checksum": q_storage_checksum,
-        "s15_incr_agg": q_s15_incr_agg,
-        "diag_skew": q_diag_skew,
-        "sketch_hdr_quantiles": q_sketch_hdr_quantiles,
-        "search_rrf": q_search_rrf,
-        "storage_diff": q_storage_diff,
-        "tokenizer_coverage": q_tokenizer_coverage,
-        "pipeline_mix_budget": q_pipeline_mix_budget,
-        "search_bm25f": q_search_bm25f,
-        "quality_percentile_norm": q_quality_percentile_norm,
-        "pipeline_dataset_card": q_pipeline_dataset_card,
-        "sim_pq_topk": q_sim_pq_topk,
-        "sim_sq_topk": q_sim_sq_topk,
-        "s14_merge_upsert": q_s14_merge_upsert,
-        "lm_kneser_ney": q_lm_kneser_ney,
-        # --- previously driver-gated (r01-r03 green rows; replica-gated each round) ---
         "p1_url_classify": q_p1_url_classify,
         "p4_canonicalize": q_p4_canonicalize,
-        "crawl_articles": q_crawl_articles,
-        "crawl_order": q_crawl_order,
         "crawl_logs": q_crawl_logs,
         "crawl_budget_report": q_crawl_budget_report,
         "graph_pagerank_hosts": q_graph_pagerank,
@@ -7751,6 +7829,7 @@ def oracle_sql() -> dict[str, str]:
         "a8_rollup_report": SQL_A8_ROLLUP,
         "storage_checksum": SQL_STORAGE_CHECKSUM,
         "s15_incr_agg": SQL_S15_INCR_AGG,
+        "s16_schema_migration": SQL_S16_SCHEMA_MIGRATION,
         "text_langid_confusion": SQL_LANGID_CONFUSION,
         "pipeline_length_filter": SQL_LENGTH_FILTER,
         "diag_skew": SQL_DIAG_SKEW,
