@@ -683,15 +683,25 @@ def q_a4_prometheus_export(spark, sf_dir):
     lines ending at le="+Inf").  One histogram metric per event type
     over the same width-25 buckets as a4_histogram; the observation sum
     is integer cents (a double sum would diverge in the rendered
-    text's last digit).  Output = (event_type, line_idx, line) rows —
-    a sorted text artifact the gate hashes byte-for-byte.  Scale shape:
-    one map-side-combined groupBy to ≤20 rows per type, a bounded
-    per-type window, then pure string expressions."""
+    text's last digit).  Bucketing is faithful Prometheus INCLUSIVE-le
+    (an observation equal to a boundary counts in that le line, and
+    negative observations land in the first bucket — cumulative buckets
+    span -Inf..le): the bucket index is computed from the integer cents
+    ((cents+2499) div 2500 - 1, clamped to [0,19]) so the boundary
+    comparison is integer-exact in both engines, never a float floor at
+    a representable-boundary (the pinned-round lesson).  Values beyond
+    the last finite boundary (475) appear only in +Inf.  Output =
+    (event_type, line_idx, line) rows — a sorted text artifact the gate
+    hashes byte-for-byte.  Scale shape: one map-side-combined groupBy
+    to ≤20 rows per type, a bounded per-type window, then pure string
+    expressions."""
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events").select(
         "event_type",
-        F.least(F.floor(F.col("value") / 25.0).cast("int"), F.lit(19)).alias("bucket"),
+        F.expr(
+            "CAST(least(greatest((CAST(floor(value * 100 + 0.5) AS BIGINT) + 2499) DIV 2500 - 1, 0), 19) AS INT)"
+        ).alias("bucket"),
         F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
     )
     pb = ev.groupBy("event_type", "bucket").agg(
@@ -731,7 +741,8 @@ def q_a4_prometheus_export(spark, sf_dir):
 
 SQL_A4_PROMETHEUS = """
 WITH b AS (
-  SELECT event_type, least(CAST(floor(value / 25.0) AS INT), 19) AS bucket,
+  SELECT event_type,
+         CAST(least(greatest((CAST(floor(value * 100 + 0.5) AS BIGINT) + 2499) // 2500 - 1, 0), 19) AS INT) AS bucket,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
   FROM events),
 pb AS (SELECT event_type, bucket, count(*) AS n, sum(cents) AS bucket_cents

@@ -260,13 +260,15 @@ class FrontierCrawler:
         # S12/J3: per-domain scraper-strategy dimension (reference Source.
         # scraper_type, src/database/models.py:38-58) — broadcast-joined
         # onto article rows so every article records how it was scraped.
+        # Duplicate-domain tie-break is the EXPLICIT rule min(scraper_type)
+        # spelled identically in all three engines (here, oracle.py's
+        # sorted-min dict build, oracle_sql.py's min() aggregate) — a
+        # dropDuplicates row pick is arbitrary and would silently diverge
+        # the engines on a seeds source with duplicate domains.
         self.strategy_dim = (
             spark.read.parquet(seeds_path)
-            .select(
-                F.col("domain").alias("host"),
-                F.col("scraper_type").alias("scrape_strategy"),
-            )
-            .dropDuplicates(["host"])
+            .groupBy(F.col("domain").alias("host"))
+            .agg(F.min("scraper_type").alias("scrape_strategy"))
         )
         self._bloom = None  # cumulative seen bloom, maintained incrementally
         if config.seen_filter == "cuckoo" or config.bloom_buckets > 1:

@@ -559,11 +559,65 @@ def page_link_edges(pages: DataFrame, max_links_per_page: int = 100) -> DataFram
     )
 
 
+def kcore_from_edges(
+    und: DataFrame,
+    k: int = 4,
+    iterations: int = 6,
+    verify_convergence: bool = True,
+) -> DataFrame:
+    """k-core peel over a symmetrized distinct (a, b) edge set — the
+    unrolled loop shared by :func:`page_kcore` and the synthetic-graph
+    tests.  See page_kcore for semantics and scale shape.
+
+    ``verify_convergence`` runs ONE extra peel after the unroll and
+    compares the two core sizes (two bounded scalar counts over
+    localCheckpointed vertex sets — no row-scaled driver state).
+    Peeling depth grows with graph structure: a fixed unroll that was
+    fixpoint-deep on the test corpus can silently return a SUPERSET of
+    the true core at 100× (under-peeling admits link-farm chains), so
+    non-convergence raises loudly instead of shipping a wrong cut."""
+    und = und.localCheckpoint(eager=True)
+    core = und.select(F.col("a").alias("v")).distinct()
+
+    def _peel(cur: DataFrame) -> DataFrame:
+        return (
+            und.join(cur.select(F.col("v").alias("ca")), und["a"] == F.col("ca"))
+            .join(cur.select(F.col("v").alias("cb")), und["b"] == F.col("cb"))
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))  # und is distinct pairs
+            .where(F.col("deg") >= k)
+            .select(F.col("a").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+
+    for _ in range(iterations):
+        core = _peel(core)
+    if verify_convergence:
+        n_before = core.count()
+        if n_before > 0:
+            delta = n_before - _peel(core).count()
+            if delta != 0:
+                raise RuntimeError(
+                    f"k-core peel not converged after {iterations} unrolled "
+                    f"rounds (one more peel removed {delta} of {n_before} "
+                    f"vertices) — raise `iterations` for this graph"
+                )
+    return (
+        und.join(core.select(F.col("v").alias("ca")), und["a"] == F.col("ca"))
+        .join(core.select(F.col("v").alias("cb")), und["b"] == F.col("cb"))
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .select(F.col("a").alias("url"), "core_degree")
+        .orderBy("url")
+    )
+
+
 def page_kcore(
     pages: DataFrame,
     k: int = 4,
     iterations: int = 6,
     max_links_per_page: int = 100,
+    verify_convergence: bool = True,
 ) -> DataFrame:
     """k-core decomposition of the page link graph (Seidman 1983) —
     the graph-curation cut that keeps pages embedded in a densely
@@ -573,33 +627,21 @@ def page_kcore(
     ``iterations`` UNROLLED peel rounds: drop vertices with fewer than
     ``k`` surviving neighbors, repeat.  Peeling is monotone, so round
     i+1's core ⊆ round i's; on bounded-cascade graphs a small fixed
-    unroll reaches the fixpoint (asserted in tests — the gate corpus
-    fixes in 4 rounds at k=4).  The DuckDB oracle replays the SAME
-    fixed unroll, so the two engines agree by construction even before
-    the fixpoint.  Each round is one join-filter-aggregate over the
+    unroll reaches the fixpoint, and ``verify_convergence`` (default
+    on) PROVES it per run with one extra peel + scalar compare,
+    raising loudly on under-peel instead of returning a superset core
+    (see kcore_from_edges).  The DuckDB oracle replays the SAME fixed
+    unroll, so the two engines agree by construction even before the
+    fixpoint.  Each round is one join-filter-aggregate over the
     materialized undirected edge set — localCheckpoint per round keeps
     lineage linear (the connected_components pattern); shuffle cost is
     rounds × one edge-keyed exchange, never vertex-quadratic.
 
     Returns (url, core_degree) for core members — degree counted
     within the final core."""
-    und = page_link_edges(pages, max_links_per_page).localCheckpoint(eager=True)
-    core = und.select(F.col("a").alias("v")).distinct()
-    for _ in range(iterations):
-        core = (
-            und.join(core.select(F.col("v").alias("ca")), und["a"] == F.col("ca"))
-            .join(core.select(F.col("v").alias("cb")), und["b"] == F.col("cb"))
-            .groupBy("a")
-            .agg(F.count(F.lit(1)).alias("deg"))  # und is distinct pairs
-            .where(F.col("deg") >= k)
-            .select(F.col("a").alias("v"))
-            .localCheckpoint(eager=True)
-        )
-    return (
-        und.join(core.select(F.col("v").alias("ca")), und["a"] == F.col("ca"))
-        .join(core.select(F.col("v").alias("cb")), und["b"] == F.col("cb"))
-        .groupBy("a")
-        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
-        .select(F.col("a").alias("url"), "core_degree")
-        .orderBy("url")
+    return kcore_from_edges(
+        page_link_edges(pages, max_links_per_page),
+        k=k,
+        iterations=iterations,
+        verify_convergence=verify_convergence,
     )

@@ -116,11 +116,16 @@ def media_features(media: DataFrame, min_parallelism: int | None = None) -> Data
     stages); shuffle-fed inputs (``inputFiles() == []``) already carry
     shuffle-partition parallelism and skip it, as does a 100 TB media
     table that scans as thousands of files (features are row-local, so
-    re-batching never changes results)."""
+    re-batching never changes results).  ``inputFiles() == []`` is also
+    what a LOCAL relation reports (createDataFrame test inputs plan as
+    a 1-partition LocalTableScan, which would run the python stage
+    serially), so n_files == 0 additionally probes ``isLocal()`` —
+    cheap for a local relation by definition — and repartitions those
+    too."""
     sel = media.select("media_id", "payload")
     target = min_parallelism or media.sparkSession.sparkContext.defaultParallelism
     n_files = len(media.inputFiles())
-    if 0 < n_files < target:
+    if 0 < n_files < target or (n_files == 0 and media.isLocal()):
         sel = sel.repartition(target)
     return sel.mapInPandas(
         feature_extract_map_in_pandas, schema=FEATURE_SCHEMA

@@ -99,30 +99,29 @@ def global_fetch_order(admitted: DataFrame, seq_offset: int = 0) -> DataFrame:
     )
 
 
-def global_fetch_order_scalable(
-    admitted: DataFrame,
-    seq_offset: int = 0,
+def scalable_row_number(
+    df: DataFrame,
+    keys: list,
+    out_col: str,
+    offset: int = 0,
     partitions: int | None = None,
     cache_registry: list | None = None,
 ) -> DataFrame:
-    """Same total order as :func:`global_fetch_order`, computed without a
-    single-partition sort: range-partition on the frozen order key, sort
-    within partitions, count per partition (one small job on the
-    persisted set), then assign ``offset[pid] + local_index`` entirely
-    JVM-side — ``monotonically_increasing_id`` encodes (partition id,
-    local row index) as ``pid·2³³ + idx`` over the sorted partitions,
-    and a literal map turns pid into its global offset.  The classic
-    two-pass zipWithIndex with no Python round-trip of the admitted
-    rows.  Equality with the window version is asserted in
-    tests/test_politeness.py.
-    """
-    spark = admitted.sparkSession
+    """1-based global ``row_number`` by ``keys``, computed without a
+    single-partition sort: range-partition on the key, sort within
+    partitions, count per partition (one small job on the persisted
+    set), then assign ``offset[pid] + local_index`` entirely JVM-side —
+    ``monotonically_increasing_id`` encodes (partition id, local row
+    index) as ``pid·2³³ + idx`` over the sorted partitions, and a
+    literal map turns pid into its global offset.  The classic two-pass
+    zipWithIndex with no Python round-trip of the rows.  The keys must
+    be a total order (no ties) for a deterministic result — every
+    caller closes with a unique id column.  The per-partition count
+    collect is bounded by the shuffle width (≤ p rows), never
+    row-scaled."""
+    spark = df.sparkSession
     p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = (
-        admitted.repartitionByRange(p, *order_key())
-        .sortWithinPartitions(*order_key())
-        .persist()
-    )
+    ranged = df.repartitionByRange(p, *keys).sortWithinPartitions(*keys).persist()
     # the internal cache must be releasable by the caller (a crawl round
     # leaks one admitted-set-sized cache per round otherwise — CLAUDE.md
     # round-cache rule: drop all round caches together at round end)
@@ -135,7 +134,7 @@ def global_fetch_order_scalable(
         .collect()
     }
     offsets = {}
-    acc = seq_offset
+    acc = offset
     for pid in range(p):
         offsets[pid] = acc
         acc += counts.get(pid, 0)
@@ -147,6 +146,26 @@ def global_fetch_order_scalable(
     pid_expr = F.shiftrightunsigned(mid, 33).cast("int")
     local_expr = mid.bitwiseAND(F.lit((1 << 33) - 1))
     return ranged.withColumn(
-        "fetch_seq",
+        out_col,
         (off_map[pid_expr] + local_expr + F.lit(1)).cast("long"),
+    )
+
+
+def global_fetch_order_scalable(
+    admitted: DataFrame,
+    seq_offset: int = 0,
+    partitions: int | None = None,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Same total order as :func:`global_fetch_order`, computed without a
+    single-partition sort — :func:`scalable_row_number` on the frozen
+    order key.  Equality with the window version is asserted in
+    tests/test_politeness.py."""
+    return scalable_row_number(
+        admitted,
+        list(order_key()),
+        "fetch_seq",
+        offset=seq_offset,
+        partitions=partitions,
+        cache_registry=cache_registry,
     )

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from newscrawler_spark.functions.rounding import pinned_round
 
 from .chunks import chunk_scores_kernel
+from .politeness import scalable_row_number
 
 # chars-per-token heuristic: the reference estimates tokens as
 # len(text) / 4 before truncating to max_tokens
@@ -447,6 +448,7 @@ def cache_ttl_evict(
     ttl_s: int = 3600,
     max_size: int = 1000,
     evict_frac_bp: int = 1000,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """TTL expiry + capacity eviction over a cache-entry relation — the
     batch twin of the reference's two cache policies: entries expire
@@ -465,11 +467,16 @@ def cache_ttl_evict(
     Returns every entry with its disposition:
     (cache_id, created_us, last_accessed_us, age_s, status ∈
     {'expired','evicted','live'}).  Expired entries are decided row-
-    locally; the eviction rank is a window over the LIVE subset only —
-    a cache is bounded by construction (max_size), so the unpartitioned
-    window never sees corpus-scaled input.  Ties in last-access break
-    by cache_id (the reference's dict iteration is insertion-stable;
-    an explicit deterministic rule replaces that accident).
+    locally; the eviction rank over the live subset is computed by
+    :func:`politeness.scalable_row_number` (range-partition + two-pass
+    zipWithIndex), NOT a single-partition global window — a real cache
+    is bounded by max_size, but the operator ranks whatever relation
+    the caller passes (the gate feeds the full events table), so the
+    rank must not funnel a corpus-scaled live set through one task.
+    Ties in last-access break by cache_id (the reference's dict
+    iteration is insertion-stable; an explicit deterministic rule
+    replaces that accident).  ``cache_registry`` releases the rank's
+    internal range-partitioned persist (CLAUDE.md round-cache rule).
     """
     now_us = cache.agg(F.max("last_accessed_us").alias("__now_us"))
     aged = cache.crossJoin(F.broadcast(now_us)).select(
@@ -488,12 +495,11 @@ def cache_ttl_evict(
     live = aged.where(~F.col("__expired"))
     n_live = live.agg(F.count(F.lit(1)).alias("__n_live"))
     ranked = (
-        live.crossJoin(F.broadcast(n_live))
-        .withColumn(
+        scalable_row_number(
+            live.crossJoin(F.broadcast(n_live)),
+            ["last_accessed_us", "cache_id"],
             "__rk",
-            F.row_number().over(
-                Window.orderBy("last_accessed_us", "cache_id")
-            ),
+            cache_registry=cache_registry,
         )
         .withColumn(
             "__n_evict",

@@ -75,8 +75,14 @@ def crawl_oracle(pages_path: str, seeds_path: str, config: CrawlConfig = CrawlCo
     # J3 strategy routing into extraction (reference Source.scraper_type
     # → puppeteer_scraper): hosts marked 'puppeteer' extract with the
     # JS-heavy variant.  Host-keyed, ALL seed rows (active or not) —
-    # the engine builds its strategy dim the same way.
-    strategy = {s["domain"]: s["scraper_type"] for s in seeds}
+    # the engine builds its strategy dim the same way.  Duplicate
+    # domains resolve by the explicit tri-engine rule min(scraper_type)
+    # (engine groupBy-min, SQL replay min() aggregate).
+    strategy: dict[str, str] = {}
+    for s in seeds:
+        d, st = s["domain"], s["scraper_type"]
+        if d not in strategy or st < strategy[d]:
+            strategy[d] = st
     for s in seeds:
         if not s["active"]:
             continue

@@ -443,3 +443,30 @@ def test_page_kcore_fixpoint_and_semantics(spark, tmp_path):
         page_link_edges(pages).select("a").distinct().count()
     )
     assert 0 < len(c6) < n_nodes, (len(c6), n_nodes)
+
+
+def test_kcore_convergence_witness_deep_cascade(spark):
+    """A path graph peels one layer per round at k=2 (depth grows with
+    the graph — the 100× hazard): a too-short unroll must raise the
+    convergence error instead of silently returning a superset core; a
+    deep-enough unroll converges (to the empty core) without error."""
+    import pytest as _pytest
+
+    from newscrawler_spark.operators.graph import kcore_from_edges
+
+    n = 20
+    chain = [(f"v{i}", f"v{i+1}") for i in range(n - 1)]
+    und = spark.createDataFrame(
+        chain + [(b, a) for a, b in chain], "a string, b string"
+    )
+    with _pytest.raises(RuntimeError, match="not converged"):
+        kcore_from_edges(und, k=2, iterations=3).collect()
+    assert kcore_from_edges(und, k=2, iterations=12).count() == 0
+    # a convergent graph passes the witness and keeps its core: a clique
+    k4 = [(f"c{i}", f"c{j}") for i in range(4) for j in range(4) if i != j]
+    core = kcore_from_edges(
+        spark.createDataFrame(k4, "a string, b string"), k=3, iterations=2
+    ).collect()
+    assert {(r["url"], r["core_degree"]) for r in core} == {
+        (f"c{i}", 3) for i in range(4)
+    }

@@ -170,6 +170,52 @@ def test_prometheus_export_format(spark, sf_dir):
         assert cums[-1] == count
 
 
+def test_prometheus_inclusive_le_boundary():
+    """Faithful Prometheus cumulative semantics: an observation exactly
+    on a boundary counts in that le line (le is ≤), negatives land in
+    the first bucket (cumulative buckets span -Inf..le), and values
+    beyond the last finite boundary appear only in +Inf.  Asserted on
+    the DuckDB twin (the driver gate proves the Spark side hash-equal)."""
+    import duckdb
+
+    import __spark_entry__ as m
+
+    con = duckdb.connect()
+    try:
+        con.sql(
+            "CREATE TABLE events AS SELECT * FROM (VALUES "
+            "('a', 25.0), ('a', -3.0), ('a', 500.0), ('a', 25.01)) "
+            "t(event_type, value)"
+        )
+        lines = {
+            r["line"].rsplit(" ", 1)[0]: int(r["line"].rsplit(" ", 1)[1])
+            for _, r in con.sql(m.SQL_A4_PROMETHEUS).df().iterrows()
+            if "_bucket{" in r["line"]
+        }
+    finally:
+        con.close()
+    assert lines['newscrawler_value_a_bucket{le="25"}'] == 2  # 25.0 + (-3.0)
+    assert lines['newscrawler_value_a_bucket{le="50"}'] == 3  # + 25.01
+    assert lines['newscrawler_value_a_bucket{le="475"}'] == 3  # 500 excluded
+    assert lines['newscrawler_value_a_bucket{le="+Inf"}'] == 4
+
+
+def test_media_features_local_relation_parallelism(spark):
+    """A createDataFrame input (inputFiles()==[], LocalTableScan, 1
+    partition) must still repartition up to cluster parallelism before
+    the python feature stage (the n_files==0 fallback)."""
+    from newscrawler_spark.operators.multimodal import media_features
+
+    media = spark.createDataFrame(
+        [(i, bytes([i % 251] * 40)) for i in range(64)], "media_id long, payload binary"
+    )
+    feats = media_features(media)
+    assert "Exchange" in feats._jdf.queryExecution().executedPlan().toString() or (
+        feats.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    )
+    assert feats.count() == 64
+
+
 def test_ann_recall_report(spark, sf_dir):
     """The IVF index must achieve high-but-imperfect recall vs brute
     force (1.0 would mean the probe covers everything — vacuous as an
