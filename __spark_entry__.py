@@ -943,18 +943,37 @@ sh AS (
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """N-gram Jaccard near-dup via inverted shingle index (no cross join)."""
+    """N-gram Jaccard near-dup via inverted shingle index (no cross
+    join).  max_df=100 is the 100 TB hot-shingle guard (r5): candidates
+    come from the df-capped index, exact jaccard is verified candidate-
+    first — the co-shingled pair count is quadratic in hot-shingle df
+    and the uncapped self-join probed 3.36× wall for 2× docs
+    (BENCH/op_scaling.json).  No shingle in the gate corpora exceeds
+    df 100 (max 25 at sf0.1), so capped ≡ uncapped here — asserted in
+    tests; the DuckDB twin replays the same two phases."""
     from newscrawler_spark.operators.dedup import jaccard_candidates
 
-    return jaccard_candidates(_t(spark, sf_dir, "documents"), n=3, threshold=0.5)
+    return jaccard_candidates(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5, max_df=100
+    )
 
 
 SQL_DEDUP_JACCARD = f"""
 WITH {_SH_SQL},
+keep AS (
+  SELECT shingle FROM (SELECT shingle, count(*) AS c FROM sh GROUP BY 1)
+  WHERE c <= 100),
+idx AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM idx a JOIN idx b USING (shingle) WHERE a.doc_id < b.doc_id),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
 shared AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+  SELECT c.doc_a, c.doc_b, count(*) AS shared
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY 1, 2)
 SELECT doc_a, doc_b, shared, sa.n_sh AS na, sb.n_sh AS nb,
        floor((shared * 1.0 / (sa.n_sh + sb.n_sh - shared)) * 10000.0 + 0.5) / 10000.0 AS jaccard
 FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b

@@ -189,6 +189,8 @@ BENCH_QUERIES = [
     "a4_prometheus_export",
     "sim_recall_report",
     "graph_kcore",
+    # round-5 additions
+    "s16_schema_migration",
 ]
 
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))

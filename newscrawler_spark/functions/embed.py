@@ -59,3 +59,45 @@ def embed_map_in_pandas(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "embedding": [embed_text(t) for t in pdf["text"].tolist()],
             }
         )
+
+
+def make_embed_predict_fn(dim: int = DIM):
+    """``predict_batch_udf`` loader (the reference's real-model seam:
+    ``src/vector/embedding_models.py:72-189`` loads sentence-transformers
+    /OpenAI once per worker and encodes batches).  Called ONCE per python
+    worker — this is where a real deployment would load torch/onnx
+    weights; the sandbox stand-in "loads" the deterministic hashing
+    model instead, through the SAME loader shape, so swapping in a real
+    model changes only this body.
+
+    The returned predict enforces the batch contract a real model relies
+    on (violations raise, failing the job loudly rather than silently
+    mis-batching): input is a 1-D numpy array of the batch's strings
+    (never a scalar, never a pandas Series), output is a 2-D float32
+    array of shape (len(batch), dim)."""
+
+    def predict(inputs: "np.ndarray") -> "np.ndarray":
+        if not isinstance(inputs, np.ndarray) or inputs.ndim != 1:
+            raise TypeError(f"predict_batch_udf batch contract: {type(inputs)}")
+        out = np.asarray(
+            [embed_text(t if isinstance(t, str) else "", dim) for t in inputs],
+            dtype=np.float32,
+        ).reshape(len(inputs), dim)
+        return out
+
+    return predict
+
+
+def embed_predict_batch_udf(dim: int = DIM, batch_size: int = 64):
+    """The production embedding column as a ``pyspark.ml.functions.
+    predict_batch_udf`` — Arrow-batched, loader-cached per worker,
+    drop-in for a GPU model.  Equivalence with the mapInPandas twin is
+    asserted in tests/test_embed_seam.py."""
+    from pyspark.ml.functions import predict_batch_udf
+    from pyspark.sql.types import ArrayType, FloatType
+
+    return predict_batch_udf(
+        lambda: make_embed_predict_fn(dim),
+        return_type=ArrayType(FloatType()),
+        batch_size=batch_size,
+    )

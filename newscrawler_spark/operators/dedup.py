@@ -84,23 +84,97 @@ def jaccard_candidates(
 ) -> DataFrame:
     """Near-dup pairs with n-gram Jaccard ≥ threshold.
 
-    shingle explode → (optional df cap) → self equi-join on shingle →
-    count shared → |A∪B| = |A|+|B|−shared → filter.  Shuffles are keyed
-    on shingle then (doc_a, doc_b); no O(n²) stage.
+    Uncapped (max_df=None): shingle explode → self equi-join on shingle
+    → count shared → |A∪B| = |A|+|B|−shared → filter.  Shuffles are
+    keyed on shingle then (doc_a, doc_b); no O(n²) stage — but the
+    co-shingled PAIR count is quadratic in each shingle's document
+    frequency, so a hot shingle (boilerplate n-gram shared by d docs)
+    contributes C(d,2) join rows: the 2×-input probe measured 3.36×
+    wall for 2× docs through this path (op_scaling.json, r5).
+
+    Capped (max_df=k): the self-join runs on the df-capped inverted
+    index only (hot shingles excluded from pair generation), giving
+    each pair its KEPT-shingle shared count.  Exact jaccard then comes
+    from a bound: a dropped (df>k) shingle contributes to a pair only
+    if it is in BOTH docs, so true_shared ∈ [shared_kept, shared_kept +
+    min(dropped_a, dropped_b)].  Pairs whose upper-bound jaccard misses
+    the threshold are pruned; pairs with min(dropped)=0 are already
+    exact; ONLY the residual band (both docs carry dropped shingles
+    and the bound straddles the threshold surface) pays a candidate-
+    first verify over the full shingle sets (the minhash_near_dups
+    shape).  On a corpus with no over-cap shingles the band is empty
+    and the cost is the uncapped plan plus two tiny per-doc aggregates;
+    at 100 TB the hot-shingle C(df,2) pair blowup is structurally
+    excluded.  Jaccard values are exact everywhere; only candidate
+    RECALL is capped (a pair is missed only if every shared shingle
+    has df>k — at threshold 0.5 a near-dup shares ≥⅓ of its shingles).
+    capped ≡ uncapped on the gate corpora (max df 25 at sf0.1 < 100)
+    is asserted in tests/test_dedup_similarity.py; the DuckDB oracle
+    replays an equivalent (simpler two-phase) plan — same values.
     """
     sh = with_shingles(df, text_col, n)
-    if max_df is not None:
-        keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_df)
-        sh = sh.join(keep.select("shingle"), "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    shared = (
-        a.join(b, "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("shared"))
-    )
+    if max_df is None:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        shared = (
+            a.join(b, "shingle")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("shared"))
+        )
+    else:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_df)
+            .select("shingle")
+        )
+        idx = sh.join(keep, "shingle")
+        kept_sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n_kept"))
+        drops = sizes.join(kept_sizes, "doc_id", "left").select(
+            "doc_id",
+            (F.col("n_sh") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_drop"),
+        )
+        ia = idx.alias("ia")
+        ib = idx.alias("ib")
+        pairs = (
+            ia.join(ib, "shingle")
+            .filter(F.col("ia.doc_id") < F.col("ib.doc_id"))
+            .groupBy(F.col("ia.doc_id").alias("doc_a"), F.col("ib.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("shared_kept"))
+        )
+        da = drops.select(F.col("doc_id").alias("doc_a"), F.col("n_drop").alias("drop_a"))
+        db = drops.select(F.col("doc_id").alias("doc_b"), F.col("n_drop").alias("drop_b"))
+        za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+        zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+        s_max = F.col("shared_kept") + F.least(F.col("drop_a"), F.col("drop_b"))
+        bounded = (
+            pairs.join(da, "doc_a")
+            .join(db, "doc_b")
+            .join(za, "doc_a")
+            .join(zb, "doc_b")
+            .withColumn(
+                "j_max",
+                pinned_round(s_max / (F.col("na") + F.col("nb") - s_max), 4),
+            )
+            .filter(F.col("j_max") >= threshold)
+        )
+        exact = bounded.filter(
+            F.least(F.col("drop_a"), F.col("drop_b")) == 0
+        ).select("doc_a", "doc_b", F.col("shared_kept").alias("shared"))
+        band = bounded.filter(
+            F.least(F.col("drop_a"), F.col("drop_b")) > 0
+        ).select("doc_a", "doc_b")
+        xa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        xb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        verified = (
+            band.join(xa, "doc_a")
+            .join(xb, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("shared"))
+        )
+        shared = exact.unionByName(verified)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (

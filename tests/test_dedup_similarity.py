@@ -22,6 +22,29 @@ def emb(spark):
     return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
 
 
+def test_jaccard_capped_equals_uncapped(spark, docs):
+    """The df-capped candidate path (the 100 TB hot-shingle guard the
+    gate uses, max_df=100) must produce exactly the uncapped result on
+    corpora whose shingle df stays under the cap (gate corpora max df:
+    7 at sf0.01, 25 at sf0.1) — same pairs, same exact jaccard values."""
+    from newscrawler_spark.operators.dedup import jaccard_candidates
+
+    def rows(max_df):
+        return {
+            (r["doc_a"], r["doc_b"], r["shared"], r["na"], r["nb"], r["jaccard"])
+            for r in jaccard_candidates(
+                docs, n=3, threshold=0.5, max_df=max_df
+            ).collect()
+        }
+
+    capped, uncapped = rows(100), rows(None)
+    assert capped == uncapped and len(capped) > 0
+    # a cap below the corpus's hot-shingle df must still verify EXACT
+    # jaccard on the pairs it does emit (subset, never altered values)
+    tight = rows(3)
+    assert tight <= uncapped
+
+
 def test_lsh_candidates_cover_high_jaccard(spark, docs):
     """Banding theory: pairs with very high true Jaccard must appear in
     the LSH candidate set (16 hashes, 4 bands → ~(1-(1-s^4)^4), >0.99

@@ -91,6 +91,10 @@ def main() -> None:
             CrawlConfig(max_rounds=2, round_budget=20, n_salts=4),
         ).run(resume=False)
 
+    # liveness heartbeats for the harness watchdog (scaling_bench kills a
+    # submit whose stdout AND store tree both go idle — the sporadic AQE
+    # hang signature — instead of eating the full hard timeout)
+    print("HEARTBEAT warmup_done", flush=True)
     shutil.rmtree(args.store, ignore_errors=True)
     store = RoundStore(args.store)
     bucketed_table = None
@@ -128,11 +132,13 @@ def main() -> None:
         pages_bucketed_table=bucketed_table,
     )
     crawler = FrontierCrawler(spark, args.pages, args.seeds, store, cfg)
+    print("HEARTBEAT crawl_start", flush=True)
     t0 = time.time()
     init_secs = 0.0
     if args.bulk:
         crawler.initialize(url_df=spark.read.parquet(args.pages).select("url"))
         init_secs = round(time.time() - t0, 2)
+        print("HEARTBEAT init_done", flush=True)
         totals = crawler.run(resume=True)
     else:
         totals = crawler.run(resume=False)

@@ -140,6 +140,65 @@ def build_pyfiles_zip() -> str:
     return zpath
 
 
+def _tree_mtime(paths: list) -> float:
+    """Newest mtime under the watched dirs (store manifests/round dirs
+    land here continuously during a healthy crawl).  Bounded walk: a
+    round store holds O(rounds × partitions) files."""
+    newest = 0.0
+    for root in paths:
+        if not os.path.isdir(root):
+            continue
+        for dirpath, _dirnames, filenames in os.walk(root):
+            try:
+                newest = max(newest, os.stat(dirpath).st_mtime)
+                for fn in filenames:
+                    newest = max(newest, os.stat(os.path.join(dirpath, fn)).st_mtime)
+            except OSError:
+                continue  # file vanished mid-walk (tmp-rename commits)
+    return newest
+
+
+def _run_with_liveness(cmd: list, env: dict, hard_timeout: int, idle_timeout: int, watch_dirs: list):
+    """subprocess.run equivalent with a liveness watchdog: kill the
+    child when stdout+stderr byte counts AND the watched store trees
+    all stop changing for ``idle_timeout`` seconds while the process
+    is still alive (the AQE-hang signature: driver parked, executors
+    idle, nothing written anywhere), or at ``hard_timeout`` outright.
+    Returns a CompletedProcess-shaped object with .stdout/.stderr."""
+    import tempfile
+    import time as _time
+
+    with tempfile.TemporaryFile("w+") as fo, tempfile.TemporaryFile("w+") as fe:
+        p = subprocess.Popen(cmd, stdout=fo, stderr=fe, env=env, text=True)
+        start = last_activity = _time.time()
+        last_sig = None
+        while True:
+            rc = p.poll()
+            if rc is not None:
+                break
+            now = _time.time()
+            sig = (
+                os.fstat(fo.fileno()).st_size,
+                os.fstat(fe.fileno()).st_size,
+                _tree_mtime(watch_dirs),
+            )
+            if sig != last_sig:
+                last_sig, last_activity = sig, now
+            reason = None
+            if now - start > hard_timeout:
+                reason = f"hard timeout {hard_timeout}s"
+            elif now - last_activity > idle_timeout:
+                reason = f"liveness idle {idle_timeout}s (no stdout/stderr/store activity)"
+            if reason:
+                p.kill()
+                p.wait()
+                raise subprocess.TimeoutExpired(cmd, hard_timeout, output=reason)
+            _time.sleep(5)
+        fo.seek(0)
+        fe.seek(0)
+        return subprocess.CompletedProcess(cmd, rc, fo.read(), fe.read())
+
+
 def submit_crawl(total_cores: int, corpus: dict, warmup: dict, zpath: str, tag: str, n_pages: int = 1_000_000, extra_args: list | None = None, extra_conf: list | None = None) -> dict:
     store = os.path.join(BENCH, f"cluster_store_{tag}")
     cmd = [
@@ -190,23 +249,33 @@ def submit_crawl(total_cores: int, corpus: dict, warmup: dict, zpath: str, tag: 
         # the non-scaling component cross-JVM.
         "--bucketed-pages", "16",
     ] + (extra_args or [])
-    # One retry on timeout: ~1 in 6 submits hits a known code-independent
+    # Retries on hang: ~1 in 6 submits hits a known code-independent
     # AQE hang (driver parks in AdaptiveSparkPlanExec.withFinalPlanUpdate
     # after a stage completes, executors idle — see CLAUDE.md); a rerun
     # of the identical submit succeeds, so don't let one hang kill a
-    # 40-minute multi-leg run.
-    # 900 s ≈ 3× the slowest healthy leg this epoch — a hang should
-    # cost one retry window, not 40 minutes of a multi-leg budget
+    # 40-minute multi-leg run.  Two layers:
+    #   * liveness watchdog (idle_timeout, default 240 s): the job
+    #     heartbeats on stdout (crawl_job HEARTBEAT lines) and commits
+    #     round manifests into the store dir continuously; when BOTH go
+    #     idle while the process lives, that is the hang signature —
+    #     kill + resubmit after one idle window instead of the full
+    #     hard timeout (a healthy leg never goes ~4 min with no stdout,
+    #     no stderr, and no store write);
+    #   * hard timeout (900 s ≈ 3× the slowest healthy leg this epoch)
+    #     as the backstop for pathological-but-active runs.
     submit_timeout = int(os.environ.get("SPARK_GRAFT_SUBMIT_TIMEOUT", "900"))
+    idle_timeout = int(os.environ.get("SPARK_GRAFT_SUBMIT_IDLE", "240"))
+    watch = [store, os.path.join(BENCH, f"cluster_warm_{tag}"), store + "_bucketed_pages"]
     for attempt in (0, 1):
         try:
-            out = subprocess.run(cmd, capture_output=True, text=True, env=_env(), timeout=submit_timeout)
+            out = _run_with_liveness(cmd, _env(), submit_timeout, idle_timeout, watch)
             break
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
             if attempt == 1:
                 raise
-            print(f"submit (cores={total_cores}, tag={tag}) hit the {submit_timeout}s "
-                  "timeout (sporadic AQE hang) — retrying once", flush=True)
+            print(f"submit (cores={total_cores}, tag={tag}) {e.args if e.args else ''} "
+                  f"(sporadic AQE hang; idle={idle_timeout}s hard={submit_timeout}s) "
+                  "— retrying once", flush=True)
     for line in out.stdout.splitlines():
         if line.startswith("CRAWL_RESULT "):
             return json.loads(line[len("CRAWL_RESULT "):])
