@@ -5975,6 +5975,22 @@ def q_graph_hits(spark, sf_dir):
     return host_hits(pages)
 
 
+def q_graph_lpa(spark, sf_dir):
+    """Deterministic label-propagation communities over the corpus host
+    graph (operators/graph.host_label_propagation, Raghavan et al.
+    2007) — topical host clustering for curation, the link-structure
+    analog of the reference's hand-assigned source categories
+    (models.py:38-58).  Frozen vote/tie rule (edge-weight votes + one
+    self-vote, argmax then lexicographic min), 4 unrolled synchronous
+    rounds; DuckDB replays the identical unroll over the same frozen
+    extraction head (oracle_sql.host_lpa_sql)."""
+    from newscrawler_spark.operators.graph import host_label_propagation
+
+    _, paths = _crawl_store(spark, sf_dir)
+    pages = spark.read.parquet(paths["pages"])
+    return host_label_propagation(pages, iterations=4)
+
+
 def q_graph_kcore(spark, sf_dir):
     """Page-level k-core decomposition (operators/graph.page_kcore,
     Seidman 1983) over the gate corpus link graph — the graph-curation
@@ -6134,6 +6150,7 @@ def _corpus_oracle_sql() -> dict[str, str]:
         cocitation_sql,
         reciprocity_sql,
         host_hits_sql,
+        host_lpa_sql,
         host_pagerank_sql,
         page_kcore_sql,
         host_triangles_sql,
@@ -6266,6 +6283,9 @@ FROM g QUALIFY rnk <= 5
         "graph_kcore": page_kcore_sql(
             p["pages"], k=4, iterations=6,
             max_links=crawl_cfg.max_links_per_page,
+        ),
+        "graph_lpa": host_lpa_sql(
+            p["pages"], iterations=4, max_links=crawl_cfg.max_links_per_page
         ),
         "graph_hits": host_hits_sql(
             p["pages"], max_links=crawl_cfg.max_links_per_page
@@ -7072,6 +7092,23 @@ def _migration_transform(df):
     return df.withColumn("n_tokens", ws_token_count(F.col("text")).cast("long"))
 
 
+def _migration_store(spark, sf_dir):
+    """Build-and-migrate the round-dir documents store (idempotent —
+    committed rounds and migration markers resume; shared by the s16
+    v2 gate and the s17 time-travel gate)."""
+    from newscrawler_spark.plans.migration import migrate_table
+    from newscrawler_spark.plans.storage import RoundStore
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    store = RoundStore(os.path.join(_migration_base(sf_dir), "store"))
+    if store.last_committed_round() < 2:
+        for r in range(3):
+            store.write_round("documents", r, docs.where(F.col("doc_id") % 3 == r))
+            store.commit_round(r, {"table": "documents"})
+    migrate_table(store, spark, "documents", 2, _migration_transform)
+    return store
+
+
 def q_s16_schema_migration(spark, sf_dir):
     """Schema-evolution migration over the round-dir store (plans/
     migration.py; reference alembic migrations, create_topic_migration
@@ -7082,20 +7119,9 @@ def q_s16_schema_migration(spark, sf_dir):
     — so the gated values prove the on-disk v2 bytes, not a recompute.
     The DuckDB oracle recomputes the backfill over the source table;
     hash-equality is the migrated-read ≡ recompute proof."""
-    from newscrawler_spark.plans.migration import (
-        migrate_table,
-        read_rounds_at,
-        table_version,
-    )
-    from newscrawler_spark.plans.storage import RoundStore
+    from newscrawler_spark.plans.migration import read_rounds_at, table_version
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    store = RoundStore(os.path.join(_migration_base(sf_dir), "store"))
-    if store.last_committed_round() < 2:
-        for r in range(3):
-            store.write_round("documents", r, docs.where(F.col("doc_id") % 3 == r))
-            store.commit_round(r, {"table": "documents"})
-    migrate_table(store, spark, "documents", 2, _migration_transform)
+    store = _migration_store(spark, sf_dir)
     merged = read_rounds_at(
         store, spark, "documents", 2, backfill=_migration_transform
     )
@@ -7123,6 +7149,35 @@ SELECT doc_id % 3 AS round_id,
        CAST(min(doc_id) AS BIGINT) AS id_lo,
        CAST(max(doc_id) AS BIGINT) AS id_hi,
        CAST(2 AS BIGINT) AS schema_version
+FROM documents GROUP BY 1
+"""
+
+
+def q_s17_migration_time_travel(spark, sf_dir):
+    """Time travel across the schema boundary: AFTER the v2 migration
+    (same store as s16), a v1 read must still serve the ORIGINAL
+    snapshot at the original schema — untouched files, no backfill
+    column.  The gate reads the v1 round dirs back post-migration and
+    aggregates char sums (a v1-computable quantity); the DuckDB oracle
+    recomputes from the source table, so hash-equality proves the v1
+    bytes survived the migration byte-for-value."""
+    from newscrawler_spark.plans.migration import read_rounds_at
+
+    store = _migration_store(spark, sf_dir)
+    v1 = read_rounds_at(store, spark, "documents", 1)
+    assert "n_tokens" not in v1.columns  # original schema, no backfill
+    return v1.groupBy((F.col("doc_id") % 3).cast("long").alias("round_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.length("text")).cast("long").alias("char_sum"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+
+
+SQL_S17_TIME_TRAVEL = r"""
+SELECT doc_id % 3 AS round_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(length(text)) AS BIGINT) AS char_sum,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
 FROM documents GROUP BY 1
 """
 
@@ -7630,6 +7685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_kneser_ney": q_lm_kneser_ney,
         # slot 50: new this round (driver-gated on first appearance)
         "s16_schema_migration": q_s16_schema_migration,
+        # --- round-5 additions past the window (replica-gated) ---
+        "s17_migration_time_travel": q_s17_migration_time_travel,
         # --- previously driver-gated (r01-r04 green rows; replica-gated each round) ---
         "mm_media_features": q_mm_media_features,
         "crawl_depth_report": q_crawl_depth_report,
@@ -7686,6 +7743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_logs": q_crawl_logs,
         "crawl_budget_report": q_crawl_budget_report,
         "graph_pagerank_hosts": q_graph_pagerank,
+        "graph_lpa": q_graph_lpa,
         "graph_hits": q_graph_hits,
         "graph_triangles": q_graph_triangles,
         "graph_cocitation": q_graph_cocitation,
@@ -7860,6 +7918,7 @@ def oracle_sql() -> dict[str, str]:
         "storage_checksum": SQL_STORAGE_CHECKSUM,
         "s15_incr_agg": SQL_S15_INCR_AGG,
         "s16_schema_migration": SQL_S16_SCHEMA_MIGRATION,
+        "s17_migration_time_travel": SQL_S17_TIME_TRAVEL,
         "text_langid_confusion": SQL_LANGID_CONFUSION,
         "pipeline_length_filter": SQL_LENGTH_FILTER,
         "diag_skew": SQL_DIAG_SKEW,

@@ -191,6 +191,8 @@ BENCH_QUERIES = [
     "graph_kcore",
     # round-5 additions
     "s16_schema_migration",
+    "s17_migration_time_travel",
+    "graph_lpa",
 ]
 
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))

@@ -559,6 +559,72 @@ def page_link_edges(pages: DataFrame, max_links_per_page: int = 100) -> DataFram
     )
 
 
+def host_label_propagation(
+    pages: DataFrame,
+    iterations: int = 4,
+    max_links_per_page: int = 100,
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al.
+    2007) over the undirected weighted host graph — community
+    detection for corpus curation (topical host clusters; the
+    source-grouping signal the reference keys by hand-assigned
+    category, src/database/models.py:38-58).
+
+    LPA's classic nondeterminism (random vertex order, random
+    tie-breaks) is replaced by an explicit frozen rule so the DuckDB
+    oracle replays it decision-for-decision: synchronous rounds; each
+    host's candidate votes = Σ edge-weight per neighbor label PLUS one
+    self-vote for its current label (the damping that prevents the
+    bipartite oscillation of pure synchronous LPA); new label = argmax
+    votes, ties by lexicographic min label.  Isolated hosts keep their
+    own label via the self-vote.  Fixed ``iterations`` unroll, same
+    discipline as PageRank/HITS (the oracle replays the same unroll,
+    so engines agree even before convergence).
+
+    Scale: every round is one join of the |hosts|-row label vector
+    (broadcast) against the persisted undirected host-edge aggregate +
+    one groupBy(host, label) — O(host-graph), never O(pages); the
+    extraction pass runs once.
+
+    Returns (host, community, community_size)."""
+    from pyspark.sql import Window
+
+    edges = host_link_edges(pages, max_links_per_page)
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"), "w")
+        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b"), "w"))
+        .groupBy("a", "b")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+        .persist()
+    )
+    hosts = pages.select(
+        F.regexp_extract("url", _HOST_RE, 1).alias("host")
+    ).distinct()
+    labels = hosts.select("host", F.col("host").alias("label"))
+    pick = Window.partitionBy("host").orderBy(F.desc("votes"), F.asc("label"))
+    for _ in range(iterations):
+        nb = und.join(
+            F.broadcast(labels.withColumnRenamed("host", "b")), "b"
+        ).select(F.col("a").alias("host"), "label", F.col("w").alias("votes"))
+        self_votes = labels.select(
+            "host", "label", F.lit(1).cast("bigint").alias("votes")
+        )
+        agg = (
+            nb.unionByName(self_votes)
+            .groupBy("host", "label")
+            .agg(F.sum("votes").cast("bigint").alias("votes"))
+        )
+        labels = (
+            agg.withColumn("_rk", F.row_number().over(pick))
+            .filter(F.col("_rk") == 1)
+            .select("host", "label")
+        )
+    size_w = Window.partitionBy("community")
+    return labels.select("host", F.col("label").alias("community")).withColumn(
+        "community_size", F.count(F.lit(1)).over(size_w).cast("long")
+    )
+
+
 def kcore_from_edges(
     und: DataFrame,
     k: int = 4,

@@ -451,6 +451,44 @@ page_links AS (
 )"""
 
 
+def host_lpa_sql(pages_path: str, iterations: int = 4, max_links: int = 100) -> str:
+    """Deterministic synchronous label propagation as one SQL statement
+    (DuckDB oracle twin of operators/graph.host_label_propagation):
+    shared frozen edge-extraction head, then ``iterations`` unrolled
+    vote/pick CTE pairs — per-(host, label) vote = Σ undirected edge
+    weight from neighbors holding that label plus one self-vote; winner
+    by (votes DESC, label ASC).  ``und`` and every ``l_k`` are
+    MATERIALIZED: each is referenced twice per round and DuckDB inlines
+    a doubly-referenced CTE chain exponentially otherwise (the
+    page_kcore lesson)."""
+    head = _host_graph_head_sql(pages_path, max_links) + """,
+und AS MATERIALIZED (
+  SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM (
+    SELECT src AS a, dst AS b, w FROM edges
+    UNION ALL
+    SELECT dst AS a, src AS b, w FROM edges)
+  GROUP BY 1, 2),
+l_0 AS MATERIALIZED (SELECT host, host AS label FROM hosts)"""
+    parts = [head]
+    for k in range(1, iterations + 1):
+        parts.append(f""",
+v_{k} AS (
+  SELECT host, label, CAST(sum(votes) AS BIGINT) AS votes FROM (
+    SELECT u.a AS host, l.label, u.w AS votes
+    FROM und u JOIN l_{k - 1} l ON u.b = l.host
+    UNION ALL
+    SELECT host, label, CAST(1 AS BIGINT) AS votes FROM l_{k - 1})
+  GROUP BY 1, 2),
+l_{k} AS MATERIALIZED (
+  SELECT host, label FROM v_{k}
+  QUALIFY row_number() OVER (PARTITION BY host ORDER BY votes DESC, label) = 1)""")
+    parts.append(f"""
+SELECT host, label AS community,
+       CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
+FROM l_{iterations}""")
+    return "".join(parts)
+
+
 def _host_graph_head_sql(pages_path: str, max_links: int) -> str:
     """Shared host-link-graph CTE chain (through ``edges`` + ``hosts``)
     — the page-links head rolled up to host level; consumed by the

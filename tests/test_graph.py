@@ -470,3 +470,56 @@ def test_kcore_convergence_witness_deep_cascade(spark):
     assert {(r["url"], r["core_degree"]) for r in core} == {
         (f"c{i}", 3) for i in range(4)
     }
+
+
+def test_lpa_matches_pure_python_and_clusters(spark, tmp_path):
+    """host_label_propagation vs an independent pure-Python replay of
+    the frozen rule (edge-weight votes + self-vote, argmax then lex-min,
+    synchronous rounds) over the SAME extracted edge set — and sanity:
+    communities partition the host universe, sizes are consistent."""
+    from collections import defaultdict
+
+    from newscrawler_spark.operators.graph import (
+        host_label_propagation,
+        host_link_edges,
+    )
+    from newscrawler_spark.sources.corpus import generate_corpus
+
+    paths = generate_corpus(str(tmp_path / "c"), n_pages=400, n_hosts=10, seed=3)
+    pages = spark.read.parquet(paths["pages"])
+    got = {
+        r["host"]: (r["community"], r["community_size"])
+        for r in host_label_propagation(pages, iterations=4).collect()
+    }
+
+    edges = host_link_edges(pages).collect()
+    und = defaultdict(int)
+    hosts = {
+        r["host"]
+        for r in pages.selectExpr(
+            "regexp_extract(url, '^[a-z]+://([^/?#]*)', 1) AS host"
+        ).distinct().collect()
+    }
+    for r in edges:
+        und[(r["src"], r["dst"])] += r["w"]
+        und[(r["dst"], r["src"])] += r["w"]
+    labels = {h: h for h in hosts}
+    for _ in range(4):
+        votes = {h: defaultdict(int) for h in hosts}
+        for (a, b), w in und.items():
+            votes[a][labels[b]] += w
+        for h in hosts:
+            votes[h][labels[h]] += 1
+        labels = {
+            h: min(
+                (lab for lab, v in votes[h].items()
+                 if v == max(votes[h].values()))
+            )
+            for h in hosts
+        }
+    sizes = defaultdict(int)
+    for lab in labels.values():
+        sizes[lab] += 1
+    want = {h: (labels[h], sizes[labels[h]]) for h in hosts}
+    assert got == want
+    assert sum(s for _, s in set(got.values())) == len(hosts)
