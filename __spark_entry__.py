@@ -981,6 +981,43 @@ WHERE floor((shared * 1.0 / (sa.n_sh + sb.n_sh - shared)) * 10000.0 + 0.5) / 100
 """
 
 
+def q_dedup_containment(spark, sf_dir):
+    """N-gram containment near-dup (operators/dedup.containment_pairs,
+    Broder 1997): shared / min(|A|,|B|) — catches syndicated excerpts
+    and sub-document copies that union-diluted jaccard misses.  Same
+    hot-shingle-safe capped machinery as dedup_ngram_jaccard
+    (max_df=100, exact bound-prune); threshold 0.5.  The DuckDB twin
+    replays the capped two-phase plan."""
+    from newscrawler_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5, max_df=100
+    )
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH {_SH_SQL},
+keep AS (
+  SELECT shingle FROM (SELECT shingle, count(*) AS c FROM sh GROUP BY 1)
+  WHERE c <= 100),
+idx AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM idx a JOIN idx b USING (shingle) WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+shared AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS shared
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, shared, sa.n_sh AS na, sb.n_sh AS nb,
+       floor((shared * 1.0 / least(sa.n_sh, sb.n_sh)) * 10000.0 + 0.5) / 10000.0 AS containment
+FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE floor((shared * 1.0 / least(sa.n_sh, sb.n_sh)) * 10000.0 + 0.5) / 10000.0 >= 0.5
+"""
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup: shingle→minhash→band→bucket-join→verify."""
     from newscrawler_spark.operators.dedup import minhash_near_dups
@@ -3400,6 +3437,47 @@ SELECT doc_id, CAST(n_words AS INT) AS n_words,
        floor((206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
               - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words))
              * 10000.0 + 0.5) / 10000.0 AS flesch
+FROM m
+"""
+
+
+def q_events_cusum(spark, sf_dir):
+    """CUSUM positive-drift changepoints per event type (operators/
+    events.cusum_changepoints, Page 1954): the max(0, S+d) recursion in
+    its prefix-minus-running-min closed form — two frames over one
+    per-type ordered exchange on the DAILY aggregate, never event rows;
+    integer cents throughout, sign-safe pinned floor-div for the drift
+    target (Spark DIV truncates, DuckDB // floors — the pmod form is
+    spelled identically in both)."""
+    from newscrawler_spark.operators.events import cusum_changepoints
+
+    return cusum_changepoints(_t(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_CUSUM = """
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS daily_cents
+  FROM events GROUP BY 1, 2),
+agg AS (
+  SELECT *, CAST(sum(daily_cents) OVER w AS BIGINT) AS total,
+         CAST(count(*) OVER w AS BIGINT) AS n_days
+  FROM daily WINDOW w AS (PARTITION BY event_type)),
+k AS (
+  SELECT *, CAST((total - ((total % n_days + n_days) % n_days)) // n_days AS BIGINT) AS k_target
+  FROM agg),
+run AS (
+  SELECT *, CAST(sum(daily_cents - k_target)
+       OVER (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+  FROM k),
+m AS (
+  SELECT *, least(CAST(0 AS BIGINT), CAST(min(p)
+       OVER (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)) AS floor_p
+  FROM run)
+SELECT event_type, CAST(day AS BIGINT) AS day, daily_cents,
+       k_target, CAST(p - floor_p AS BIGINT) AS cusum_pos,
+       (p - floor_p) > k_target AS is_alarm
 FROM m
 """
 
@@ -7687,6 +7765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s16_schema_migration": q_s16_schema_migration,
         # --- round-5 additions past the window (replica-gated) ---
         "s17_migration_time_travel": q_s17_migration_time_travel,
+        "dedup_containment": q_dedup_containment,
+        "events_cusum": q_events_cusum,
         # --- previously driver-gated (r01-r04 green rows; replica-gated each round) ---
         "mm_media_features": q_mm_media_features,
         "crawl_depth_report": q_crawl_depth_report,
@@ -7863,6 +7943,8 @@ def oracle_sql() -> dict[str, str]:
         "t4_straggler_rollover": SQL_T4,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
+        "dedup_containment": SQL_DEDUP_CONTAINMENT,
+        "events_cusum": SQL_EVENTS_CUSUM,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,
         "sim_knn_graph": SQL_SIM_KNN_GRAPH,

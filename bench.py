@@ -193,6 +193,8 @@ BENCH_QUERIES = [
     "s16_schema_migration",
     "s17_migration_time_travel",
     "graph_lpa",
+    "dedup_containment",
+    "events_cusum",
 ]
 
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))

@@ -112,6 +112,34 @@ def jaccard_candidates(
     is asserted in tests/test_dedup_similarity.py; the DuckDB oracle
     replays an equivalent (simpler two-phase) plan — same values.
     """
+    def jmax(s):
+        return pinned_round(s / (F.col("na") + F.col("nb") - s), 4)
+
+    shared, sizes = _pair_shared_counts(df, text_col, n, max_df, jmax, threshold)
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jmax(F.col("shared")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "shared", "na", "nb", "jaccard")
+    )
+
+
+def _pair_shared_counts(df, text_col, n, max_df, score_expr, threshold):
+    """Exact shared-shingle counts per doc pair, hot-shingle safe.
+
+    Returns (shared_df(doc_a, doc_b, shared), sizes(doc_id, n_sh)).
+    ``score_expr(s_col) -> Column`` builds the pinned similarity score
+    from a shared-count column given na/nb columns in scope; it must be
+    monotone INCREASING in s so the dropped-shingle upper bound
+    s_max = shared_kept + min(drop_a, drop_b) yields a sound prune.
+    With max_df=None the classic single-phase self-join runs; with a
+    cap, pairs are generated on the df≤cap index only (hot shingles'
+    C(df,2) blowup excluded), decided exactly when either side has no
+    dropped shingles, and verified candidate-first otherwise.  Shared
+    by jaccard_candidates and containment_pairs."""
     sh = with_shingles(df, text_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     if max_df is None:
@@ -123,69 +151,89 @@ def jaccard_candidates(
             .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
             .agg(F.count("*").alias("shared"))
         )
-    else:
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df_"))
-            .filter(F.col("df_") <= max_df)
-            .select("shingle")
-        )
-        idx = sh.join(keep, "shingle")
-        kept_sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n_kept"))
-        drops = sizes.join(kept_sizes, "doc_id", "left").select(
-            "doc_id",
-            (F.col("n_sh") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_drop"),
-        )
-        ia = idx.alias("ia")
-        ib = idx.alias("ib")
-        pairs = (
-            ia.join(ib, "shingle")
-            .filter(F.col("ia.doc_id") < F.col("ib.doc_id"))
-            .groupBy(F.col("ia.doc_id").alias("doc_a"), F.col("ib.doc_id").alias("doc_b"))
-            .agg(F.count("*").alias("shared_kept"))
-        )
-        da = drops.select(F.col("doc_id").alias("doc_a"), F.col("n_drop").alias("drop_a"))
-        db = drops.select(F.col("doc_id").alias("doc_b"), F.col("n_drop").alias("drop_b"))
-        za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-        zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-        s_max = F.col("shared_kept") + F.least(F.col("drop_a"), F.col("drop_b"))
-        bounded = (
-            pairs.join(da, "doc_a")
-            .join(db, "doc_b")
-            .join(za, "doc_a")
-            .join(zb, "doc_b")
-            .withColumn(
-                "j_max",
-                pinned_round(s_max / (F.col("na") + F.col("nb") - s_max), 4),
-            )
-            .filter(F.col("j_max") >= threshold)
-        )
-        exact = bounded.filter(
-            F.least(F.col("drop_a"), F.col("drop_b")) == 0
-        ).select("doc_a", "doc_b", F.col("shared_kept").alias("shared"))
-        band = bounded.filter(
-            F.least(F.col("drop_a"), F.col("drop_b")) > 0
-        ).select("doc_a", "doc_b")
-        xa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-        xb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-        verified = (
-            band.join(xa, "doc_a")
-            .join(xb, ["doc_b", "shingle"])
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("shared"))
-        )
-        shared = exact.unionByName(verified)
+        return shared, sizes
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") <= max_df)
+        .select("shingle")
+    )
+    idx = sh.join(keep, "shingle")
+    kept_sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n_kept"))
+    drops = sizes.join(kept_sizes, "doc_id", "left").select(
+        "doc_id",
+        (F.col("n_sh") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_drop"),
+    )
+    ia = idx.alias("ia")
+    ib = idx.alias("ib")
+    pairs = (
+        ia.join(ib, "shingle")
+        .filter(F.col("ia.doc_id") < F.col("ib.doc_id"))
+        .groupBy(F.col("ia.doc_id").alias("doc_a"), F.col("ib.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared_kept"))
+    )
+    da = drops.select(F.col("doc_id").alias("doc_a"), F.col("n_drop").alias("drop_a"))
+    db = drops.select(F.col("doc_id").alias("doc_b"), F.col("n_drop").alias("drop_b"))
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    s_max = F.col("shared_kept") + F.least(F.col("drop_a"), F.col("drop_b"))
+    bounded = (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .withColumn("score_ub", score_expr(s_max))
+        .filter(F.col("score_ub") >= threshold)
+    )
+    exact = bounded.filter(
+        F.least(F.col("drop_a"), F.col("drop_b")) == 0
+    ).select("doc_a", "doc_b", F.col("shared_kept").alias("shared"))
+    band = bounded.filter(
+        F.least(F.col("drop_a"), F.col("drop_b")) > 0
+    ).select("doc_a", "doc_b")
+    xa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    xb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    verified = (
+        band.join(xa, "doc_a")
+        .join(xb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    return exact.unionByName(verified), sizes
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = 100,
+) -> DataFrame:
+    """Near-dup pairs by n-gram CONTAINMENT — max-side asymmetric
+    Jaccard, C(a,b) = shared / min(|A|, |B|) (Broder 1997's containment,
+    symmetrized by the smaller set).  Catches what Jaccard misses:
+    syndicated excerpts, quote inclusions, and sub-document copies
+    where a short doc sits inside a long one (jaccard dilutes by the
+    union; containment does not).  Same hot-shingle-safe machinery as
+    jaccard_candidates (_pair_shared_counts: df-capped pair
+    generation, exact bound-prune, banded verify); containment is
+    monotone increasing in shared, so the same s_max bound is sound.
+
+    Returns (doc_a, doc_b, shared, na, nb, containment ≥ threshold),
+    containment pinned at 4dp."""
+
+    def cmax(s):
+        return pinned_round(s / F.least(F.col("na"), F.col("nb")), 4)
+
+    shared, sizes = _pair_shared_counts(df, text_col, n, max_df, cmax, threshold)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
         shared.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            pinned_round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "shared", "na", "nb", "jaccard")
+        .withColumn("containment", cmax(F.col("shared")))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "shared", "na", "nb", "containment")
     )
 
 

@@ -415,3 +415,64 @@ def mad_anomalies(events: DataFrame, k: int = 3) -> DataFrame:
     return out.where(F.col("adev") > k * F.col("mad")).select(
         "event_id", "user_id", "event_type", "v_cents", "med", "mad", "adev"
     )
+
+
+def cusum_changepoints(events: DataFrame) -> DataFrame:
+    """Page's CUSUM positive-drift changepoint detection (Page,
+    Biometrika 1954) over the per-type daily value series — the
+    monitoring shape behind "this source's volume shifted" alerts (the
+    reference dashboards per-status daily counts, metrics.py; CUSUM is
+    the sequential-detection upgrade of its EWMA A5).
+
+    The textbook recursion S_i = max(0, S_{i-1} + (x_i - k)) is not a
+    plain window aggregate, but its closed form is: with prefix
+    P_i = Σ_{j≤i}(x_j - k),  S_i = P_i - min(0, min_{j≤i} P_j) — a
+    cumulative sum and a running minimum, two frames over ONE
+    per-type-ordered exchange.  All integer arithmetic: daily sums in
+    cents; the drift allowance k = per-type mean daily cents via the
+    sign-safe pinned floor-div (total - pmod(total, n)) / n (Spark DIV
+    truncates toward zero while DuckDB // floors — they diverge on
+    negative totals, so the pmod form is spelled in both engines);
+    alarm when S_i exceeds k (one mean day of accumulated drift).
+
+    Scale shape: one groupBy to the per-(type, day) table (map-side
+    combined), then whole-frame + ordered windows over that aggregate
+    (days × types rows, never event rows) on a single event_type
+    exchange.  Returns (event_type, day, daily_cents, k_target,
+    cusum_pos, is_alarm)."""
+    day = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    daily = (
+        events.select("event_type", day.cast("long").alias("day"), cents.alias("cents"))
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("long").alias("daily_cents"))
+    )
+    wtot = Window.partitionBy("event_type")
+    wseq = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    agg = (
+        daily.withColumn("total", F.sum("daily_cents").over(wtot).cast("long"))
+        .withColumn("n_days", F.count(F.lit(1)).over(wtot).cast("long"))
+        .withColumn(
+            "k_target",
+            F.expr("CAST((total - pmod(total, n_days)) DIV n_days AS BIGINT)"),
+        )
+    )
+    run = agg.withColumn(
+        "p", F.sum(F.col("daily_cents") - F.col("k_target")).over(wseq).cast("long")
+    )
+    out = run.withColumn(
+        "floor_p",
+        F.least(F.lit(0).cast("long"), F.min("p").over(wseq)).cast("long"),
+    ).withColumn("cusum_pos", (F.col("p") - F.col("floor_p")).cast("long"))
+    return out.select(
+        "event_type",
+        "day",
+        "daily_cents",
+        "k_target",
+        "cusum_pos",
+        (F.col("cusum_pos") > F.col("k_target")).alias("is_alarm"),
+    )

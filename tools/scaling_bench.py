@@ -141,11 +141,25 @@ def build_pyfiles_zip() -> str:
 
 
 def _tree_mtime(paths: list) -> float:
-    """Newest mtime under the watched dirs (store manifests/round dirs
-    land here continuously during a healthy crawl).  Bounded walk: a
-    round store holds O(rounds × partitions) files."""
+    """Newest mtime under the watched dirs/glob patterns.  The store
+    dirs alone are NOT a sufficient liveness channel (a healthy 1-core
+    extract stage runs 300+ s before its first store write — the first
+    r5 watchdog killed healthy submits on exactly that gap), so callers
+    also watch the Spark scratch dirs (/tmp/blockmgr-*, /tmp/spark-*):
+    shuffle blocks land there as individual TASKS complete, a
+    near-continuous signal on any healthy stage, and one the parked
+    driver of the AQE hang produces none of.  Bounded walk: scratch
+    dirs hold O(shuffle partitions) files per stage."""
+    import glob as _glob
+
     newest = 0.0
-    for root in paths:
+    roots: list = []
+    for p in paths:
+        if any(ch in p for ch in "*?["):
+            roots.extend(_glob.glob(p))
+        else:
+            roots.append(p)
+    for root in roots:
         if not os.path.isdir(root):
             continue
         for dirpath, _dirnames, filenames in os.walk(root):
@@ -192,6 +206,7 @@ def _run_with_liveness(cmd: list, env: dict, hard_timeout: int, idle_timeout: in
             if reason:
                 p.kill()
                 p.wait()
+                print(f"watchdog kill: {reason}", flush=True)
                 raise subprocess.TimeoutExpired(cmd, hard_timeout, output=reason)
             _time.sleep(5)
         fo.seek(0)
@@ -254,18 +269,29 @@ def submit_crawl(total_cores: int, corpus: dict, warmup: dict, zpath: str, tag: 
     # after a stage completes, executors idle — see CLAUDE.md); a rerun
     # of the identical submit succeeds, so don't let one hang kill a
     # 40-minute multi-leg run.  Two layers:
-    #   * liveness watchdog (idle_timeout, default 240 s): the job
-    #     heartbeats on stdout (crawl_job HEARTBEAT lines) and commits
-    #     round manifests into the store dir continuously; when BOTH go
-    #     idle while the process lives, that is the hang signature —
+    #   * liveness watchdog (idle_timeout, default 360 s): the job
+    #     heartbeats on stdout (crawl_job HEARTBEAT lines), commits
+    #     store files as steps finish, AND drops shuffle blocks into
+    #     the Spark scratch dirs (/tmp/blockmgr-*, /tmp/spark-*) as
+    #     every task completes — when ALL of stdout/stderr/store/
+    #     scratch go idle while the process lives, that is the hang
+    #     signature (parked driver, idle executors, zero writes) —
     #     kill + resubmit after one idle window instead of the full
-    #     hard timeout (a healthy leg never goes ~4 min with no stdout,
-    #     no stderr, and no store write);
-    #   * hard timeout (900 s ≈ 3× the slowest healthy leg this epoch)
-    #     as the backstop for pathological-but-active runs.
+    #     hard timeout.  The store dirs alone are NOT enough: a
+    #     healthy 1-core extract stage writes no store files for
+    #     300+ s (the first r5 watchdog killed healthy submits on
+    #     that gap — hence the scratch-dir channel + 360 s window);
+    #   * hard timeout (900 s ≈ 3× the slowest healthy leg) as the
+    #     backstop for pathological-but-active runs.
     submit_timeout = int(os.environ.get("SPARK_GRAFT_SUBMIT_TIMEOUT", "900"))
-    idle_timeout = int(os.environ.get("SPARK_GRAFT_SUBMIT_IDLE", "240"))
-    watch = [store, os.path.join(BENCH, f"cluster_warm_{tag}"), store + "_bucketed_pages"]
+    idle_timeout = int(os.environ.get("SPARK_GRAFT_SUBMIT_IDLE", "360"))
+    watch = [
+        store,
+        os.path.join(BENCH, f"cluster_warm_{tag}"),
+        store + "_bucketed_pages",
+        "/tmp/blockmgr-*",
+        "/tmp/spark-*",
+    ]
     for attempt in (0, 1):
         try:
             out = _run_with_liveness(cmd, _env(), submit_timeout, idle_timeout, watch)
@@ -507,14 +533,15 @@ with the bucketed join, identical at 1):
 **Cross-JVM efficiency (4N vs N) = ({bc8['urls_per_sec']} /
 {bc2['urls_per_sec']}) / 4 = {ceff:.2f}** (raw repeats
 {json.dumps({str(k): [r['urls_per_sec'] for r in v] for k, v in cl.items()})}).
-Same-window pure-CPU achievable ratio for these exact cpusets
-(2 vs 8 pinned vCPUs, measured immediately after the legs):
-**{window['achievable']:.2f}** — the measured cluster efficiency is
-**{ceff / window['achievable']:.0%} of the host-achievable ratio**
-in this window (probe aggregate md5 rates: 2-proc
-{window['rate_2']:.0f}/s, 8-proc {window['rate_8']:.0f}/s; the VM's
-CPU budget drifts asymmetrically across cpuset sizes between boot
-windows, so the engine-vs-host split must be probed per run).
+Same-window pure-CPU probe for these exact cpusets (2 vs 8 pinned
+vCPUs, measured immediately after the legs): **{window['achievable']:.2f}**
+(probe aggregate md5 rates: 2-proc {window['rate_2']:.0f}/s, 8-proc
+{window['rate_8']:.0f}/s).  The probe is CONTEXT, not a precise
+ceiling — the VM's CPU budget drifts asymmetrically across cpuset
+sizes between windows, and measured efficiencies have exceeded the
+probe's ratio in some windows (r4), so an efficiency-to-probe
+normalization is not precision evidence; the ≥0.8 conclusion rests on
+the disclosed raw repeats alone.
 This secondary harness proves the same plans scale across separate
 JVMs — cross-JVM torrent broadcast, disk shuffle files, per-JVM python
 pools, real spark-submit packaging — at the same pinned-vCPU density
@@ -598,12 +625,11 @@ Fresh JVM per run, repeats interleaved (1,4,1,4,…), best of
 **Scaling efficiency (4N vs N) = ({bl4['urls_per_sec']} / {bl1['urls_per_sec']}) / 4 =
 {eff:.2f}** (target ≥ 0.8).
 
-Host ceiling for this window: the N leg is pinned to 2 vCPUs and the
-4N leg to 8, so even a perfectly-scaling engine could show at most
-(6.90x / 2.03x) / 4 = **0.85** on this host (pure-CPU probe rates at
-the same process counts) — the measured {eff:.2f} is
-{eff / 0.85:.0%} of the host-achievable ratio; the residual is the
-engine's true coordination cost.
+Host context for this window: a boot-time pure-CPU probe at the same
+process counts read (6.90x / 2.03x) / 4 = **0.85**, but the probe
+under-predicts some windows (r4 measured 0.99 against it), so it is
+context, not a ceiling — the ≥0.8 conclusion rests on the disclosed
+raw repeats, not on an efficiency-to-probe normalization.
 
 - Raw repeats (urls/sec): {json.dumps({str(k): [r['urls_per_sec'] for r in v] for k, v in local.items()})}
 - Input: {args.pages}-page synthetic Common-Crawl-style corpus (seed=42,
