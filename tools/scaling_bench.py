@@ -623,7 +623,10 @@ Fresh JVM per run, repeats interleaved (1,4,1,4,…), best of
 | 4N (local[4]) | {bl4['urls']} | {bl4['secs']} | {bl4['urls_per_sec']} |
 
 **Scaling efficiency (4N vs N) = ({bl4['urls_per_sec']} / {bl1['urls_per_sec']}) / 4 =
-{eff:.2f}** (target ≥ 0.8).
+{eff:.2f}** (target ≥ 0.8).  Per-interleaved-pair ratios:
+{", ".join(f"rep{i} {(p4['urls_per_sec'] / p1['urls_per_sec']) / 4:.2f}" for i, (p1, p4) in enumerate(zip(local[1], local[4])))}
+— best-of pairs the fastest window per side; the per-pair view shows
+whether the conclusion depends on the window choice.
 
 Host context for this window: a boot-time pure-CPU probe at the same
 process counts read (6.90x / 2.03x) / 4 = **0.85**, but the probe
