@@ -7260,6 +7260,45 @@ FROM documents GROUP BY 1
 """
 
 
+def q_s18_storage_vacuum(spark, sf_dir):
+    """Retention cleanup over the round-dir store (RoundStore.
+    expire_rounds — the Iceberg expire_snapshots analog): documents
+    written as 3 committed rounds into a DEDICATED store, round 0
+    expired (data dirs + manifests removed, idempotently), then the
+    gate reads the SURVIVING union back and aggregates — proving
+    expiry removed exactly the old round and nothing else.  The DuckDB
+    oracle recomputes over the source rows with round 0 filtered out;
+    hash-equality is the survivor-read ≡ filtered-recompute proof.
+    The store is separate from the s16/s17 migration store (expiry
+    would destroy their time-travel fixture)."""
+    from newscrawler_spark.plans.storage import RoundStore
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    store = RoundStore(os.path.join(_migration_base(sf_dir), "vacuum_store"))
+    if store.last_committed_round() < 2:
+        for r in range(3):
+            store.write_round("documents", r, docs.where(F.col("doc_id") % 3 == r))
+            store.commit_round(r, {"table": "documents"})
+    store.expire_rounds(before=1)
+    surv = store.read_rounds(spark, "documents")
+    return surv.groupBy((F.col("doc_id") % 3).cast("long").alias("round_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.length("text")).cast("long").alias("char_sum"),
+        F.min("doc_id").cast("long").alias("id_lo"),
+        F.max("doc_id").cast("long").alias("id_hi"),
+    )
+
+
+SQL_S18_STORAGE_VACUUM = r"""
+SELECT doc_id % 3 AS round_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(length(text)) AS BIGINT) AS char_sum,
+       CAST(min(doc_id) AS BIGINT) AS id_lo,
+       CAST(max(doc_id) AS BIGINT) AS id_hi
+FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1
+"""
+
+
 def q_text_langid_confusion(spark, sf_dir):
     """Lang-ID confusion matrix — the classifier-eval surface for the
     frozen n-gram heuristic (functions/text.lang_id): per (true lang,
@@ -7765,6 +7804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s16_schema_migration": q_s16_schema_migration,
         # --- round-5 additions past the window (replica-gated) ---
         "s17_migration_time_travel": q_s17_migration_time_travel,
+        "s18_storage_vacuum": q_s18_storage_vacuum,
         "dedup_containment": q_dedup_containment,
         "events_cusum": q_events_cusum,
         # --- previously driver-gated (r01-r04 green rows; replica-gated each round) ---
@@ -8001,6 +8041,7 @@ def oracle_sql() -> dict[str, str]:
         "s15_incr_agg": SQL_S15_INCR_AGG,
         "s16_schema_migration": SQL_S16_SCHEMA_MIGRATION,
         "s17_migration_time_travel": SQL_S17_TIME_TRAVEL,
+        "s18_storage_vacuum": SQL_S18_STORAGE_VACUUM,
         "text_langid_confusion": SQL_LANGID_CONFUSION,
         "pipeline_length_filter": SQL_LENGTH_FILTER,
         "diag_skew": SQL_DIAG_SKEW,

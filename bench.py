@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "graph_lpa",
     "dedup_containment",
     "events_cusum",
+    "s18_storage_vacuum",
 ]
 
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))

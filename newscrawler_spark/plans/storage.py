@@ -116,6 +116,45 @@ class RoundStore:
         shutil.rmtree(man_dir, ignore_errors=True)
         os.makedirs(man_dir, exist_ok=True)
 
+    def expire_rounds(self, before: int) -> list[tuple[str, int]]:
+        """Retention cleanup — the Iceberg ``expire_snapshots`` analog:
+        drop the data dirs AND manifests of committed rounds older than
+        ``before`` (strictly ``round_id < before``), including any
+        versioned ``{table}@v{n}`` migration rewrites and their
+        markers.  Readers of surviving rounds are unaffected
+        (``read_rounds`` unions only dirs that exist); time travel to
+        an expired round is gone by design — that is what retention
+        means.  ``last_committed_round`` is preserved (it takes the
+        max) so resume semantics don't shift.  Idempotent: expired
+        rounds simply aren't found again.  Returns the removed
+        (table, round_id) list for the caller's audit log.
+
+        Round -1 (the reserved frontier-init commit) is never expired:
+        it is the crawl's seed snapshot, not a data round.
+        """
+        removed: list[tuple[str, int]] = []
+        man_dir = os.path.join(self.root, "_manifests")
+        for entry in sorted(os.listdir(self.root)):
+            tdir = os.path.join(self.root, entry)
+            if entry.startswith("_") or not os.path.isdir(tdir):
+                continue
+            for sub in sorted(os.listdir(tdir)):
+                if not sub.startswith("round="):
+                    continue
+                r = int(sub.split("=", 1)[1])
+                if -1 < r < before:
+                    shutil.rmtree(os.path.join(tdir, sub))
+                    removed.append((entry, r))
+        for n in sorted(os.listdir(man_dir)):
+            r = None
+            if n.startswith("round-") and n.endswith(".json"):
+                r = int(n[len("round-") : -len(".json")])
+            elif n.startswith("mig-") and n.endswith(".json"):
+                r = int(n.rsplit("-round-", 1)[1][: -len(".json")])
+            if r is not None and -1 < r < before:
+                os.remove(os.path.join(man_dir, n))
+        return removed
+
     def rollback_uncommitted(self, last_good: int) -> None:
         """Drop any round dirs newer than the last committed manifest."""
         for table in self.TABLES:

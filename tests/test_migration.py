@@ -113,3 +113,28 @@ def test_v1_time_travel_untouched(spark, tmp_path):
     }
     assert v1_before == v1_after
     assert committed_rounds(store, "docs") == [0, 1, 2]
+
+
+def test_expire_rounds_retention(spark, tmp_path):
+    """expire_rounds drops old rounds' data + manifests (including
+    migration rewrites and markers), preserves newer rounds, resume
+    position, and the reserved round -1; idempotent."""
+    store = _build_store(spark, tmp_path)
+    migrate_table(store, spark, "docs", 2, _add_len)
+    # a frontier-style reserved init round must survive any expiry
+    df = spark.range(3).selectExpr("id AS k", "CAST(id AS STRING) AS t")
+    store.write_round("frontier", -1, df, partitions=1)
+
+    removed = store.expire_rounds(before=2)
+    assert ("docs", 0) in removed and ("docs", 1) in removed
+    assert all(r < 2 for _, r in removed)
+    assert store.last_committed_round() == 2
+    assert store.read_rounds(spark, "docs").count() == 20  # round 2 only
+    assert read_rounds_at(store, spark, "docs", 2).count() == 20
+    assert store.read_round(spark, "frontier", -1).count() == 3
+    assert migrated_rounds(store, "docs", 2) == {2}  # old markers gone
+    import os as _os
+
+    assert not _os.path.isdir(_os.path.join(str(tmp_path), "docs", "round=0"))
+    assert not _os.path.isdir(_os.path.join(str(tmp_path), "docs@v2", "round=1"))
+    assert store.expire_rounds(before=2) == []  # idempotent
