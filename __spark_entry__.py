@@ -4962,8 +4962,24 @@ def q_response_cache_evict(spark, sf_dir):
     created at the event time, last accessed (event_id mod 86400)
     seconds later; "now" = the max last-access.  Integer-µs time
     contract end to end (the T4 lesson — no sub-second truncation
-    divergence); every disposition row is gated, ordered by cache_id."""
+    divergence); every disposition row is gated (no gate-side sort —
+    the driver canon sorts rows itself, the mm r05 lesson).
+
+    The scalable rank persists a range-partitioned copy of the live
+    set (required: repartitionByRange samples bounds, so the counts
+    job and the final read must see ONE materialization).  The caller
+    cannot unpersist inside this lazy contract, so each call REGISTERS
+    its cache and releases the PREVIOUS call's first — bounding the
+    session to one live copy instead of leaking one per bench/gate
+    run (the CLAUDE.md round-cache rule)."""
     from newscrawler_spark.operators.rag import cache_ttl_evict
+
+    for c in _EVICT_CACHES:
+        try:
+            c.unpersist()
+        except Exception:
+            pass
+    _EVICT_CACHES.clear()
 
     ev = _t(spark, sf_dir, "events")
     cache = ev.select(
@@ -4974,7 +4990,12 @@ def q_response_cache_evict(spark, sf_dir):
             + F.pmod("event_id", F.lit(86400)) * F.lit(1_000_000)
         ).alias("last_accessed_us"),
     )
-    return cache_ttl_evict(cache, ttl_s=7 * 86400, max_size=64).orderBy("cache_id")
+    return cache_ttl_evict(
+        cache, ttl_s=7 * 86400, max_size=64, cache_registry=_EVICT_CACHES
+    )
+
+
+_EVICT_CACHES: list = []
 
 
 SQL_RESPONSE_CACHE_EVICT = """
@@ -7744,10 +7765,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window: slots 1-2 re-gate the crawl contract (it changed with the
     # corpus-v10 JS-render variant after its last driver row), slots
     # 3-49 are the 47 queries that have never had a driver row, and the
-    # last slot is this round's new operator.  After r05 every oracled
-    # query in the registry has a driver-verified row (COVERAGE.md keeps
-    # the which-round-gated-what table).  Everything past the window is
-    # still replica-gated every session via tools/check_oracle.py.
+    # last slot is this round's first new operator.  After r05 every
+    # query that existed at r04 has a driver-verified row; the LATER
+    # round-5 additions sitting past the window (s17, s18, graph_lpa,
+    # dedup_containment, events_cusum) remain replica-gated only — a
+    # future rotation should lead with them (COVERAGE.md keeps the
+    # which-round-gated-what table).  Everything past the window is
+    # replica-gated every session via tools/check_oracle.py.
     return {
         # === r05 DRIVER WINDOW (first ~50 entries; driver checks only
         # these) — crawl re-gates first, then all never-gated queries ===

@@ -101,6 +101,21 @@ def committed_rounds(store: RoundStore, table: str) -> list[int]:
     ]
 
 
+def _best_source_version(store: RoundStore, table: str, version: int, r: int) -> int:
+    """Highest committed rewrite version < ``version`` for round ``r``
+    (1 = the original base).  Both the migrator and the reader source
+    each round from here: a v(n) transform is written against the
+    v(n-1) shape, so feeding it the v1 base when a committed v2
+    rewrite exists would either fail (missing column) or silently
+    recompute values the committed bytes already pinned."""
+    for v in range(version - 1, 1, -1):
+        if r in migrated_rounds(store, table, v) and os.path.isdir(
+            _vpath(store, table, v, r)
+        ):
+            return v
+    return 1
+
+
 def migrate_table(
     store: RoundStore,
     spark: SparkSession,
@@ -126,7 +141,11 @@ def migrate_table(
     for r in todo:
         if r in done:
             continue
-        src = store.read_round(spark, table, r)
+        src_v = _best_source_version(store, table, version, r)
+        src_path = _vpath(store, table, src_v, r)
+        src = (
+            spark.read.parquet(src_path) if os.path.isdir(src_path) else None
+        )
         if src is None:
             continue
         dst = _vpath(store, table, version, r)
@@ -139,7 +158,12 @@ def migrate_table(
         audit[r] = n
     # Flip the table's schema manifest only once every committed round
     # has a marker — the version flip is the migration's commit point.
-    if set(committed_rounds(store, table)) <= migrated_rounds(store, table, version):
+    # A table with NO committed rounds must not flip (the empty set is
+    # a subset of anything — a vacuous flip would record the migration
+    # "complete" before a single round was rewritten, and rounds
+    # written afterwards would read at the new version unmigrated).
+    committed = committed_rounds(store, table)
+    if committed and set(committed) <= migrated_rounds(store, table, version):
         tmp = _schema_manifest_path(store, table) + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"table": table, "version": version}, f)
@@ -173,19 +197,31 @@ def read_rounds_at(
         for r in range(-1, upto + 1)
         if r in done and os.path.isdir(_vpath(store, table, version, r))
     ]
-    old_rounds = [
-        r
-        for r in range(-1, upto + 1)
-        if r not in done and os.path.isdir(_vpath(store, table, 1, r))
-    ]
+    # For rounds without a v{version} marker, fall back to each round's
+    # BEST committed earlier rewrite (highest marker version < version,
+    # else the v1 base) — reading v1 under a v3 migration when the
+    # round holds a committed v2 rewrite would hand the backfill a
+    # shape it was not written for (and silently recompute v2 values
+    # the committed bytes already pinned).  The backfill receives the
+    # source-version shape; fallback groups are per source version so
+    # schemas never mix inside one read.
+    fallback: dict[int, list[int]] = {}
+    for r in range(-1, upto + 1):
+        if r in done:
+            continue
+        src_v = _best_source_version(store, table, version, r)
+        if os.path.isdir(_vpath(store, table, src_v, r)):
+            fallback.setdefault(src_v, []).append(r)
     parts: list[DataFrame] = []
     if new_paths:
         parts.append(spark.read.parquet(*new_paths))
-    if old_rounds:
-        old = spark.read.parquet(*[_vpath(store, table, 1, r) for r in old_rounds])
+    for src_v, rounds_v in sorted(fallback.items()):
+        old = spark.read.parquet(
+            *[_vpath(store, table, src_v, r) for r in rounds_v]
+        )
         if backfill is None:
             raise ValueError(
-                f"rounds {old_rounds} not yet migrated to v{version} and no "
+                f"rounds {rounds_v} not yet migrated to v{version} and no "
                 "on-read backfill provided"
             )
         parts.append(backfill(old))

@@ -131,7 +131,15 @@ class RoundStore:
 
         Round -1 (the reserved frontier-init commit) is never expired:
         it is the crawl's seed snapshot, not a data round.
+
+        ``before`` is CLAMPED to the newest committed round: retention
+        may never delete the latest snapshot (that would silently reset
+        ``last_committed_round`` to empty and make the next
+        resume=True run restart the crawl from scratch — the invariant
+        above would be violated exactly when a caller passes an
+        over-eager cutoff).
         """
+        before = min(before, self.last_committed_round())
         removed: list[tuple[str, int]] = []
         man_dir = os.path.join(self.root, "_manifests")
         for entry in sorted(os.listdir(self.root)):

@@ -138,3 +138,47 @@ def test_expire_rounds_retention(spark, tmp_path):
     assert not _os.path.isdir(_os.path.join(str(tmp_path), "docs", "round=0"))
     assert not _os.path.isdir(_os.path.join(str(tmp_path), "docs@v2", "round=1"))
     assert store.expire_rounds(before=2) == []  # idempotent
+
+
+def test_expire_clamps_to_newest_committed(spark, tmp_path):
+    """An over-eager cutoff must never delete the latest snapshot —
+    retention keeps resume semantics intact (before is clamped)."""
+    store = _build_store(spark, tmp_path)
+    removed = store.expire_rounds(before=99)
+    assert set(removed) == {("docs", 0), ("docs", 1)}
+    assert store.last_committed_round() == 2
+    assert store.read_rounds(spark, "docs").count() == 20
+
+
+def test_migrate_empty_table_does_not_flip(spark, tmp_path):
+    """A table with no committed rounds must not vacuously commit the
+    version flip (empty ⊆ anything)."""
+    store = RoundStore(str(tmp_path))
+    audit = migrate_table(store, spark, "docs", 2, _add_len)
+    assert audit == {}
+    assert table_version(store, "docs") == 1
+
+
+def test_multi_hop_fallback_reads_best_committed_version(spark, tmp_path):
+    """Mid-v3 migration, unmigrated rounds must be served from their
+    committed v2 rewrite (v2 shape + v2→v3 backfill), never from v1 —
+    the v3 backfill references a v2 column absent at v1."""
+    store = _build_store(spark, tmp_path)
+    migrate_table(store, spark, "docs", 2, _add_len)  # full v2
+
+    def _v3(df):  # v2 → v3: derives from the v2 column
+        return df.withColumn("x2", (F.col("x_len") * 2).cast("long"))
+
+    migrate_table(store, spark, "docs", 3, lambda df: _v3(df), rounds=[0])
+    mid = read_rounds_at(store, spark, "docs", 3, backfill=_v3)
+    rows = {r["k"]: (r["x_len"], r["x2"]) for r in mid.collect()}
+    assert len(rows) == 60
+    assert all(x2 == 2 * xl for xl, x2 in rows.values())
+    # completing v3 gives the identical view
+    migrate_table(store, spark, "docs", 3, lambda df: _v3(df))
+    post = {
+        r["k"]: (r["x_len"], r["x2"])
+        for r in read_rounds_at(store, spark, "docs", 3).collect()
+    }
+    assert post == rows
+    assert table_version(store, "docs") == 3

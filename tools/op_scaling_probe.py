@@ -247,7 +247,12 @@ def main() -> None:
         OPS = {k: v for k, v in OPS.items() if k in args.ops}
         if os.path.exists(path):
             with open(path) as f:
-                results.update(json.load(f).get("ops", {}))
+                for k, v in json.load(f).get("ops", {}).items():
+                    # carried entries keep their measurement but are
+                    # tagged: this VM's absolute speed drifts ~1.4×
+                    # between epochs (CLAUDE.md), so a merged file must
+                    # not present stale ratios as this run's window
+                    results[k] = {**v, "carried_from_previous_run": True}
     for name, (f1, f2) in OPS.items():
         # unbilled warmup of both inputs (page cache + codegen)
         run(f1), run(f2)
