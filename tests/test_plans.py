@@ -697,3 +697,22 @@ def test_olap_q16_distinct_then_anti(spark, sf_dir):
     )
     assert "LeftAnti" in plan, plan
     assert "count(distinct l_suppkey" in plan, plan
+
+
+def test_events_cusum_plan_shape(spark, sf_dir):
+    """CUSUM must plan as: one daily-aggregate exchange + ONE
+    event_type window exchange — no joins anywhere (the whole-frame
+    target and the two ordered frames all reuse the same exchange),
+    and the windows operate on the per-(type, day) aggregate, never on
+    event rows."""
+    import __spark_entry__ as m
+
+    plan = (
+        m.q_events_cusum(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 2, plan
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
