@@ -6074,6 +6074,23 @@ def q_graph_hits(spark, sf_dir):
     return host_hits(pages)
 
 
+def q_graph_seed_depth(spark, sf_dir):
+    """Capped seed-BFS over the corpus host graph (operators/graph.
+    host_seed_depth): shortest directed link-distance from the seed
+    hosts within 4 hops — the link-topology complement of
+    crawl_depth_report (which measures when the CRAWLER reached a
+    page), for seed-list curation.  DuckDB replays the identical
+    unrolled min-relaxation (oracle_sql.host_seed_depth_sql)."""
+    from newscrawler_spark.operators.graph import host_seed_depth
+
+    _, paths = _crawl_store(spark, sf_dir)
+    return host_seed_depth(
+        spark.read.parquet(paths["pages"]),
+        spark.read.parquet(paths["seeds"]),
+        hops=4,
+    )
+
+
 def q_graph_lpa(spark, sf_dir):
     """Deterministic label-propagation communities over the corpus host
     graph (operators/graph.host_label_propagation, Raghavan et al.
@@ -6251,6 +6268,7 @@ def _corpus_oracle_sql() -> dict[str, str]:
         host_hits_sql,
         host_lpa_sql,
         host_pagerank_sql,
+        host_seed_depth_sql,
         page_kcore_sql,
         host_triangles_sql,
     )
@@ -6385,6 +6403,10 @@ FROM g QUALIFY rnk <= 5
         ),
         "graph_lpa": host_lpa_sql(
             p["pages"], iterations=4, max_links=crawl_cfg.max_links_per_page
+        ),
+        "graph_seed_depth": host_seed_depth_sql(
+            p["pages"], p["seeds"], hops=4,
+            max_links=crawl_cfg.max_links_per_page,
         ),
         "graph_hits": host_hits_sql(
             p["pages"], max_links=crawl_cfg.max_links_per_page
@@ -7888,6 +7910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget_report": q_crawl_budget_report,
         "graph_pagerank_hosts": q_graph_pagerank,
         "graph_lpa": q_graph_lpa,
+        "graph_seed_depth": q_graph_seed_depth,
         "graph_hits": q_graph_hits,
         "graph_triangles": q_graph_triangles,
         "graph_cocitation": q_graph_cocitation,

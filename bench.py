@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "dedup_containment",
     "events_cusum",
     "s18_storage_vacuum",
+    "graph_seed_depth",
 ]
 
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))

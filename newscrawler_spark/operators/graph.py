@@ -625,6 +625,58 @@ def host_label_propagation(
     )
 
 
+def host_seed_depth(
+    pages: DataFrame,
+    seeds: DataFrame,
+    hops: int = 4,
+    max_links_per_page: int = 100,
+) -> DataFrame:
+    """Shortest directed link-distance from the SEED hosts, capped at
+    ``hops`` — the link-graph complement of the crawl's round-depth
+    report (crawl_depth_report measures when the crawler REACHED a
+    page; this measures how far a host sits from the seed set in the
+    web's own topology, the canonical frontier-reachability signal for
+    seed-list curation: a host deep in the BFS is under-served by the
+    current seeds).
+
+    Unrolled synchronous Bellman-Ford relaxation: d_0 = 0 on seed
+    hosts (ALL seed rows, active or not — a deliberately broader
+    universe than the crawl's active filter, spelled identically in
+    the oracle), d_k(v) = min(d_{k-1}(v), 1 + min over in-neighbors).
+    The cap is part of the SEMANTICS (reachability within ``hops``),
+    so unlike k-core there is no convergence to witness — hosts beyond
+    the cap are absent by definition.
+
+    Scale: each hop is one broadcast of the |reached-hosts|-row
+    distance vector against the persisted host-edge aggregate + one
+    groupBy(host) min — O(host-graph) per hop, pages scanned once.
+
+    Returns (host, depth) for hosts reached within ``hops``."""
+    edges = host_link_edges(pages, max_links_per_page).persist()
+    hosts = pages.select(
+        F.regexp_extract("url", _HOST_RE, 1).alias("host")
+    ).distinct()
+    dist = (
+        seeds.select(F.col("domain").alias("host"))
+        .distinct()
+        .join(hosts, "host", "left_semi")
+        .select("host", F.lit(0).cast("long").alias("depth"))
+    )
+    for _ in range(hops):
+        stepped = (
+            edges.join(
+                F.broadcast(dist.withColumnRenamed("host", "src")), "src"
+            )
+            .select(F.col("dst").alias("host"), (F.col("depth") + 1).alias("depth"))
+        )
+        dist = (
+            dist.unionByName(stepped)
+            .groupBy("host")
+            .agg(F.min("depth").cast("long").alias("depth"))
+        )
+    return dist
+
+
 def kcore_from_edges(
     und: DataFrame,
     k: int = 4,

@@ -489,6 +489,34 @@ FROM l_{iterations}""")
     return "".join(parts)
 
 
+def host_seed_depth_sql(
+    pages_path: str, seeds_path: str, hops: int = 4, max_links: int = 100
+) -> str:
+    """Capped seed-BFS as one SQL statement (DuckDB oracle twin of
+    operators/graph.host_seed_depth): shared frozen edge-extraction
+    head, d_0 = seed hosts ∩ page hosts (ALL seed rows), then ``hops``
+    unrolled min-relaxation CTEs.  Every d_k is MATERIALIZED (each is
+    referenced twice in the next hop — the doubly-referenced-chain
+    inlining lesson)."""
+    head = _host_graph_head_sql(pages_path, max_links) + f""",
+d_0 AS MATERIALIZED (
+  SELECT DISTINCT s.domain AS host, CAST(0 AS BIGINT) AS depth
+  FROM read_parquet('{seeds_path}') s
+  WHERE s.domain IN (SELECT host FROM hosts))"""
+    parts = [head]
+    for k in range(1, hops + 1):
+        parts.append(f""",
+d_{k} AS MATERIALIZED (
+  SELECT host, CAST(min(depth) AS BIGINT) AS depth FROM (
+    SELECT host, depth FROM d_{k - 1}
+    UNION ALL
+    SELECT e.dst AS host, d.depth + 1 AS depth
+    FROM edges e JOIN d_{k - 1} d ON e.src = d.host)
+  GROUP BY host)""")
+    parts.append(f"\nSELECT host, depth FROM d_{hops}")
+    return "".join(parts)
+
+
 def _host_graph_head_sql(pages_path: str, max_links: int) -> str:
     """Shared host-link-graph CTE chain (through ``edges`` + ``hosts``)
     — the page-links head rolled up to host level; consumed by the

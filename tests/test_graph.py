@@ -523,3 +523,46 @@ def test_lpa_matches_pure_python_and_clusters(spark, tmp_path):
     want = {h: (labels[h], sizes[labels[h]]) for h in hosts}
     assert got == want
     assert sum(s for _, s in set(got.values())) == len(hosts)
+
+
+def test_seed_depth_matches_pure_python_bfs(spark, tmp_path):
+    """host_seed_depth vs an independent pure-Python capped BFS over
+    the SAME extracted edge set and seed universe (all seed rows);
+    sanity: seeds at depth 0, depths ≤ cap, monotone reachability."""
+    import pyarrow.parquet as pq
+
+    from newscrawler_spark.operators.graph import host_link_edges, host_seed_depth
+    from newscrawler_spark.sources.corpus import generate_corpus
+
+    paths = generate_corpus(str(tmp_path / "c"), n_pages=400, n_hosts=10, seed=5)
+    pages = spark.read.parquet(paths["pages"])
+    seeds = spark.read.parquet(paths["seeds"])
+    got = {
+        r["host"]: r["depth"]
+        for r in host_seed_depth(pages, seeds, hops=4).collect()
+    }
+
+    hosts = {
+        r["host"]
+        for r in pages.selectExpr(
+            "regexp_extract(url, '^[a-z]+://([^/?#]*)', 1) AS host"
+        ).distinct().collect()
+    }
+    adj: dict = {}
+    for r in host_link_edges(pages).collect():
+        adj.setdefault(r["src"], set()).add(r["dst"])
+    dist = {
+        s["domain"]: 0
+        for s in pq.read_table(paths["seeds"]).to_pylist()
+        if s["domain"] in hosts
+    }
+    for _ in range(4):
+        nxt = dict(dist)
+        for u, d in dist.items():
+            for v in adj.get(u, ()):
+                if d + 1 < nxt.get(v, 10**9):
+                    nxt[v] = d + 1
+        dist = nxt
+    assert got == dist
+    assert all(d == 0 for h, d in got.items() if h in dist and dist[h] == 0)
+    assert all(0 <= d <= 4 for d in got.values())
