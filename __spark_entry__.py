@@ -5427,7 +5427,10 @@ def q_sim_ivf_topk(spark, sf_dir):
     )
 
 
-SQL_SIM_IVF = """
+def _sql_sim_ivf(nprobe: int = 4) -> str:
+    """SQL_SIM_IVF parameterized by nprobe (the probe LIMIT) — the
+    sweep query re-generates this block per probe width."""
+    return f"""
 WITH e AS (
   SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
          generate_subscripts(embedding, 1) AS i
@@ -5449,7 +5452,7 @@ assign AS (
     SELECT vec_id, cid,
            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
     FROM s) WHERE rn = 1),
-probe AS (SELECT cid FROM s WHERE vec_id = 0 ORDER BY sim DESC, cid LIMIT 4),
+probe AS (SELECT cid FROM s WHERE vec_id = 0 ORDER BY sim DESC, cid LIMIT {nprobe}),
 q AS (SELECT i, v AS qv FROM e WHERE vec_id = 0),
 d AS (
   SELECT e.vec_id, sum(e.v * q.qv) AS dot, sum(e.v * e.v) AS nn
@@ -5460,6 +5463,9 @@ qn AS (SELECT sum(qv * qv) AS qq FROM q)
 SELECT vec_id, floor((dot / (sqrt(nn) * sqrt((SELECT qq FROM qn)))) * 10000.0 + 0.5) / 10000.0 AS cosine
 FROM d ORDER BY cosine DESC, vec_id LIMIT 20
 """
+
+
+SQL_SIM_IVF = _sql_sim_ivf(4)
 
 
 def q_sim_recall_report(spark, sf_dir):
@@ -5504,6 +5510,62 @@ SELECT CAST(20 AS BIGINT) AS k,
        CAST(n_overlap * 500 AS BIGINT) AS recall_bp
 FROM o
 """
+
+_SWEEP_NPROBES = (1, 2, 4, 8)
+
+
+def q_sim_ivf_sweep(spark, sf_dir):
+    """IVF probe-width tuning sweep: recall@20 vs brute-force truth at
+    nprobe ∈ {1, 2, 4, 8} — the probes/recall trade-off curve a
+    production ivfflat deployment tunes against (pgvector `probes`;
+    reference vector store src/vector/processor.py).  One row per
+    probe width; each leg reuses the gated ivf_topk operator verbatim
+    and the single brute-force truth; counts are single-row broadcast
+    aggregates, recall_bp pure integer.  The DuckDB twin regenerates
+    the IVF block per width from the same template
+    (_sql_sim_ivf)."""
+    from newscrawler_spark.operators.similarity import ivf_topk
+
+    truth = q_sim_bruteforce_topk(spark, sf_dir).select("vec_id")
+    parts = []
+    for np_ in _SWEEP_NPROBES:
+        approx = ivf_topk(
+            _t(spark, sf_dir, "embeddings"),
+            _query_vec(spark, sf_dir),
+            k=20,
+            n_centroids=16,
+            nprobe=np_,
+        ).select("vec_id")
+        o = truth.join(approx, "vec_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_overlap")
+        )
+        parts.append(
+            o.select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                F.lit(20).cast("long").alias("k"),
+                "n_overlap",
+                (F.col("n_overlap") * 500).cast("long").alias("recall_bp"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _sql_sim_ivf_sweep() -> str:
+    legs = []
+    for np_ in _SWEEP_NPROBES:
+        legs.append(
+            f"""SELECT CAST({np_} AS BIGINT) AS nprobe, CAST(20 AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_overlap,
+       CAST(count(*) * 500 AS BIGINT) AS recall_bp
+FROM ({SQL_SIM_TOPK.strip()}) t JOIN ({_sql_sim_ivf(np_).strip()}) a USING (vec_id)"""
+        )
+    return "\nUNION ALL\n".join(legs)
+
+
+SQL_SIM_IVF_SWEEP = _sql_sim_ivf_sweep()
 
 
 def q_sim_neardup_pairs(spark, sf_dir):
@@ -7853,6 +7915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s18_storage_vacuum": q_s18_storage_vacuum,
         "dedup_containment": q_dedup_containment,
         "events_cusum": q_events_cusum,
+        "sim_ivf_sweep": q_sim_ivf_sweep,
         # --- previously driver-gated (r01-r04 green rows; replica-gated each round) ---
         "mm_media_features": q_mm_media_features,
         "crawl_depth_report": q_crawl_depth_report,
@@ -8115,6 +8178,7 @@ def oracle_sql() -> dict[str, str]:
         "olap_q13_custdist": SQL_OLAP_Q13,
         "a4_prometheus_export": SQL_A4_PROMETHEUS,
         "sim_recall_report": SQL_SIM_RECALL,
+        "sim_ivf_sweep": SQL_SIM_IVF_SWEEP,
         "olap_q7_trade": SQL_OLAP_Q7,
         "olap_q8_market_share": SQL_OLAP_Q8,
         "olap_q11_value_parts": SQL_OLAP_Q11,

@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "events_cusum",
     "s18_storage_vacuum",
     "graph_seed_depth",
+    "sim_ivf_sweep",
 ]
 
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))

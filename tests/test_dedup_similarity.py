@@ -497,3 +497,28 @@ def test_knn_graph_matches_bruteforce(spark, sf_dir):
         for rk, (ns, nb) in enumerate(cands, start=1):
             want.append((ids[i], rk, int(nb), -ns))
     assert sorted(got) == sorted(want)
+
+
+def test_ivf_sweep_monotone_recall(spark):
+    """Recall@k must be non-decreasing in nprobe (wider probes only add
+    candidates) and reach 100% when every list is probed."""
+    import __spark_entry__ as m
+    from newscrawler_spark.operators.similarity import ivf_topk
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r["nprobe"]: r["recall_bp"]
+        for r in m.queries()["sim_ivf_sweep"](spark, sf).collect()
+    }
+    widths = sorted(rows)
+    assert [rows[w] for w in widths] == sorted(rows[w] for w in widths)
+    # probing all 16 lists is exhaustive — equals brute force
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    truth = {r["vec_id"] for r in m.q_sim_bruteforce_topk(spark, sf).collect()}
+    full = {
+        r["vec_id"]
+        for r in ivf_topk(
+            emb, m._query_vec(spark, sf), k=20, n_centroids=16, nprobe=16
+        ).collect()
+    }
+    assert full == truth
