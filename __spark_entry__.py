@@ -3454,12 +3454,12 @@ def q_events_cusum(spark, sf_dir):
     return cusum_changepoints(_t(spark, sf_dir, "events"))
 
 
-SQL_EVENTS_CUSUM = """
-WITH daily AS (
-  SELECT event_type,
-         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
-         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS daily_cents
-  FROM events GROUP BY 1, 2),
+def _sql_cusum(daily_body: str) -> str:
+    """The CUSUM window chain over a caller-provided daily CTE body —
+    shared by the batch oracle and the streaming twin (whose daily
+    aggregate carries the watermark-finalize cut)."""
+    return f"""
+WITH daily AS ({daily_body}),
 agg AS (
   SELECT *, CAST(sum(daily_cents) OVER w AS BIGINT) AS total,
          CAST(count(*) OVER w AS BIGINT) AS n_days
@@ -3480,6 +3480,60 @@ SELECT event_type, CAST(day AS BIGINT) AS day, daily_cents,
        (p - floor_p) > k_target AS is_alarm
 FROM m
 """
+
+
+_SQL_CUSUM_DAILY = """
+  SELECT event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS daily_cents
+  FROM events GROUP BY 1, 2"""
+
+SQL_EVENTS_CUSUM = _sql_cusum(_SQL_CUSUM_DAILY)
+
+
+def q_streaming_cusum(spark, sf_dir):
+    """Streaming twin of events_cusum: Structured Streaming maintains
+    the daily per-type cents aggregate (1-day tumbling window, 10-min
+    watermark, APPEND mode to a parquet sink — each day emitted once
+    when the watermark passes its end, state bounded by the horizon),
+    then the CUSUM windows run over the finalized sink read-back
+    (cusum_over_daily — CUSUM needs the full day history, so it is
+    batch-over-sink by construction; the streaming part is exactly the
+    state that must be maintained continuously).  Day ids share the
+    batch path's unix_micros div 86400000000 contract, so the oracle
+    is the SAME cusum chain over a daily CTE with the finalize cut
+    (day end ≤ max(ts) − watermark)."""
+    import shutil
+
+    from newscrawler_spark.operators.events import cusum_over_daily
+    from newscrawler_spark.streaming.rounds import (
+        run_to_file_sink,
+        windowed_daily_cents,
+    )
+
+    stage = os.path.join(
+        tempfile.gettempdir(), f"nc_streamcusum_1d600c_{_stable_id(sf_dir)}"
+    )
+    dst = os.path.join(stage, "in", "events.parquet")
+    if _stage_events(sf_dir, dst):
+        shutil.rmtree(os.path.join(stage, "sink"), ignore_errors=True)
+        shutil.rmtree(os.path.join(stage, "ckpt"), ignore_errors=True)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    daily = windowed_daily_cents(
+        spark, os.path.dirname(dst), schema, watermark="10 minutes"
+    )
+    sunk = run_to_file_sink(
+        daily, os.path.join(stage, "sink"), os.path.join(stage, "ckpt")
+    )
+    return cusum_over_daily(sunk)
+
+
+SQL_STREAMING_CUSUM = _sql_cusum(
+    _SQL_CUSUM_DAILY
+    + """
+  HAVING (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 1) * 86400
+         <= epoch((SELECT max(ts) FROM events)) - 600"""
+)
 
 
 def q_events_interarrival(spark, sf_dir):
@@ -7916,6 +7970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "events_cusum": q_events_cusum,
         "sim_ivf_sweep": q_sim_ivf_sweep,
+        "streaming_cusum": q_streaming_cusum,
         # --- previously driver-gated (r01-r04 green rows; replica-gated each round) ---
         "mm_media_features": q_mm_media_features,
         "crawl_depth_report": q_crawl_depth_report,
@@ -8095,6 +8150,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
         "dedup_containment": SQL_DEDUP_CONTAINMENT,
         "events_cusum": SQL_EVENTS_CUSUM,
+        "streaming_cusum": SQL_STREAMING_CUSUM,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,
         "sim_knn_graph": SQL_SIM_KNN_GRAPH,

@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "s18_storage_vacuum",
     "graph_seed_depth",
     "sim_ivf_sweep",
+    "streaming_cusum",
 ]
 
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))

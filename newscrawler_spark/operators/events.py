@@ -447,6 +447,14 @@ def cusum_changepoints(events: DataFrame) -> DataFrame:
         .groupBy("event_type", "day")
         .agg(F.sum("cents").cast("long").alias("daily_cents"))
     )
+    return cusum_over_daily(daily)
+
+
+def cusum_over_daily(daily: DataFrame) -> DataFrame:
+    """The CUSUM windows over an existing (event_type, day, daily_cents)
+    relation — shared by the batch path (cusum_changepoints) and the
+    streaming twin (the daily aggregate maintained by Structured
+    Streaming, CUSUM computed over the finalized sink read-back)."""
     wtot = Window.partitionBy("event_type")
     wseq = (
         Window.partitionBy("event_type")

@@ -385,3 +385,35 @@ def enriched_stream_counts(
             "total_value_e4",
         )
     )
+
+
+def windowed_daily_cents(
+    spark: SparkSession,
+    events_dir: str,
+    schema: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """readStream → watermark → tumbling 1-DAY window → per-type cents
+    sum: the streaming maintenance of the daily aggregate the CUSUM
+    changepoint detector consumes (operators/events.cusum_over_daily).
+    Integer cents (the repo-wide no-raw-double-sum discipline); the
+    day id is the same unix_micros div 86400000000 contract as the
+    batch path, so the streaming sink rows are row-identical to the
+    batch daily aggregate over the finalized horizon."""
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(
+            F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+            .cast("long")
+            .alias("daily_cents")
+        )
+        .select(
+            F.expr("unix_micros(win.start) div 86400000000")
+            .cast("long")
+            .alias("day"),
+            "event_type",
+            "daily_cents",
+        )
+    )
